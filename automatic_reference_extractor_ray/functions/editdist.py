@@ -1,0 +1,46 @@
+"""Levenshtein distance — the reference's near-duplicate suppression
+metric (LOCDB-V3/imgProcessing.py:771-798; applied space-stripped with
+threshold < 10 at :414-448).
+
+The reference computes the standard unit-cost edit distance with a full
+O(n*m) Python DP matrix (its ``min(del+1, diag, ins+1)`` branch on equal
+chars is the standard recurrence).  We implement the exact same distance
+with a vectorized two-row DP: deletions/substitutions are elementwise;
+the left-to-right insertion dependency is closed exactly by
+``min-accumulate(row[j] - j) + j`` (min over k<=j of row[k] + (j-k)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Standard unit-cost edit distance, vectorized along ``b``."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    m = len(b)
+    j = np.arange(m + 1, dtype=np.int64)
+    prev = j.copy()
+    for i, ca in enumerate(a, 1):
+        row = np.empty(m + 1, dtype=np.int64)
+        row[0] = i
+        row[1:] = np.minimum(prev[1:] + 1, prev[:-1] + (bb != ord(ca)))
+        # close under insertions: row[j] = min_{k<=j}(row[k] + (j-k))
+        row = np.minimum.accumulate(row - j) + j
+        prev = row
+    return int(prev[-1])
+
+
+def levenshtein_lt(a: str, b: str, bound: int) -> bool:
+    """True iff ``levenshtein(a, b) < bound`` — with the cheap length
+    short-circuit (|len(a)-len(b)| >= bound ⇒ False).  This is the form
+    the fuzzy anti-join J4 uses per candidate pair."""
+    if abs(len(a) - len(b)) >= bound:
+        return False
+    return levenshtein(a, b) < bound

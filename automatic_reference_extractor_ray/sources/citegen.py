@@ -1,0 +1,107 @@
+"""Deterministic citation-string generation with known ground-truth
+fields (FIXTURES.md: "templated citations … so the field tokenizer has
+deterministic ground truth").
+
+Three templates, matching the shapes ``functions.fields.parse_fields``
+recognizes exactly; the generator returns both the raw string and the
+expected BibStructured field dict, so field extraction has an analytic
+oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..functions.fields import EMPTY_FIELDS
+
+SURNAMES = ["Miller", "Schmidt", "Tanaka", "Okafor", "Novak", "Silva",
+            "Weber", "Ivanov", "Larsen", "Moreau", "Haddad", "Kim",
+            "Olsen", "Petrov", "Garcia", "Nguyen"]
+INITIALS = list("ABCDEFGHJKLMPRST")
+TITLE_WORDS = ["adaptive", "spectral", "methods", "for", "sparse", "graph",
+               "inference", "neural", "retrieval", "of", "historical",
+               "records", "streaming", "analysis", "over", "large", "corpora",
+               "robust", "segmentation", "in", "scanned", "documents",
+               "automated", "citation", "extraction", "with", "layout",
+               "models", "distributed", "processing", "pipelines"]
+JOURNALS = ["Journal of Document Analysis", "Information Processing Letters",
+            "Computational Linguistics Review", "Archive Science Quarterly",
+            "Data Engineering Bulletin"]
+PUBLISHERS = ["Springer", "Elsevier", "Academic Press", "MIT Press",
+              "Cambridge Press"]
+CITIES = ["Berlin", "Boston", "Tokyo", "Oslo", "Madrid", "Leiden"]
+BODY_WORDS = ["the", "proposed", "approach", "combines", "structural",
+              "features", "and", "lexical", "cues", "to", "identify",
+              "reference", "regions", "within", "noisy", "page", "text",
+              "while", "remaining", "fully", "deterministic", "under",
+              "parallel", "execution", "across", "many", "workers"]
+
+
+@dataclass
+class Citation:
+    raw: str
+    fields: dict
+
+
+def _pick(rng: np.random.Generator, pool: list[str]) -> str:
+    return pool[int(rng.integers(0, len(pool)))]
+
+
+def _title(rng: np.random.Generator) -> str:
+    n = int(rng.integers(3, 7))
+    words = [_pick(rng, TITLE_WORDS) for _ in range(n)]
+    words[0] = words[0].capitalize()
+    return " ".join(words)
+
+
+def _author(rng: np.random.Generator) -> str:
+    return f"{_pick(rng, SURNAMES)}, {_pick(rng, INITIALS)}."
+
+
+def gen_citation(rng: np.random.Generator) -> Citation:
+    """One deterministic citation; template mix T1/T1/T2/T3."""
+    t = int(rng.integers(0, 4))
+    year = str(int(rng.integers(1970, 2024)))
+    title = _title(rng)
+    f = dict(EMPTY_FIELDS)
+    f["title"] = title
+    f["date"] = year
+    if t <= 1:  # journal article
+        authors = [_author(rng) for _ in range(int(rng.integers(1, 3)))]
+        journal = _pick(rng, JOURNALS)
+        vol = str(int(rng.integers(1, 60)))
+        iss = str(int(rng.integers(1, 13)))
+        p1 = int(rng.integers(1, 400))
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f"{' and '.join(authors)} ({year}). {title}. {journal}, "
+               f"{vol}({iss}), {p1}-{p2}.")
+        f.update(authors=authors, journal=journal, volume=vol, issue=iss,
+                 pages=f"{p1}-{p2}")
+    elif t == 2:  # book
+        authors = [_author(rng)]
+        publisher = _pick(rng, PUBLISHERS)
+        city = _pick(rng, CITIES)
+        raw = f"{authors[0]} ({year}). {title}. {publisher}, {city}."
+        f.update(authors=authors, publisher=publisher, location=city)
+    else:  # surname-style
+        authors = [_pick(rng, SURNAMES) for _ in range(int(rng.integers(1, 3)))]
+        journal = _pick(rng, JOURNALS)
+        vol = str(int(rng.integers(1, 60)))
+        p1 = int(rng.integers(1, 400))
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f"{' and '.join(authors)}. {title}. {journal} "
+               f"{vol}:{p1}-{p2}, {year}.")
+        f.update(authors=authors, journal=journal, volume=vol,
+                 pages=f"{p1}-{p2}")
+    return Citation(raw=raw, fields=f)
+
+
+def gen_body_sentence(rng: np.random.Generator) -> str:
+    """Filler prose: no year patterns, no leading numbering, single
+    spaces — guaranteed not to look like a reference."""
+    n = int(rng.integers(6, 14))
+    words = [_pick(rng, BODY_WORDS) for _ in range(n)]
+    words[0] = words[0].capitalize()
+    return " ".join(words) + "."
