@@ -1,0 +1,78 @@
+"""Golden/oracle table materialization (driver-side, pyarrow only).
+
+Used by pytest (equality against the pipeline output) and by the
+DuckDB oracle SQL in ``__ray_entry__`` (written under /tmp so the
+oracle queries can ``read_parquet`` them).  Golden rows come from the
+corpus generator's analytic computation — never from the pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..schema import REFS_SCHEMA, SPAN_STRUCT
+from .corpus import build_doc
+from .interleave import doc_keys_for_ids
+
+ORACLE_ROOT = "/tmp/arx_oracle"
+
+
+def golden_rows(doc_keys: list[str]) -> list[dict]:
+    rows: list[dict] = []
+    for key in doc_keys:
+        _, golden = build_doc(key)
+        rows.extend(golden)
+    return rows
+
+
+def golden_table(doc_keys: list[str]) -> pa.Table:
+    rows = golden_rows(doc_keys)
+    return pa.table({
+        n: pa.array([r[n] for r in rows], REFS_SCHEMA.field(n).type)
+        for n in REFS_SCHEMA.names})
+
+
+def corpus_spans_table(doc_keys: list[str]) -> pa.Table:
+    """The constructed interleaved corpus, flattened to one row per
+    span — the oracle-side view of the *input* (route counts, version
+    semantics, span stats are plain SQL over this)."""
+    cols = {"doc_id": [], "offset": [], "kind": [], "text": [], "media_ref": []}
+    for key in doc_keys:
+        in_rows, _ = build_doc(key)
+        for row in in_rows:
+            for s in row["spans"]:
+                cols["doc_id"].append(row["doc_id"])
+                cols["offset"].append(s["offset"])
+                cols["kind"].append(s["kind"])
+                cols["text"].append(s["text"])
+                cols["media_ref"].append(s["media_ref"])
+    return pa.table({"doc_id": pa.array(cols["doc_id"], pa.string()),
+                     "offset": pa.array(cols["offset"], pa.int32()),
+                     "kind": pa.array(cols["kind"], pa.string()),
+                     "text": pa.array(cols["text"], pa.string()),
+                     "media_ref": pa.array(cols["media_ref"], pa.string())})
+
+
+def sf_doc_keys(sf_dir: str, repeat: int = 1) -> list[str]:
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return doc_keys_for_ids(ids.column("doc_id").to_pylist(), repeat)
+
+
+def write_oracle_tables(sf_dir: str, out_root: str = ORACLE_ROOT) -> str:
+    """Idempotently write golden + corpus-span parquet for one sf dir →
+    the directory path.  Cheap (hundreds of docs) and deterministic."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(out_root, name)
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    keys = sf_doc_keys(sf_dir)
+    pq.write_table(golden_table(keys), os.path.join(out_dir, "golden_refs.parquet"))
+    pq.write_table(corpus_spans_table(keys), os.path.join(out_dir, "corpus_spans.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir

@@ -1,0 +1,57 @@
+"""Readers: materialize the interleaved documents Dataset.
+
+``read_interleaved_docs`` derives the corpus deterministically from the
+driver testdata's ``documents.parquet`` *id column only* (column-pruned
+read; TESTDATA.md says use those tables as inputs) — every worker can
+expand ids → spans inside ``map_batches`` with no other I/O.  A real
+deployment replaces this with ``ray.data.read_lance(uri)`` over the same
+schema; ``read_docs_parquet`` reads any parquet already in that shape.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+from ..schema import DOCUMENTS_SCHEMA, SPAN_STRUCT
+from .corpus import build_doc
+
+
+def rows_to_docs_table(rows: list[dict]) -> pa.Table:
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+        "spans": pa.array([r["spans"] for r in rows], pa.list_(SPAN_STRUCT)),
+    })
+
+
+def doc_keys_for_ids(ids, repeat: int = 1) -> list[str]:
+    """Stable doc keys from integer testdata ids; ``repeat`` > 1 scales
+    the corpus for benchmarking (replica index is part of the key, so
+    every replica is a distinct deterministic document)."""
+    keys = []
+    for i in ids:
+        for r in range(repeat):
+            keys.append(f"doc-{int(i):06d}" if r == 0 else f"doc-{int(i):06d}-r{r}")
+    return keys
+
+
+def expand_ids_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
+    rows: list[dict] = []
+    for key in doc_keys_for_ids(batch.column("doc_id").to_pylist(), repeat):
+        in_rows, _ = build_doc(key)
+        rows.extend(in_rows)
+    return rows_to_docs_table(rows)
+
+
+def read_interleaved_docs(sf_dir: str, repeat: int = 1,
+                          override_num_blocks: int | None = None):
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"],
+                          **({"override_num_blocks": override_num_blocks}
+                             if override_num_blocks else {}))
+    return ids.map_batches(lambda b: expand_ids_batch(b, repeat),
+                           batch_format="pyarrow", batch_size=64)
+
+
+def read_docs_parquet(path: str):
+    """Read an already-materialized interleaved docs table."""
+    return rd.read_parquet(path, schema=DOCUMENTS_SCHEMA)

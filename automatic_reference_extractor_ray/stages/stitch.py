@@ -1,0 +1,29 @@
+"""Per-document re-stitch — THE one all-to-all shuffle of the pipeline
+(SURVEY.md §4): records extracted independently per span unit are
+grouped by ``doc_id`` and ranked into the document's ordered span
+sequence by ``(src_offset, seq)`` (G2 + O1 composition; the reference
+concatenated per-crop XML at LOCDB-V3/imgProcessing.py:139-206).
+
+Only extracted strings/boxes travel through this shuffle — media bytes
+never do (they stay inside the extraction actors).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..schema import REFS_SCHEMA
+
+
+def _stitch_group(g: pd.DataFrame) -> pd.DataFrame:
+    order = np.lexsort((g["seq"].to_numpy(), g["src_offset"].to_numpy()))
+    g = g.iloc[order].reset_index(drop=True)
+    g["span_idx"] = np.arange(len(g), dtype=np.int32)
+    return g[[n for n in REFS_SCHEMA.names]]
+
+
+def stitch_records(records):
+    """records Dataset → final refs Dataset with dense ``span_idx``."""
+    return (records.groupby("doc_id")
+            .map_groups(_stitch_group, batch_format="pandas"))

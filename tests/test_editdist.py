@@ -1,0 +1,51 @@
+"""Levenshtein vs a brute-force reference implementation and the J4
+threshold boundary (LOCDB-V3/imgProcessing.py:771-798, :420)."""
+
+import numpy as np
+
+from automatic_reference_extractor_ray.functions.editdist import (
+    levenshtein, levenshtein_lt)
+
+
+def _brute(a: str, b: str) -> int:
+    m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(len(a) + 1):
+        m[i][0] = i
+    for j in range(len(b) + 1):
+        m[0][j] = j
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            m[i][j] = min(m[i - 1][j] + 1, m[i][j - 1] + 1,
+                          m[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+    return m[len(a)][len(b)]
+
+
+def test_known_pairs():
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("abc", "") == 3
+    assert levenshtein("same", "same") == 0
+    assert levenshtein("flaw", "lawn") == 2
+
+
+def test_random_vs_brute():
+    rng = np.random.default_rng(42)
+    alphabet = "abcde"
+    for _ in range(60):
+        a = "".join(rng.choice(list(alphabet), rng.integers(0, 12)))
+        b = "".join(rng.choice(list(alphabet), rng.integers(0, 12)))
+        assert levenshtein(a, b) == _brute(a, b), (a, b)
+
+
+def test_threshold_boundary():
+    base = "abcdefghijklmnopqrst"
+    nine = "XXXXXXXXX" + base[9:]        # distance 9
+    ten = "XXXXXXXXXX" + base[10:]       # distance 10
+    assert levenshtein(base, nine) == 9
+    assert levenshtein(base, ten) == 10
+    assert levenshtein_lt(base, nine, 10)        # suppressed by J4
+    assert not levenshtein_lt(base, ten, 10)     # kept by J4
+
+
+def test_length_shortcut():
+    assert not levenshtein_lt("a" * 5, "a" * 30, 10)

@@ -1,0 +1,93 @@
+"""End-to-end Ray pipeline: golden span-sequence equality
+(kind, text, media_ref, order), order-independence under repartitioning,
+and the version-dedup broadcast semi-join."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from automatic_reference_extractor_ray.sources.goldens import (
+    golden_table, sf_doc_keys)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    df["authors"] = df["authors"].map(lambda a: tuple(a))
+    return df
+
+
+@pytest.fixture(scope="module")
+def golden_df(ray_session):
+    return _norm(golden_table(sf_doc_keys(SF)).to_pandas())
+
+
+def run_pipeline(**kw):
+    from automatic_reference_extractor_ray.pipelines.extract import extract_refs
+    from automatic_reference_extractor_ray.sources.interleave import (
+        read_interleaved_docs)
+    docs = read_interleaved_docs(SF, **{k: v for k, v in kw.items()
+                                        if k in ("override_num_blocks",)})
+    pk = {k: v for k, v in kw.items() if k not in ("override_num_blocks",)}
+    return _norm(extract_refs(docs, **pk).to_pandas())
+
+
+def assert_frames_equal(a: pd.DataFrame, b: pd.DataFrame):
+    assert len(a) == len(b)
+    for c in b.columns:
+        x, y = a[c], b[c]
+        if x.dtype == object:
+            assert list(x) == list(y), f"column {c}"
+        else:
+            assert (x.to_numpy() == y.to_numpy()).all(), f"column {c}"
+
+
+def test_e2e_matches_golden(ray_session, golden_df):
+    out = run_pipeline()
+    assert_frames_equal(out, golden_df)
+
+
+def test_order_independence_under_partitioning(ray_session, golden_df):
+    """The distributed invariant the reference never faced: block layout
+    and parallelism must not change any document's span sequence."""
+    out = run_pipeline(override_num_blocks=7)
+    assert_frames_equal(out, golden_df)
+
+
+def test_span_sequence_contract(ray_session, golden_df):
+    """Per-row invariant: span-sequence equality (kind, text, media_ref,
+    order) per document."""
+    out = run_pipeline()
+    for doc_id, g in golden_df.groupby("doc_id"):
+        o = out[out["doc_id"] == doc_id]
+        assert list(zip(o["kind"], o["text"], o["media_ref"])) == \
+            list(zip(g["kind"], g["text"], g["media_ref"])), doc_id
+
+
+def test_version_dedup_broadcast(ray_session):
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.sources.corpus import build_doc
+    from automatic_reference_extractor_ray.sources.interleave import (
+        rows_to_docs_table)
+    from automatic_reference_extractor_ray.stages.dedup_version import (
+        compute_latest_versions, latest_version_filter)
+    rows = []
+    for i in range(2000):
+        key = f"doc-{i:06d}"
+        from automatic_reference_extractor_ray.sources.corpus import doc_class
+        if doc_class(key) == "versioned":
+            r, _ = build_doc(key)
+            rows.extend(r)
+            if sum(1 for _ in rows) >= 4:
+                break
+    plain, _ = build_doc("doc-000000")
+    rows.extend(plain)
+    ds = rd.from_arrow(rows_to_docs_table(rows))
+    latest = compute_latest_versions(ds)
+    assert all(v == 2 for v in latest.values()) and latest
+    kept = latest_version_filter(ds).to_pandas()["doc_id"].tolist()
+    assert all(not d.endswith("~1") for d in kept)
+    assert any(d.endswith("~2") for d in kept)
+    assert plain[0]["doc_id"] in kept

@@ -1,0 +1,56 @@
+"""Pin the hyphenation/char-index math byte-for-byte
+(LOCDB-V3/imgProcessing.py:487-527) with hand-computed expectations."""
+
+from automatic_reference_extractor_ray.functions.textkit import (
+    collapse_ws, concat_lines_with_index, coords_to_str, join_lines_repaired,
+    repair_line, split_versioned_doc_id)
+
+
+def test_repair_plain_line_appends_space():
+    assert repair_line("hello") == ("hello ", 6)
+
+
+def test_repair_letter_hyphen_dropped():
+    assert repair_line("exam-") == ("exam", 4)
+
+
+def test_repair_digit_hyphen_kept():
+    # page-number heuristic: "123-" keeps the hyphen, length unchanged
+    assert repair_line("123-") == ("123-", 4)
+
+
+def test_repair_lone_hyphen_dropped():
+    assert repair_line("-") == ("", 0)
+
+
+def test_concat_index_hand_case():
+    # "abc" (+space, L=4), "de-" (drop, L=2), "fg" (+space, L=3)
+    text, ranges = concat_lines_with_index(["abc", "de-", "fg"])
+    assert text == "abc defg "
+    # reference bounds: prev=-1; [prev+1, prev+L]
+    assert ranges == [(0, 3), (4, 5), (6, 8)]
+
+
+def test_concat_index_digit_hyphen():
+    text, ranges = concat_lines_with_index(["45-", "67"])
+    assert text == "45-67 "
+    assert ranges == [(0, 2), (3, 5)]
+
+
+def test_join_lines_repaired():
+    assert join_lines_repaired(["exam-", "ple text"]) == "example text"
+    assert join_lines_repaired(["a b", "c"]) == "a b c"
+
+
+def test_collapse_ws():
+    assert collapse_ws("  a\n\tb   c ") == "a b c"
+
+
+def test_coords_codec():
+    assert coords_to_str((1, 2, 3, 4)) == "1 2 3 4"
+
+
+def test_versioned_split():
+    assert split_versioned_doc_id("doc-1~7") == ("doc-1", 7)
+    assert split_versioned_doc_id("doc-1") == ("doc-1", 0)
+    assert split_versioned_doc_id("a~b") == ("a~b", 0)
