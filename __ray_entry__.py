@@ -1,16 +1,17 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native rebuild of
+locdb/automatic-reference-extractor.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+- ``entry()``: flagship extraction pipeline on sf0.001.
+- ``queries()``: one callable per operator family (SURVEY.md §2 +
+  the large-scale training-data ops).
+- ``oracle_sql()``: DuckDB-equivalent SQL.  Extraction queries are
+  checked against the corpus generator's *analytic golden* parquet
+  (written idempotently under /tmp/arx_oracle/sf0.01 — golden is
+  computed from the fixtures' construction, never by the pipeline);
+  data ops are checked against independently-written SQL over the
+  pre-registered testdata views.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver; nothing here calls ray.init().
 """
 
 from __future__ import annotations
@@ -18,27 +19,413 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF001 = "/root/testdata/sf0.001"
+ORACLE_DIR = "/tmp/arx_oracle/sf0.01"      # driver correctness runs at sf0.01
+ANN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+JACCARD_TAU = 0.9
+EMB_TAU = 0.4
+
+_pipeline_cache: dict[str, Any] = {}
+
+
+def _ensure_oracle_tables() -> None:
+    from automatic_reference_extractor_ray.sources.goldens import write_oracle_tables
+    for sf in ("/root/testdata/sf0.01", SF001):
+        write_oracle_tables(sf)
+
+
+def _docs(sf_dir: str):
+    from automatic_reference_extractor_ray.sources.interleave import (
+        read_interleaved_docs)
+    return read_interleaved_docs(sf_dir)
+
+
+def _refs_df(sf_dir: str):
+    """Run the flagship pipeline once per sf_dir and cache the result
+    frame for the derived queries."""
+    if sf_dir not in _pipeline_cache:
+        from automatic_reference_extractor_ray.pipelines.extract import extract_refs
+        df = extract_refs(_docs(sf_dir)).to_pandas()
+        df = df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+        _pipeline_cache[sf_dir] = df
+    return _pipeline_cache[sf_dir]
+
+
+def _units(sf_dir: str):
+    from automatic_reference_extractor_ray.config import DEFAULT_CONFIG
+    from automatic_reference_extractor_ray.stages.explode import explode_to_units
+    return _docs(sf_dir).map_batches(
+        lambda b: explode_to_units(b, DEFAULT_CONFIG), batch_format="pyarrow")
+
+
+def _media_refs(sf_dir: str):
+    import pyarrow.compute as pc
+    return (_units(sf_dir)
+            .map_batches(lambda t: t.filter(pc.equal(t["kind"], "media")),
+                         batch_format="pyarrow")
+            .groupby("media_ref").count()
+            .select_columns(["media_ref"]))
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: interleaved corpus from sf0.001 → ordered reference
+    spans (REFS_SCHEMA)."""
+    from automatic_reference_extractor_ray.pipelines.extract import extract_refs
+    return extract_refs(_docs(SF001))
 
+
+# --------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import numpy as np
+    import pandas as pd
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    _ensure_oracle_tables()
 
+    # ---- extraction family (vs analytic golden) ----
+    def extract_refs_q(sf):
+        return _refs_df(sf)[["doc_id", "span_idx", "kind", "text",
+                             "media_ref", "detector", "namer"]]
+
+    def extract_fields_q(sf):
+        df = _refs_df(sf).copy()
+        df["authors_joined"] = df["authors"].map(lambda a: "; ".join(a))
+        return df[["doc_id", "span_idx", "authors_joined", "title", "journal",
+                   "date", "publisher", "location", "volume", "issue", "pages"]]
+
+    def extract_coordinates_q(sf):
+        return _refs_df(sf)[["doc_id", "span_idx", "x1", "y1", "x2", "y2",
+                             "column", "src_offset"]]
+
+    def provenance_counts_q(sf):
+        df = _refs_df(sf)
+        g = df.groupby(["detector", "namer"]).size().reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def refs_per_doc_q(sf):
+        df = _refs_df(sf)
+        g = df.groupby("doc_id").size().reset_index(name="n_refs")
+        g["n_refs"] = g["n_refs"].astype("int64")
+        return g
+
+    def route_counts_q(sf):
+        import pyarrow as pa
+        from automatic_reference_extractor_ray.functions.dockit import sniff_kind
+
+        def classify(t: pa.Table) -> pa.Table:
+            kinds = t.column("kind").to_pylist()
+            texts = t.column("text").to_pylist()
+            out = [k if k == "media" else sniff_kind(x)
+                   for k, x in zip(kinds, texts)]
+            return pa.table({"unit_kind": pa.array(out, pa.string())})
+
+        ds = _units(sf).map_batches(classify, batch_format="pyarrow")
+        return ds.groupby("unit_kind").count().rename_columns(
+            ["unit_kind", "n"])
+
+    def latest_versions_q(sf):
+        from automatic_reference_extractor_ray.stages.dedup_version import (
+            compute_latest_versions)
+        latest = compute_latest_versions(_docs(sf))
+        return pd.DataFrame(
+            {"base_id": list(latest.keys()),
+             "latest_version": np.array(list(latest.values()), dtype="int64")})
+
+    def span_stats_q(sf):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Count, Sum
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "kind": t["kind"],
+                "n_chars3": pc.utf8_length(t["text"]).cast(pa.int64())})
+
+        return (_units(sf).map_batches(prep, batch_format="pyarrow")
+                .groupby("kind")
+                .aggregate(Count(alias_name="n_spans"),
+                           Sum("n_chars3", alias_name="sum_chars")))
+
+    def media_features_q(sf):
+        from automatic_reference_extractor_ray.ops.multimodal import media_features
+        return media_features(_media_refs(sf))
+
+    def ocr_line_counts_q(sf):
+        from automatic_reference_extractor_ray.ops.multimodal import ocr_line_counts
+        return ocr_line_counts(_media_refs(sf))
+
+    # ---- text analysis ----
+    def _docs_table(sf):
+        return _read(sf, "documents", ["doc_id", "text"])
+
+    def token_counts_q(sf):
+        from automatic_reference_extractor_ray.ops.textstats import token_counts
+        return _docs_table(sf).map_batches(token_counts, batch_format="pandas")
+
+    def quality_metrics_q(sf):
+        from automatic_reference_extractor_ray.ops.textstats import quality_metrics
+        return _docs_table(sf).map_batches(quality_metrics, batch_format="pandas")
+
+    def lang_guess_q(sf):
+        from automatic_reference_extractor_ray.ops.textstats import lang_guess
+        return _docs_table(sf).map_batches(lang_guess, batch_format="pandas")
+
+    def fingerprint_q(sf):
+        from automatic_reference_extractor_ray.ops.textstats import fingerprint
+        return _docs_table(sf).map_batches(fingerprint, batch_format="pandas")
+
+    # ---- dedup family ----
+    def dedup_exact_q(sf):
+        from automatic_reference_extractor_ray.ops.dedup import exact_dedup
+        return exact_dedup(_docs_table(sf))
+
+    def dedup_jaccard_q(sf):
+        from automatic_reference_extractor_ray.ops.dedup import jaccard_pairs
+        return jaccard_pairs(_docs_table(sf), tau=JACCARD_TAU)
+
+    def dedup_minhash_q(sf):
+        from automatic_reference_extractor_ray.ops.dedup import minhash_lsh_pairs
+        return minhash_lsh_pairs(_docs_table(sf), tau=JACCARD_TAU)
+
+    def dedup_simhash_q(sf):
+        from automatic_reference_extractor_ray.ops.dedup import simhash_pairs
+        return simhash_pairs(_docs_table(sf))
+
+    def dedup_embedding_q(sf):
+        from automatic_reference_extractor_ray.ops.dedup import embedding_dup_pairs
+        return embedding_dup_pairs(_read(sf, "embeddings"), tau=EMB_TAU)
+
+    # ---- similarity search ----
+    def ann_topk_q(sf):
+        from automatic_reference_extractor_ray.ops.ann import brute_force_topk
+        return brute_force_topk(_read(sf, "embeddings"), ANN_QUERY_IDS, k=10)
+
+    def ann_lsh_q(sf):
+        from automatic_reference_extractor_ray.ops.ann import lsh_topk
+        return lsh_topk(_read(sf, "embeddings"), ANN_QUERY_IDS, k=10)
+
+    # ---- relational primitives ----
+    def q1_pricing_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import q1_pricing_summary
+        return q1_pricing_summary(_read(sf, "lineitem",
+                                        ["l_returnflag", "l_linestatus",
+                                         "l_quantity", "l_extendedprice",
+                                         "l_discount"]))
+
+    def top_customers_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import (
+            top_customers_by_revenue)
+        return top_customers_by_revenue(
+            _read(sf, "orders", ["o_custkey", "o_totalprice"]),
+            _read(sf, "customer", ["c_custkey", "c_name"]))
+
+    def events_hourly_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import events_hourly
+        return events_hourly(_read(sf, "events",
+                                   ["event_type", "ts", "value"]))
+
+    def events_sessions_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import events_sessions
+        return events_sessions(_read(sf, "events",
+                                     ["user_id", "ts", "event_id"]))
+
+    return {
+        "extract_refs": extract_refs_q,
+        "extract_fields": extract_fields_q,
+        "extract_coordinates": extract_coordinates_q,
+        "provenance_counts": provenance_counts_q,
+        "refs_per_doc": refs_per_doc_q,
+        "route_counts": route_counts_q,
+        "latest_versions": latest_versions_q,
+        "span_stats": span_stats_q,
+        "media_features": media_features_q,
+        "ocr_line_counts": ocr_line_counts_q,
+        "token_counts": token_counts_q,
+        "quality_metrics": quality_metrics_q,
+        "lang_guess": lang_guess_q,
+        "doc_fingerprint": fingerprint_q,
+        "dedup_exact": dedup_exact_q,
+        "dedup_jaccard": dedup_jaccard_q,
+        "dedup_minhash": dedup_minhash_q,
+        "dedup_simhash": dedup_simhash_q,
+        "dedup_embedding": dedup_embedding_q,
+        "ann_topk": ann_topk_q,
+        "ann_lsh": ann_lsh_q,
+        "q1_pricing": q1_pricing_q,
+        "top_customers": top_customers_q,
+        "events_hourly": events_hourly_q,
+        "events_sessions": events_sessions_q,
+    }
+
+
+# ------------------------------------------------------------ oracle SQL
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    _ensure_oracle_tables()
+    G = f"read_parquet('{ORACLE_DIR}/golden_refs.parquet')"
+    C = f"read_parquet('{ORACLE_DIR}/corpus_spans.parquet')"
+    P = f"read_parquet('{ORACLE_DIR}/media_payloads.parquet')"
+    M = f"read_parquet('{ORACLE_DIR}/media_meta.parquet')"
+    TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+    return {
+        "extract_refs": f"""
+            SELECT doc_id, span_idx, kind, text, media_ref, detector, namer
+            FROM {G}""",
+        "extract_fields": f"""
+            SELECT doc_id, span_idx,
+                   COALESCE(array_to_string(authors, '; '), '') AS authors_joined,
+                   title, journal, date, publisher, location, volume, issue, pages
+            FROM {G}""",
+        "extract_coordinates": f"""
+            SELECT doc_id, span_idx, x1, y1, x2, y2, "column", src_offset
+            FROM {G}""",
+        "provenance_counts": f"""
+            SELECT detector, namer, COUNT(*) AS n FROM {G}
+            GROUP BY detector, namer""",
+        "refs_per_doc": f"""
+            SELECT doc_id, COUNT(*) AS n_refs FROM {G} GROUP BY doc_id""",
+        "route_counts": f"""
+            SELECT CASE WHEN kind = 'media' THEN 'media'
+                        WHEN strpos(text, '<Citation') > 0 THEN 'xml'
+                        WHEN strpos(text, '<cite') > 0 OR strpos(text, '<dl') > 0
+                             OR strpos(text, '<div') > 0 OR strpos(text, '<td') > 0
+                             THEN 'html'
+                        ELSE 'text' END AS unit_kind,
+                   COUNT(*) AS n
+            FROM {C} GROUP BY 1""",
+        "latest_versions": rf"""
+            WITH ids AS (SELECT DISTINCT doc_id FROM {C}),
+            parsed AS (
+              SELECT CASE WHEN regexp_matches(doc_id, '~\d+$')
+                          THEN regexp_replace(doc_id, '~\d+$', '')
+                          ELSE doc_id END AS base_id,
+                     CASE WHEN regexp_matches(doc_id, '~\d+$')
+                          THEN CAST(regexp_extract(doc_id, '~(\d+)$', 1) AS BIGINT)
+                          ELSE 0 END AS version
+              FROM ids)
+            SELECT base_id, MAX(version) AS latest_version
+            FROM parsed GROUP BY base_id
+            HAVING COUNT(DISTINCT version) > 1""",
+        "span_stats": f"""
+            SELECT kind, COUNT(*) AS n_spans,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+            FROM {C} GROUP BY kind""",
+        "media_features": f"""
+            SELECT media_ref, CAST(length(payload) AS BIGINT) AS n_bytes,
+                   md5(payload) AS payload_md5
+            FROM {P}""",
+        "ocr_line_counts": f"SELECT media_ref, n_lines FROM {M}",
+        "token_counts": f"""
+            SELECT doc_id, CAST(len({TOK}) AS BIGINT) AS n_tokens
+            FROM documents""",
+        "quality_metrics": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars2,
+                   CAST(len({TOK}) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+                   CAST(len(list_filter({TOK}, t -> t IN
+                        ('the','and','of','to','a','in','is','for','with','on')))
+                        AS BIGINT) AS n_stopwords
+            FROM documents""",
+        "lang_guess": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     len(list_filter({TOK}, t -> t IN
+                         ('the','and','of','to','a','in','is','for','with','on'))) AS en_hits,
+                     len(list_filter({TOK}, t -> t IN
+                         ('der','die','das','und','ist','mit','für','von','ein','nicht'))) AS de_hits
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN en_hits > de_hits THEN 'en'
+                        WHEN de_hits > en_hits THEN 'de'
+                        ELSE 'unknown' END AS lang_guess
+            FROM h""",
+        "doc_fingerprint": f"""
+            SELECT doc_id, md5({NORM}) AS fp FROM documents""",
+        "dedup_exact": f"""
+            SELECT md5({NORM}) AS content_hash,
+                   MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_dups
+            FROM documents GROUP BY 1""",
+        "dedup_jaccard": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(list_distinct({TOK})) AS token FROM documents),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+              SELECT t1.doc_id AS a, t2.doc_id AS b, COUNT(*) AS i
+              FROM tok t1 JOIN tok t2
+                ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+              GROUP BY 1, 2)
+            SELECT a, b FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_TAU}""",
+        "dedup_embedding": f"""
+            SELECT e1.vec_id AS a, e2.vec_id AS b
+            FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            WHERE list_cosine_similarity(
+                    list_transform(e1.embedding, x -> CAST(x AS DOUBLE)),
+                    list_transform(e2.embedding, x -> CAST(x AS DOUBLE)))
+                  >= {EMB_TAU}""",
+        "ann_topk": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+              FROM embeddings WHERE vec_id IN ({','.join(map(str, ANN_QUERY_IDS))})),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(
+                       list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qe) AS cos
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+            SELECT query_id, rank, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored) WHERE rank <= 10""",
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_c,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "top_customers": """
+            WITH agg AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+                     COUNT(*) AS n_orders
+              FROM orders GROUP BY o_custkey)
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY revenue_c DESC, o_custkey ASC) AS BIGINT) AS rank,
+                   o_custkey, c_name, revenue_c, n_orders
+            FROM agg JOIN customer ON c_custkey = o_custkey
+            ORDER BY rank LIMIT 10""",
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+            FROM events GROUP BY event_type, 2""",
+        "events_sessions": """
+            WITH e AS (
+              SELECT user_id, ts,
+                     LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+              FROM events),
+            m AS (
+              SELECT user_id,
+                     CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e)
+            SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM m GROUP BY user_id""",
+        # dedup_minhash / dedup_simhash / ann_lsh are approximate by
+        # design → rows-only checks (no SQL equivalent claimed).
+    }

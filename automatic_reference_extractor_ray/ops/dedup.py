@@ -1,0 +1,344 @@
+"""Deduplication family over ``documents(doc_id, text)``:
+
+  exact          normalized-text hash → hash-partitioned keep-min
+  n-gram Jaccard exact token-set Jaccard via prefix-filtered inverted
+                 index + exact verification (SQL-checkable)
+  MinHash+LSH    shingle → minhash → band buckets → candidates → verify
+  SimHash        64-bit fingerprint → 16-bit band buckets → Hamming verify
+  embedding      cosine >= tau pairs via broadcast matrix
+
+Scale design: every many-key aggregate (pair dedup/counting, token
+document frequencies) goes through ``ops.shuffle.bucketed_*`` — a
+bounded-cardinality hash shuffle — never Ray's per-group aggregate.
+Shuffled rows are (token, id) / (band, id) / (a, b) pairs, never full
+texts.  Candidate verification uses a broadcast token-set map
+(``ray.put`` once, read per actor); at 10^12-doc scale that broadcast
+becomes a bucket-join of token sets against candidates on doc_id —
+flagged at each use site.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+from .shuffle import bucketed_agg, bucketed_distinct, bucketed_groupby
+
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+WS_RE = re.compile(r"\s+")
+
+EMPTY_PAIRS = pd.DataFrame({"a": pd.Series([], dtype=object),
+                            "b": pd.Series([], dtype=object)})
+
+
+def _norm(s: str) -> str:
+    return WS_RE.sub(" ", s.lower()).strip()
+
+
+def _token_set(s: str) -> list[str]:
+    return sorted(set(TOKEN_RE.findall(s.lower())))
+
+
+# ----------------------------------------------------------- exact dedup
+
+def add_content_hash(batch: pd.DataFrame) -> pd.DataFrame:
+    batch = batch[["doc_id", "text"]].copy()
+    batch["content_hash"] = batch["text"].map(
+        lambda s: hashlib.md5(_norm(s).encode("utf-8")).hexdigest())
+    return batch[["doc_id", "content_hash"]]
+
+
+def exact_dedup(docs):
+    """→ (content_hash, keeper_doc_id, n_dups): hash-partition the
+    normalized-content hash, keep the minimum doc_id per group (the
+    deterministic survivor).  Shuffles only (hash, id) pairs, through
+    the bounded-bucket shuffle (doc-count-many groups)."""
+    hashed = docs.map_batches(add_content_hash, batch_format="pandas")
+    return bucketed_agg(hashed, "content_hash",
+                        {"keeper_doc_id": ("doc_id", "min"),
+                         "n_dups": ("doc_id", "size")})
+
+
+# -------------------------------------------------- token-set utilities
+
+def _tokenize_ds(docs):
+    def tokenize(batch: pd.DataFrame) -> pd.DataFrame:
+        toks, ids = [], []
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            ts = _token_set(t)
+            toks.extend(ts)
+            ids.extend([d] * len(ts))
+        return pd.DataFrame({"token": toks, "doc_id": ids})
+    return docs.map_batches(tokenize, batch_format="pandas")
+
+
+def _token_map_ref(docs):
+    """Broadcast {doc_id: frozenset(tokens)} for candidate verification.
+    Small at test scale; at 10^12 docs this becomes a bucket-join of
+    token sets against candidate pairs on doc_id instead."""
+    import ray
+    tok_df = docs.map_batches(
+        lambda b: pd.DataFrame(
+            {"doc_id": b["doc_id"],
+             "toks": [" ".join(_token_set(t)) for t in b["text"]]}),
+        batch_format="pandas").to_pandas()
+    tok_map = {d: frozenset(t.split())
+               for d, t in zip(tok_df["doc_id"], tok_df["toks"])}
+    return ray.put(tok_map)
+
+
+def _verify_jaccard(cands, tok_ref, tau: float):
+    """Exact-Jaccard filter of candidate (a, b) pairs via the broadcast
+    token-set map; vectorizable per batch, cheap per pair."""
+    import ray
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        tm = ray.get(tok_ref)
+        keep_a, keep_b = [], []
+        for a, b in zip(batch["a"], batch["b"]):
+            sa, sb = tm[a], tm[b]
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= tau:
+                keep_a.append(a)
+                keep_b.append(b)
+        return pd.DataFrame({"a": keep_a, "b": keep_b}) if keep_a \
+            else EMPTY_PAIRS
+
+    return cands.map_batches(verify, batch_format="pandas")
+
+
+# --------------------------------------------- exact jaccard (prefix filter)
+
+def jaccard_pairs(docs, tau: float = 0.9):
+    """Exact token-set Jaccard >= tau — AllPairs/PPJoin-style prefix
+    filtering so the inverted index stays sparse:
+
+      1. global token document frequencies (bucketed agg, vocab-many
+         keys) → broadcast {token: df};
+      2. each doc indexes only its PREFIX: the ``|s| - ceil(tau*|s|) + 1``
+         globally-rarest tokens (two sets with J >= tau must share a
+         prefix token under any fixed total order — the classic
+         guarantee), each index row carrying |s| for the size filter;
+      3. per prefix-token bucket: emit locally-deduped candidate pairs
+         that pass the size filter ``|a| >= tau*|b|``;
+      4. global pair DISTINCT (bucketed) → exact verification.
+
+    Output: every (a, b), a < b, with exact Jaccard >= tau — equals the
+    SQL oracle's answer; the prefix filter only prunes work.
+    """
+    import ray
+
+    dfreq = bucketed_agg(_tokenize_ds(docs), "token",
+                         {"df": ("doc_id", "size")}).to_pandas()
+    df_ref = ray.put(dict(zip(dfreq["token"], dfreq["df"])))
+
+    def prefix_index(batch: pd.DataFrame) -> pd.DataFrame:
+        dfm = ray.get(df_ref)
+        toks, ids, sizes = [], [], []
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            ts = _token_set(t)
+            n = len(ts)
+            if not n:
+                continue
+            plen = n - int(np.ceil(tau * n)) + 1
+            ts.sort(key=lambda x: (dfm.get(x, 0), x))
+            toks.extend(ts[:plen])
+            ids.extend([d] * plen)
+            sizes.extend([n] * plen)
+        return pd.DataFrame({"token": toks, "doc_id": ids, "n": sizes})
+
+    index = docs.map_batches(prefix_index, batch_format="pandas")
+
+    def pairs_of_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in pdf.groupby("token", sort=False):
+            g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            ns = g["n"].to_numpy()
+            if len(ids) < 2:
+                continue
+            ai, bi = np.triu_indices(len(ids), k=1)
+            na, nb = ns[ai], ns[bi]
+            ok = np.minimum(na, nb) >= tau * np.maximum(na, nb)
+            if ok.any():
+                outs.append(pd.DataFrame({"a": ids[ai[ok]], "b": ids[bi[ok]]}))
+        if not outs:
+            return EMPTY_PAIRS
+        return pd.concat(outs).drop_duplicates()
+
+    cands = bucketed_distinct(
+        bucketed_groupby(index, "token", pairs_of_bucket), ["a", "b"])
+    return _verify_jaccard(cands, _token_map_ref(docs), tau)
+
+
+# ------------------------------------------------------------ MinHash LSH
+
+MINHASH_K = 64
+LSH_BANDS = 16                    # 16 bands x 4 rows
+_MERSENNE = (1 << 61) - 1
+
+_rng = np.random.default_rng(0xDECAF)
+# a < 2^31 and 32-bit token hashes keep a*x + b < 2^64 (no overflow)
+_A = _rng.integers(1, 1 << 31, size=MINHASH_K, dtype=np.uint64)
+_B = _rng.integers(0, _MERSENNE, size=MINHASH_K, dtype=np.uint64)
+
+
+def _hash32(tokens: list[str]) -> np.ndarray:
+    return np.array([int.from_bytes(
+        hashlib.blake2b(t.encode(), digest_size=4).digest(), "little")
+        for t in tokens], dtype=np.uint64)
+
+
+def minhash_signature(tokens: list[str]) -> np.ndarray:
+    """k=64 universal-hash minhash of a token set (vectorized: one
+    (64, n) uint64 broadcast multiply per doc)."""
+    if not tokens:
+        return np.full(MINHASH_K, np.iinfo(np.uint64).max, dtype=np.uint64)
+    h = _hash32(tokens)
+    vals = (_A[:, None] * h[None, :] + _B[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def minhash_lsh_pairs(docs, tau: float = 0.9):
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard:
+
+      signature per doc (map_batches) → (band_id, band_hash, doc_id)
+      rows → per-band-bucket locally-deduped candidate pairs → global
+      pair DISTINCT (bucketed shuffle) → exact-Jaccard verification.
+
+    Returns verified pairs (a, b).  Recall is the 16x4 LSH curve's —
+    candidates missed by every band are lost, so this is rows-only
+    checked (compared against ``jaccard_pairs`` in tests, not an SQL
+    oracle).
+    """
+    rows_per_band = MINHASH_K // LSH_BANDS
+
+    def signatures(batch: pd.DataFrame) -> pd.DataFrame:
+        bands, hashes, ids = [], [], []
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            sig = minhash_signature(_token_set(t))
+            for band in range(LSH_BANDS):
+                chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
+                bands.append(band)
+                hashes.append(hashlib.blake2b(
+                    chunk.tobytes(), digest_size=8).hexdigest())
+                ids.append(d)
+        return pd.DataFrame({"band": bands, "band_hash": hashes, "doc_id": ids})
+
+    bands = docs.map_batches(signatures, batch_format="pandas")
+
+    def pairs_of_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in pdf.groupby(["band", "band_hash"], sort=False):
+            ids = np.sort(g["doc_id"].unique())
+            if len(ids) < 2:
+                continue
+            ai, bi = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({"a": ids[ai], "b": ids[bi]}))
+        if not outs:
+            return EMPTY_PAIRS
+        return pd.concat(outs).drop_duplicates()
+
+    cands = bucketed_distinct(
+        bucketed_groupby(bands, ["band", "band_hash"], pairs_of_bucket),
+        ["a", "b"])
+    return _verify_jaccard(cands, _token_map_ref(docs), tau)
+
+
+# --------------------------------------------------------------- SimHash
+
+def simhash64(tokens: list[str]) -> int:
+    if not tokens:
+        return 0
+    h = _hash64_full(tokens)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    return int("".join("1" if x > 0 else "0" for x in v[::-1]), 2)
+
+
+def _hash64_full(tokens: list[str]) -> np.ndarray:
+    return np.array([int.from_bytes(
+        hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+        for t in tokens], dtype=np.uint64)
+
+
+def simhash_pairs(docs, max_hamming: int = 8):
+    """SimHash near-dup: 64-bit fingerprints, banded into 4 x 16-bit
+    chunks (pigeonhole: the 4-band scheme guarantees recall for
+    hamming <= 3; wider radii may miss spread bit-flips — banding
+    parameters are explicit).  Exact Hamming verified per candidate;
+    final pair set deduped through the bounded-bucket shuffle."""
+
+    def sigs(batch: pd.DataFrame) -> pd.DataFrame:
+        bands, chunks, shs, ids = [], [], [], []
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            sh = simhash64(_token_set(t))
+            for band in range(4):
+                bands.append(band)
+                chunks.append((sh >> (16 * band)) & 0xFFFF)
+                shs.append(sh)
+                ids.append(d)
+        return pd.DataFrame({"band": bands, "chunk": chunks,
+                             "simhash": shs, "doc_id": ids})
+
+    bands = docs.map_batches(sigs, batch_format="pandas")
+
+    def pairs_of_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in pdf.groupby(["band", "chunk"], sort=False):
+            g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            if len(ids) < 2:
+                continue
+            shs = g["simhash"].to_numpy()
+            ai, bi = np.triu_indices(len(ids), k=1)
+            ham = np.array([bin(int(shs[i]) ^ int(shs[j])).count("1")
+                            for i, j in zip(ai, bi)])
+            keep = ham <= max_hamming
+            if keep.any():
+                outs.append(pd.DataFrame({"a": ids[ai[keep]],
+                                          "b": ids[bi[keep]]}))
+        if not outs:
+            return EMPTY_PAIRS
+        return pd.concat(outs).drop_duplicates()
+
+    return bucketed_distinct(
+        bucketed_groupby(bands, ["band", "chunk"], pairs_of_bucket),
+        ["a", "b"])
+
+
+# ----------------------------------------------------- embedding near-dup
+
+def embedding_dup_pairs(embeddings, tau: float = 0.4):
+    """Cosine >= tau pairs over an embedding column: the full normalized
+    matrix is broadcast once (ray.put) and every block computes its
+    rows x all via one float64 matmul.  O(n^2) work, O(n*d) broadcast —
+    the brute-force baseline; the LSH/IVF scale path is in ops/ann.py."""
+    import ray
+
+    mat_df = embeddings.select_columns(["vec_id", "embedding"]).to_pandas()
+    ids = mat_df["vec_id"].to_numpy()
+    m = np.stack(mat_df["embedding"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    ref = ray.put((ids, m))
+
+    def block(batch: pd.DataFrame) -> pd.DataFrame:
+        all_ids, all_m = ray.get(ref)
+        bm = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+        cos = bm @ all_m.T
+        bi = batch["vec_id"].to_numpy()
+        rows = []
+        for i in range(len(bi)):
+            hits = np.flatnonzero(cos[i] >= tau)
+            for j in hits:
+                if bi[i] < all_ids[j]:
+                    rows.append((int(bi[i]), int(all_ids[j])))
+        return pd.DataFrame(rows, columns=["a", "b"]) if rows else \
+            pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="int64")})
+
+    return embeddings.map_batches(block, batch_format="pandas")

@@ -56,6 +56,36 @@ def corpus_spans_table(doc_keys: list[str]) -> pa.Table:
                      "media_ref": pa.array(cols["media_ref"], pa.string())})
 
 
+def media_tables(doc_keys: list[str]) -> tuple[pa.Table, pa.Table]:
+    """(media_payloads, media_meta): payload text (hOCR is utf-8, stored
+    as string so DuckDB md5() applies) and analytic per-page line
+    counts from the generator's layout knowledge."""
+    from ..sources.media_store import SynthMediaStore
+    from .corpus import parse_media_ref
+    from .pagegen import page_plan
+    store = SynthMediaStore()
+    refs, payloads, n_lines = [], [], []
+    seen = set()
+    for key in doc_keys:
+        in_rows, _ = build_doc(key)
+        for row in in_rows:
+            for s in row["spans"]:
+                r = s["media_ref"]
+                if s["kind"] != "media" or r in seen:
+                    continue
+                seen.add(r)
+                refs.append(r)
+                payloads.append(store.fetch(r).decode("utf-8"))
+                cls, seed, page, nr = parse_media_ref(r)
+                plan = page_plan(seed, page, cls, nr if nr > 0 else None)
+                n_lines.append(len(plan.lines))
+    payload_t = pa.table({"media_ref": pa.array(refs, pa.string()),
+                          "payload": pa.array(payloads, pa.string())})
+    meta_t = pa.table({"media_ref": pa.array(refs, pa.string()),
+                       "n_lines": pa.array(n_lines, pa.int64())})
+    return payload_t, meta_t
+
+
 def sf_doc_keys(sf_dir: str, repeat: int = 1) -> list[str]:
     ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return doc_keys_for_ids(ids.column("doc_id").to_pylist(), repeat)
@@ -73,6 +103,9 @@ def write_oracle_tables(sf_dir: str, out_root: str = ORACLE_ROOT) -> str:
     keys = sf_doc_keys(sf_dir)
     pq.write_table(golden_table(keys), os.path.join(out_dir, "golden_refs.parquet"))
     pq.write_table(corpus_spans_table(keys), os.path.join(out_dir, "corpus_spans.parquet"))
+    payload_t, meta_t = media_tables(keys)
+    pq.write_table(payload_t, os.path.join(out_dir, "media_payloads.parquet"))
+    pq.write_table(meta_t, os.path.join(out_dir, "media_meta.parquet"))
     with open(done, "w") as f:
         f.write("ok")
     return out_dir

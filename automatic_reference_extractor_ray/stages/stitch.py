@@ -11,19 +11,23 @@ never do (they stay inside the extraction actors).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 
 from ..schema import REFS_SCHEMA
 
 
-def _stitch_group(g: pd.DataFrame) -> pd.DataFrame:
-    order = np.lexsort((g["seq"].to_numpy(), g["src_offset"].to_numpy()))
-    g = g.iloc[order].reset_index(drop=True)
-    g["span_idx"] = np.arange(len(g), dtype=np.int32)
-    return g[[n for n in REFS_SCHEMA.names]]
+def _stitch_group(g: pa.Table) -> pa.Table:
+    # zero-copy int columns → lexsort; avoid a pandas round-trip (the
+    # nested authors list<string> column doesn't survive pandas→Arrow)
+    order = np.lexsort((g.column("seq").to_numpy(zero_copy_only=False),
+                        g.column("src_offset").to_numpy(zero_copy_only=False)))
+    g = g.take(order)
+    g = g.append_column(
+        "span_idx", pa.array(np.arange(len(g), dtype=np.int32)))
+    return g.select(REFS_SCHEMA.names)
 
 
 def stitch_records(records):
     """records Dataset → final refs Dataset with dense ``span_idx``."""
     return (records.groupby("doc_id")
-            .map_groups(_stitch_group, batch_format="pandas"))
+            .map_groups(_stitch_group, batch_format="pyarrow"))

@@ -1,0 +1,146 @@
+"""Benchmark harness.
+
+Default: run the headline extraction pipeline + secondary op pipelines
+over $GRAFT_SF_DIR (default /root/testdata/sf0.1) under
+ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32) and print ONE JSON line:
+
+  {"metric": "e2e_extract_sec", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "docs": n, "refs": n, "docs_per_sec": ..., "refs_per_sec": ...}
+
+--scaling: run the headline pipeline in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and report both plus the
+scaling efficiency (T8/T32)/(32/8)  — the sandbox stand-in for the
+N-vs-4N-node criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPEAT = int(os.environ.get("ARX_BENCH_REPEAT", "1"))
+
+
+def warm_page_cache():
+    for name in os.listdir(SF_DIR):
+        with open(os.path.join(SF_DIR, name), "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+
+def run_bench() -> dict:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from automatic_reference_extractor_ray.pipelines.extract import extract_refs
+    from automatic_reference_extractor_ray.sources.interleave import (
+        read_interleaved_docs)
+
+    warm_page_cache()
+    n_docs = pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows * REPEAT
+
+    # ---- headline: end-to-end extraction --------------------------------
+    t0 = time.perf_counter()
+    refs = extract_refs(read_interleaved_docs(SF_DIR, repeat=REPEAT))
+    n_refs = refs.count()
+    headline = time.perf_counter() - t0
+
+    # ---- secondary pipelines -------------------------------------------
+    queries: dict[str, float] = {}
+
+    def timed(name, fn):
+        t = time.perf_counter()
+        fn()
+        queries[name] = round(time.perf_counter() - t, 3)
+
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.ann import brute_force_topk
+    from automatic_reference_extractor_ray.ops.dedup import (
+        exact_dedup, minhash_lsh_pairs, simhash_pairs)
+    from automatic_reference_extractor_ray.ops.relational import (
+        events_hourly, events_sessions, q1_pricing_summary,
+        top_customers_by_revenue)
+    from automatic_reference_extractor_ray.ops.textstats import (
+        quality_metrics, token_counts)
+
+    def read(t, cols=None):
+        return rd.read_parquet(f"{SF_DIR}/{t}.parquet", columns=cols)
+
+    timed("q1_pricing", lambda: q1_pricing_summary(
+        read("lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                          "l_extendedprice", "l_discount"])).to_pandas())
+    timed("top_customers", lambda: top_customers_by_revenue(
+        read("orders", ["o_custkey", "o_totalprice"]),
+        read("customer", ["c_custkey", "c_name"])))
+    timed("events_hourly", lambda: events_hourly(
+        read("events", ["event_type", "ts", "value"])).to_pandas())
+    timed("events_sessions", lambda: events_sessions(
+        read("events", ["user_id", "ts", "event_id"])).count())
+    timed("token_quality", lambda: read("documents", ["doc_id", "text"])
+          .map_batches(quality_metrics, batch_format="pandas").count())
+    timed("dedup_exact", lambda: exact_dedup(
+        read("documents", ["doc_id", "text"])).count())
+    timed("dedup_minhash", lambda: minhash_lsh_pairs(
+        read("documents", ["doc_id", "text"])).count())
+    timed("dedup_simhash", lambda: simhash_pairs(
+        read("documents", ["doc_id", "text"])).count())
+    timed("ann_topk", lambda: brute_force_topk(
+        read("embeddings"), [0, 1, 2, 3, 4, 5, 6, 7]).count())
+
+    result = {
+        "metric": "e2e_extract_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": int(n_docs),
+        "refs": int(n_refs),
+        "docs_per_sec": round(n_docs / headline, 2),
+        "refs_per_sec": round(n_refs / headline, 2),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))
