@@ -45,7 +45,10 @@ def _refs_df(sf_dir: str):
     frame for the derived queries."""
     if sf_dir not in _pipeline_cache:
         from automatic_reference_extractor_ray.pipelines.extract import extract_refs
-        df = extract_refs(_docs(sf_dir)).to_pandas()
+        from automatic_reference_extractor_ray.sources.interleave import (
+            read_interleaved_doc_ids)
+        df = extract_refs(_docs(sf_dir),
+                          version_ids=read_interleaved_doc_ids(sf_dir)).to_pandas()
         df = df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
         _pipeline_cache[sf_dir] = df
     return _pipeline_cache[sf_dir]
@@ -76,7 +79,10 @@ def entry() -> Any:
     """Flagship: interleaved corpus from sf0.001 → ordered reference
     spans (REFS_SCHEMA)."""
     from automatic_reference_extractor_ray.pipelines.extract import extract_refs
-    return extract_refs(_docs(SF001))
+    from automatic_reference_extractor_ray.sources.interleave import (
+        read_interleaved_doc_ids)
+    return extract_refs(_docs(SF001),
+                        version_ids=read_interleaved_doc_ids(SF001))
 
 
 # --------------------------------------------------------------- queries

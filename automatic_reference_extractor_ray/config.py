@@ -26,11 +26,16 @@ class ExtractConfig:
     min_ref_len: int = 5
 
     # Ray stage sizing.  Text/markup stages are cheap and vectorized →
-    # large batches; the OCR actor stage does real per-page work → small
-    # batches so the pool load-balances and no task runs for minutes.
-    text_batch_size: int = 1024
-    ocr_batch_size: int = 16
-    ocr_concurrency: int | tuple[int, int] = (2, 8)
+    # large batches; the extraction actor stage does real per-page work →
+    # batches sized so one task is ~100ms-1s (load-balances, no
+    # straggling task) while per-task overhead stays amortized.
+    # ocr_concurrency None → fixed pool sized from cluster CPUs at
+    # pipeline build (pipelines/extract.py:_pool_size).
+    # None → batch = block (task granularity == reader block
+    # granularity; see pipelines/extract.py on fusion + bundling).
+    text_batch_size: int | None = None
+    ocr_batch_size: int | None = None
+    ocr_concurrency: int | tuple[int, int] | None = None
     ocr_num_cpus: float = 1.0
 
     # Cost model for skew rebalancing (SURVEY.md §4): estimated cost of a

@@ -38,9 +38,28 @@ def levenshtein(a: str, b: str) -> int:
 
 
 def levenshtein_lt(a: str, b: str, bound: int) -> bool:
-    """True iff ``levenshtein(a, b) < bound`` — with the cheap length
-    short-circuit (|len(a)-len(b)| >= bound ⇒ False).  This is the form
-    the fuzzy anti-join J4 uses per candidate pair."""
+    """True iff ``levenshtein(a, b) < bound`` — the form the fuzzy
+    anti-join J4 uses per candidate pair.  Prunes: length gate
+    (|len(a)-len(b)| >= bound ⇒ False) and row-minimum early exit (DP
+    values are non-decreasing along any edit path, and every path
+    crosses every row, so final >= min(row_i); unrelated strings exit
+    after ~bound rows instead of len(a))."""
     if abs(len(a) - len(b)) >= bound:
         return False
-    return levenshtein(a, b) < bound
+    if a == b:
+        return True
+    if not a or not b:
+        return max(len(a), len(b)) < bound
+    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    m = len(b)
+    j = np.arange(m + 1, dtype=np.int64)
+    prev = j.copy()
+    for i, ca in enumerate(a, 1):
+        row = np.empty(m + 1, dtype=np.int64)
+        row[0] = i
+        row[1:] = np.minimum(prev[1:] + 1, prev[:-1] + (bb != ord(ca)))
+        row = np.minimum.accumulate(row - j) + j
+        if row.min() >= bound:
+            return False
+        prev = row
+    return int(prev[-1]) < bound

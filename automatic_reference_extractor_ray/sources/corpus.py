@@ -52,6 +52,14 @@ def _rng(seed: int, *extra: int) -> np.random.Generator:
     return np.random.Generator(np.random.PCG64([seed, *extra, 0xC0FFEE]))
 
 
+def doc_ids_for_key(doc_key: str) -> list[str]:
+    """The doc_id rows ``build_doc`` emits for a key, without building
+    the documents — the column-pruned id read of a real table."""
+    if doc_class(doc_key) == "versioned":
+        return [f"{doc_key}~1", f"{doc_key}~2"]
+    return [doc_key]
+
+
 def media_ref_for(cls: str, seed: int, page: int, n_refs: int = 0) -> str:
     return f"synth://{cls}/{seed:08x}/{page}/{n_refs}"
 

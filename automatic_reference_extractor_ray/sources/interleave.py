@@ -52,6 +52,23 @@ def read_interleaved_docs(sf_dir: str, repeat: int = 1,
                            batch_format="pyarrow", batch_size=64)
 
 
+def read_interleaved_doc_ids(sf_dir: str, repeat: int = 1):
+    """doc_id-only Dataset for the version-dedup pre-pass — the
+    column-pruned read of a real deployment (no span/corpus
+    materialization; at sf0.1 that pass otherwise regenerates the whole
+    synthetic corpus just to look at ids)."""
+    from .corpus import doc_ids_for_key
+
+    def expand(batch: pa.Table) -> pa.Table:
+        out: list[str] = []
+        for key in doc_keys_for_ids(batch.column("doc_id").to_pylist(), repeat):
+            out.extend(doc_ids_for_key(key))
+        return pa.table({"doc_id": pa.array(out, pa.string())})
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ids.map_batches(expand, batch_format="pyarrow", batch_size=512)
+
+
 def read_docs_parquet(path: str):
     """Read an already-materialized interleaved docs table."""
     return rd.read_parquet(path, schema=DOCUMENTS_SCHEMA)

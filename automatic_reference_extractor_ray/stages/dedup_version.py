@@ -56,10 +56,12 @@ def compute_latest_versions(docs) -> dict[str, int]:
     return dict(zip(dup.index, dup["max_version"].astype(int)))
 
 
-def latest_version_filter(docs):
+def latest_version_filter(docs, ids=None):
     """Drop superseded document versions; single-version docs stream
-    through untouched."""
-    latest = compute_latest_versions(docs)
+    through untouched.  ``ids``: optional doc_id-only Dataset (a
+    column-pruned read of the same table) so the light scan skips
+    payload materialization."""
+    latest = compute_latest_versions(ids if ids is not None else docs)
     if not latest:
         return docs
     latest_ref = ray.put(latest)

@@ -4,30 +4,62 @@ grouped by ``doc_id`` and ranked into the document's ordered span
 sequence by ``(src_offset, seq)`` (G2 + O1 composition; the reference
 concatenated per-crop XML at LOCDB-V3/imgProcessing.py:139-206).
 
-Only extracted strings/boxes travel through this shuffle — media bytes
-never do (they stay inside the extraction actors).
+Scale design: document count is unbounded, so the shuffle key is NOT
+``doc_id`` (Ray's per-group aggregate degrades past ~10k groups — see
+ops/shuffle.py) but a bounded hash bucket of it; every record of a
+document lands in one bucket, and the per-bucket function restores
+per-document order vectorized.  Only extracted strings/boxes travel
+through this shuffle — media bytes never do (they stay inside the
+extraction actors).  The whole path is Arrow: the nested ``authors``
+list<string> column doesn't survive a pandas round-trip.
 """
 
 from __future__ import annotations
+
+import zlib
 
 import numpy as np
 import pyarrow as pa
 
 from ..schema import REFS_SCHEMA
 
+BUCKET_COL = "__bucket"
 
-def _stitch_group(g: pa.Table) -> pa.Table:
-    # zero-copy int columns → lexsort; avoid a pandas round-trip (the
-    # nested authors list<string> column doesn't survive pandas→Arrow)
+
+def _add_bucket(t: pa.Table, num_buckets: int) -> pa.Table:
+    ids = t.column("doc_id").to_pylist()
+    buckets = np.fromiter((zlib.crc32(d.encode("utf-8")) % num_buckets
+                           for d in ids), dtype=np.int64, count=len(ids))
+    return t.append_column(BUCKET_COL, pa.array(buckets))
+
+
+def _stitch_bucket(g: pa.Table) -> pa.Table:
+    g = g.drop_columns([BUCKET_COL])
+    if g.num_rows == 0:
+        return g.append_column("span_idx", pa.array([], pa.int32())) \
+                .select(REFS_SCHEMA.names)
+    # integer doc codes (np.unique orders them; only grouping matters),
+    # then one lexsort restores (doc, src_offset, seq) reading order
+    codes = np.unique(np.asarray(g.column("doc_id").to_pylist(), dtype=object),
+                      return_inverse=True)[1]
     order = np.lexsort((g.column("seq").to_numpy(zero_copy_only=False),
-                        g.column("src_offset").to_numpy(zero_copy_only=False)))
+                        g.column("src_offset").to_numpy(zero_copy_only=False),
+                        codes))
     g = g.take(order)
-    g = g.append_column(
-        "span_idx", pa.array(np.arange(len(g), dtype=np.int32)))
+    c = codes[order]
+    # dense per-document span_idx: row index minus index of the doc's
+    # first row in the sorted bucket
+    idx = np.arange(len(c), dtype=np.int64)
+    starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+    run_len = np.diff(np.r_[starts, len(c)])
+    span_idx = (idx - np.repeat(idx[starts], run_len)).astype(np.int32)
+    g = g.append_column("span_idx", pa.array(span_idx))
     return g.select(REFS_SCHEMA.names)
 
 
-def stitch_records(records):
+def stitch_records(records, num_buckets: int = 64):
     """records Dataset → final refs Dataset with dense ``span_idx``."""
-    return (records.groupby("doc_id")
-            .map_groups(_stitch_group, batch_format="pyarrow"))
+    return (records.map_batches(lambda t: _add_bucket(t, num_buckets),
+                                batch_format="pyarrow")
+            .groupby(BUCKET_COL)
+            .map_groups(_stitch_bucket, batch_format="pyarrow"))
