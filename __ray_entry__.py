@@ -166,6 +166,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from automatic_reference_extractor_ray.ops.multimodal import ocr_line_counts
         return ocr_line_counts(_media_refs(sf))
 
+    def ocr_lines_q(sf):
+        from automatic_reference_extractor_ray.pipelines.lines import ocr_lines
+        return ocr_lines(_media_refs(sf))
+
+    def result_view_q(sf):
+        from automatic_reference_extractor_ray.pipelines.extract import extract_refs
+        from automatic_reference_extractor_ray.pipelines.results import result_view
+        from automatic_reference_extractor_ray.stages.dedup_version import (
+            latest_version_filter)
+        requested = latest_version_filter(
+            _units(sf).groupby("doc_id").count().select_columns(["doc_id"]))
+        import ray.data as rd
+        refs = rd.from_pandas(_refs_df(sf)[["doc_id"]])
+        return result_view(requested, refs)
+
+    def doc_xml_q(sf):
+        from automatic_reference_extractor_ray.pipelines.results import doc_xml
+        import ray.data as rd
+        refs = rd.from_pandas(
+            _refs_df(sf).assign(
+                authors=lambda d: d["authors"].map(lambda a: "\x1f".join(a))))
+        out = doc_xml(refs).to_pandas()
+        import hashlib
+        out["xml_md5"] = out["xml"].map(
+            lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+        return out[["doc_id", "n_refs", "xml_md5"]]
+
     # ---- text analysis ----
     def _docs_table(sf):
         return _read(sf, "documents", ["doc_id", "text"])
@@ -252,6 +279,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_stats": span_stats_q,
         "media_features": media_features_q,
         "ocr_line_counts": ocr_line_counts_q,
+        "ocr_lines": ocr_lines_q,
+        "result_view": result_view_q,
+        "doc_xml": doc_xml_q,
         "token_counts": token_counts_q,
         "quality_metrics": quality_metrics_q,
         "lang_guess": lang_guess_q,
@@ -329,6 +359,27 @@ def oracle_sql() -> dict[str, str]:
                    md5(payload) AS payload_md5
             FROM {P}""",
         "ocr_line_counts": f"SELECT media_ref, n_lines FROM {M}",
+        "ocr_lines": f"""
+            SELECT media_ref, line_no, text, x1, y1, x2, y2
+            FROM read_parquet('{ORACLE_DIR}/media_lines.parquet')""",
+        "result_view": rf"""
+            WITH ids AS (SELECT DISTINCT doc_id FROM {C}),
+            parsed AS (
+              SELECT doc_id,
+                     CASE WHEN regexp_matches(doc_id, '~\d+$')
+                          THEN regexp_replace(doc_id, '~\d+$', '')
+                          ELSE doc_id END AS base_id,
+                     CASE WHEN regexp_matches(doc_id, '~\d+$')
+                          THEN CAST(regexp_extract(doc_id, '~(\d+)$', 1) AS BIGINT)
+                          ELSE 0 END AS version
+              FROM ids),
+            latest AS (SELECT base_id, MAX(version) AS mv FROM parsed GROUP BY base_id),
+            keep AS (SELECT p.doc_id FROM parsed p
+                     JOIN latest l ON p.base_id = l.base_id AND p.version = l.mv)
+            SELECT k.doc_id,
+                   CASE WHEN g.doc_id IS NOT NULL THEN 'found' ELSE 'missing' END AS status
+            FROM keep k LEFT JOIN (SELECT DISTINCT doc_id FROM {G}) g
+              ON k.doc_id = g.doc_id""",
         "token_counts": f"""
             SELECT doc_id, CAST(len({TOK}) AS BIGINT) AS n_tokens
             FROM documents""",

@@ -202,53 +202,104 @@ def minhash_signature(tokens: list[str]) -> np.ndarray:
     return vals.min(axis=1)
 
 
+def _doc_code(doc_id: str) -> int:
+    """Stable 63-bit integer code for a doc_id — candidate pairs travel
+    the shuffle as two int64 columns instead of two strings (6-8x less
+    data + numpy dedup).  Collision odds are ~n^2/2^63; at 10^12 docs
+    switch to a 128-bit code (two columns) — flagged here."""
+    return int.from_bytes(
+        hashlib.blake2b(str(doc_id).encode("utf-8"), digest_size=8).digest(),
+        "little") >> 1
+
+
+def _int_pairs_of_groups(pdf: pd.DataFrame, group_keys: list[str]) -> pd.DataFrame:
+    """Per group: sorted unique int codes → upper-triangle pairs."""
+    outs_a, outs_b = [], []
+    for _, g in pdf.groupby(group_keys, sort=False):
+        ids = np.unique(g["h"].to_numpy())
+        if len(ids) < 2:
+            continue
+        ai, bi = np.triu_indices(len(ids), k=1)
+        outs_a.append(ids[ai]); outs_b.append(ids[bi])
+    if not outs_a:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
+    return pd.DataFrame({"a": np.concatenate(outs_a),
+                         "b": np.concatenate(outs_b)}).drop_duplicates()
+
+
+def _verify_coded_pairs(cands, docs, tau: float):
+    """Exact-Jaccard verification of int-coded candidate pairs via a
+    broadcast {code: (doc_id, token_set)} map (bucket-join at 10^12
+    scale); emits (a, b) as doc_id strings with a < b."""
+    import ray
+    tok_df = docs.map_batches(
+        lambda b: pd.DataFrame(
+            {"doc_id": b["doc_id"],
+             "toks": [" ".join(_token_set(t)) for t in b["text"]]}),
+        batch_format="pandas").to_pandas()
+    cmap = {_doc_code(d): (d, frozenset(t.split()))
+            for d, t in zip(tok_df["doc_id"], tok_df["toks"])}
+    ref = ray.put(cmap)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        cm = ray.get(ref)
+        keep_a, keep_b = [], []
+        for ca, cb in zip(batch["a"].to_numpy(), batch["b"].to_numpy()):
+            da, sa = cm[ca]
+            db, sb = cm[cb]
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= tau:
+                a, b = (da, db) if da < db else (db, da)
+                keep_a.append(a); keep_b.append(b)
+        return pd.DataFrame({"a": keep_a, "b": keep_b}) if keep_a \
+            else EMPTY_PAIRS
+
+    return cands.map_batches(verify, batch_format="pandas")
+
+
 def minhash_lsh_pairs(docs, tau: float = 0.9):
     """MinHash+LSH near-dup pairs, verified with exact Jaccard:
 
-      signature per doc (map_batches) → (band_id, band_hash, doc_id)
-      rows → per-band-bucket locally-deduped candidate pairs → global
-      pair DISTINCT (bucketed shuffle) → exact-Jaccard verification.
+      signature per doc (map_batches) → (band, band_hash, doc-code)
+      int rows → per-band-bucket candidate pairs (numpy triu over
+      unique codes) → global pair DISTINCT (bucketed shuffle over two
+      int64 columns) → exact-Jaccard verification.
 
-    Returns verified pairs (a, b).  Recall is the 16x4 LSH curve's —
-    candidates missed by every band are lost, so this is rows-only
-    checked (compared against ``jaccard_pairs`` in tests, not an SQL
-    oracle).
+    Returns verified pairs (a, b) as doc_id strings.  Recall is the
+    16x4 LSH curve's — candidates missed by every band are lost, so
+    this is rows-only checked (compared against ``jaccard_pairs`` in
+    tests, not an SQL oracle).
     """
     rows_per_band = MINHASH_K // LSH_BANDS
 
     def signatures(batch: pd.DataFrame) -> pd.DataFrame:
-        bands, hashes, ids = [], [], []
+        bands, hashes, codes = [], [], []
         for d, t in zip(batch["doc_id"], batch["text"]):
             sig = minhash_signature(_token_set(t))
+            code = _doc_code(d)
             for band in range(LSH_BANDS):
                 chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
                 bands.append(band)
-                hashes.append(hashlib.blake2b(
-                    chunk.tobytes(), digest_size=8).hexdigest())
-                ids.append(d)
-        return pd.DataFrame({"band": bands, "band_hash": hashes, "doc_id": ids})
+                hashes.append(int.from_bytes(hashlib.blake2b(
+                    chunk.tobytes(), digest_size=8).digest(), "little") >> 1)
+                codes.append(code)
+        return pd.DataFrame({"band": np.array(bands, np.int64),
+                             "band_hash": np.array(hashes, np.int64),
+                             "h": np.array(codes, np.int64)})
 
     bands = docs.map_batches(signatures, batch_format="pandas")
-
-    def pairs_of_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, g in pdf.groupby(["band", "band_hash"], sort=False):
-            ids = np.sort(g["doc_id"].unique())
-            if len(ids) < 2:
-                continue
-            ai, bi = np.triu_indices(len(ids), k=1)
-            outs.append(pd.DataFrame({"a": ids[ai], "b": ids[bi]}))
-        if not outs:
-            return EMPTY_PAIRS
-        return pd.concat(outs).drop_duplicates()
-
     cands = bucketed_distinct(
-        bucketed_groupby(bands, ["band", "band_hash"], pairs_of_bucket),
+        bucketed_groupby(bands, ["band", "band_hash"],
+                         lambda p: _int_pairs_of_groups(p, ["band", "band_hash"])),
         ["a", "b"])
-    return _verify_jaccard(cands, _token_map_ref(docs), tau)
+    return _verify_coded_pairs(cands, docs, tau)
 
 
 # --------------------------------------------------------------- SimHash
+
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
 
 def simhash64(tokens: list[str]) -> int:
     if not tokens:
@@ -272,42 +323,67 @@ def simhash_pairs(docs, max_hamming: int = 8):
     parameters are explicit).  Exact Hamming verified per candidate;
     final pair set deduped through the bounded-bucket shuffle."""
 
+    import ray
+
     def sigs(batch: pd.DataFrame) -> pd.DataFrame:
-        bands, chunks, shs, ids = [], [], [], []
+        bands, chunks, shs, codes = [], [], [], []
         for d, t in zip(batch["doc_id"], batch["text"]):
             sh = simhash64(_token_set(t))
+            code = _doc_code(d)
             for band in range(4):
                 bands.append(band)
                 chunks.append((sh >> (16 * band)) & 0xFFFF)
                 shs.append(sh)
-                ids.append(d)
-        return pd.DataFrame({"band": bands, "chunk": chunks,
-                             "simhash": shs, "doc_id": ids})
+                codes.append(code)
+        return pd.DataFrame({"band": np.array(bands, np.int64),
+                             "chunk": np.array(chunks, np.int64),
+                             "simhash": np.array(shs, np.uint64).view(np.int64),
+                             "h": np.array(codes, np.int64)})
 
     bands = docs.map_batches(sigs, batch_format="pandas")
 
     def pairs_of_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        outs = []
+        outs_a, outs_b = [], []
         for _, g in pdf.groupby(["band", "chunk"], sort=False):
-            g = g.drop_duplicates("doc_id").sort_values("doc_id")
-            ids = g["doc_id"].to_numpy()
+            g = g.drop_duplicates("h").sort_values("h")
+            ids = g["h"].to_numpy()
             if len(ids) < 2:
                 continue
-            shs = g["simhash"].to_numpy()
+            shs = g["simhash"].to_numpy().view(np.uint64)
             ai, bi = np.triu_indices(len(ids), k=1)
-            ham = np.array([bin(int(shs[i]) ^ int(shs[j])).count("1")
-                            for i, j in zip(ai, bi)])
+            # vectorized popcount of XORed fingerprints
+            x = shs[ai] ^ shs[bi]
+            ham = np.zeros(len(x), np.int64)
+            for shift in range(0, 64, 8):
+                ham += _POPCNT8[(x >> np.uint64(shift)) & np.uint64(0xFF)]
             keep = ham <= max_hamming
             if keep.any():
-                outs.append(pd.DataFrame({"a": ids[ai[keep]],
-                                          "b": ids[bi[keep]]}))
-        if not outs:
-            return EMPTY_PAIRS
-        return pd.concat(outs).drop_duplicates()
+                outs_a.append(ids[ai[keep]]); outs_b.append(ids[bi[keep]])
+        if not outs_a:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"a": np.concatenate(outs_a),
+                             "b": np.concatenate(outs_b)}).drop_duplicates()
 
-    return bucketed_distinct(
+    cands = bucketed_distinct(
         bucketed_groupby(bands, ["band", "chunk"], pairs_of_bucket),
         ["a", "b"])
+
+    # translate int codes back to doc_id strings (broadcast; join at scale)
+    id_df = docs.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"]}),
+        batch_format="pandas").to_pandas()
+    rmap = {_doc_code(d): d for d in id_df["doc_id"]}
+    ref = ray.put(rmap)
+
+    def decode(batch: pd.DataFrame) -> pd.DataFrame:
+        rm = ray.get(ref)
+        a = [rm[c] for c in batch["a"]]
+        b = [rm[c] for c in batch["b"]]
+        pairs = [(x, y) if x < y else (y, x) for x, y in zip(a, b)]
+        return pd.DataFrame(pairs, columns=["a", "b"]) if pairs else EMPTY_PAIRS
+
+    return cands.map_batches(decode, batch_format="pandas")
 
 
 # ----------------------------------------------------- embedding near-dup

@@ -23,8 +23,6 @@ workers.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 
@@ -32,13 +30,11 @@ BUCKET_COL = "__bucket"
 
 
 def _bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:
-    # deterministic across processes (zlib.crc32, not PYTHONHASHSEED)
-    joined = df[keys[0]].astype(str)
-    for k in keys[1:]:
-        joined = joined + "\x1f" + df[k].astype(str)
-    return np.fromiter(
-        (zlib.crc32(s.encode("utf-8")) % num_buckets for s in joined),
-        dtype=np.int64, count=len(joined))
+    # pandas' C-vectorized row hash; deterministic across processes
+    # (fixed default hash_key, no PYTHONHASHSEED) — a per-row Python
+    # hash would dominate wall time on multi-million-row pair tables
+    h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+    return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
 def bucketed_groupby(ds, keys: list[str] | str, fn, num_buckets: int = 32):

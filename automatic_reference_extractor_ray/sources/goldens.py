@@ -56,15 +56,17 @@ def corpus_spans_table(doc_keys: list[str]) -> pa.Table:
                      "media_ref": pa.array(cols["media_ref"], pa.string())})
 
 
-def media_tables(doc_keys: list[str]) -> tuple[pa.Table, pa.Table]:
-    """(media_payloads, media_meta): payload text (hOCR is utf-8, stored
-    as string so DuckDB md5() applies) and analytic per-page line
-    counts from the generator's layout knowledge."""
+def media_tables(doc_keys: list[str]) -> tuple[pa.Table, pa.Table, pa.Table]:
+    """(media_payloads, media_meta, media_lines): payload text (hOCR is
+    utf-8, stored as string so DuckDB md5() applies), analytic per-page
+    line counts, and the analytic per-page OCR-line table — all from the
+    generator's layout knowledge, never from parsing."""
     from ..sources.media_store import SynthMediaStore
     from .corpus import parse_media_ref
     from .pagegen import page_plan
     store = SynthMediaStore()
     refs, payloads, n_lines = [], [], []
+    lrefs, lnos, ltexts, lboxes = [], [], [], []
     seen = set()
     for key in doc_keys:
         in_rows, _ = build_doc(key)
@@ -79,11 +81,23 @@ def media_tables(doc_keys: list[str]) -> tuple[pa.Table, pa.Table]:
                 cls, seed, page, nr = parse_media_ref(r)
                 plan = page_plan(seed, page, cls, nr if nr > 0 else None)
                 n_lines.append(len(plan.lines))
+                for i, (text, box) in enumerate(plan.lines):
+                    lrefs.append(r); lnos.append(i); ltexts.append(text)
+                    lboxes.append(box)
     payload_t = pa.table({"media_ref": pa.array(refs, pa.string()),
                           "payload": pa.array(payloads, pa.string())})
     meta_t = pa.table({"media_ref": pa.array(refs, pa.string()),
                        "n_lines": pa.array(n_lines, pa.int64())})
-    return payload_t, meta_t
+    lines_t = pa.table({
+        "media_ref": pa.array(lrefs, pa.string()),
+        "line_no": pa.array(lnos, pa.int32()),
+        "text": pa.array(ltexts, pa.string()),
+        "x1": pa.array([b[0] for b in lboxes], pa.int32()),
+        "y1": pa.array([b[1] for b in lboxes], pa.int32()),
+        "x2": pa.array([b[2] for b in lboxes], pa.int32()),
+        "y2": pa.array([b[3] for b in lboxes], pa.int32()),
+    })
+    return payload_t, meta_t, lines_t
 
 
 def sf_doc_keys(sf_dir: str, repeat: int = 1) -> list[str]:
@@ -103,9 +117,10 @@ def write_oracle_tables(sf_dir: str, out_root: str = ORACLE_ROOT) -> str:
     keys = sf_doc_keys(sf_dir)
     pq.write_table(golden_table(keys), os.path.join(out_dir, "golden_refs.parquet"))
     pq.write_table(corpus_spans_table(keys), os.path.join(out_dir, "corpus_spans.parquet"))
-    payload_t, meta_t = media_tables(keys)
+    payload_t, meta_t, lines_t = media_tables(keys)
     pq.write_table(payload_t, os.path.join(out_dir, "media_payloads.parquet"))
     pq.write_table(meta_t, os.path.join(out_dir, "media_meta.parquet"))
+    pq.write_table(lines_t, os.path.join(out_dir, "media_lines.parquet"))
     with open(done, "w") as f:
         f.write("ok")
     return out_dir

@@ -62,6 +62,7 @@ def run_bench() -> dict:
 
     # ---- secondary pipelines -------------------------------------------
     queries: dict[str, float] = {}
+    headline_only = os.environ.get("ARX_BENCH_HEADLINE_ONLY") == "1"
 
     def timed(name, fn):
         t = time.perf_counter()
@@ -81,6 +82,17 @@ def run_bench() -> dict:
 
     def read(t, cols=None):
         return rd.read_parquet(f"{SF_DIR}/{t}.parquet", columns=cols)
+
+    if headline_only:
+        result = {
+            "metric": "e2e_extract_sec", "value": round(headline, 3),
+            "unit": "sec", "queries": {}, "sf": SF_DIR, "num_cpus": NUM_CPUS,
+            "docs": int(n_docs), "refs": int(n_refs),
+            "docs_per_sec": round(n_docs / headline, 2),
+            "refs_per_sec": round(n_refs / headline, 2),
+        }
+        ray.shutdown()
+        return result
 
     timed("q1_pricing", lambda: q1_pricing_summary(
         read("lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
@@ -120,8 +132,17 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """Identical headline job in two fresh processes at num_cpus=8 and
+    32 on the same input — the in-sandbox stand-in for the N-vs-4N-node
+    criterion.  The corpus is replicated (ARX_BENCH_REPEAT, default 8
+    here) so steady-state throughput, not fixed startup (ray.init,
+    actor-pool spawn), is what's measured — on a real cluster those
+    costs amortize over hours, not seconds."""
+    repeat = os.environ.get("ARX_BENCH_REPEAT", "8")
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   ARX_BENCH_REPEAT=repeat, ARX_BENCH_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
@@ -134,6 +155,7 @@ def run_scaling() -> dict:
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        "repeat": int(repeat),
         "sec_8": r_lo["value"], "sec_32": r_hi["value"],
         "docs_per_sec_8": r_lo["docs_per_sec"],
         "docs_per_sec_32": r_hi["docs_per_sec"],

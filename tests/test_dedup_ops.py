@@ -1,0 +1,96 @@
+"""Dedup family + bucketed shuffle primitives."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+    return rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
+
+
+def _pairs(ds) -> set:
+    df = ds.to_pandas()
+    return set(zip(df["a"], df["b"]))
+
+
+def test_bucketed_agg_equals_pandas(ray_session):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.shuffle import bucketed_agg
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"k": rng.integers(0, 5000, 200_000),
+                       "v": rng.integers(0, 100, 200_000)})
+    got = (bucketed_agg(rd.from_pandas(df), "k",
+                        {"s": ("v", "sum"), "n": ("v", "size")})
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = (df.groupby("k").agg(s=("v", "sum"), n=("v", "size"))
+           .reset_index().sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"s": "int64", "n": "int64"}),
+        exp.astype({"s": "int64", "n": "int64"}))
+
+
+def test_bucketed_distinct(ray_session):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.shuffle import bucketed_distinct
+    df = pd.DataFrame({"a": [1, 1, 2, 2, 3], "b": [9, 9, 8, 8, 7]})
+    out = bucketed_distinct(rd.from_pandas(df), ["a", "b"]).to_pandas()
+    assert sorted(map(tuple, out.to_numpy())) == [(1, 9), (2, 8), (3, 7)]
+
+
+def test_jaccard_exact_matches_duckdb(ray_session, docs_ds):
+    import duckdb
+    from automatic_reference_extractor_ray.ops.dedup import jaccard_pairs
+    got = _pairs(jaccard_pairs(docs_ds, tau=0.9))
+    exp = set(map(tuple, duckdb.connect().execute("""
+        WITH tok AS (SELECT doc_id,
+               unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS token
+             FROM read_parquet('/root/testdata/sf0.001/documents.parquet')),
+        sizes AS (SELECT doc_id, COUNT(*) n FROM tok GROUP BY doc_id),
+        inter AS (SELECT t1.doc_id a, t2.doc_id b, COUNT(*) i
+                  FROM tok t1 JOIN tok t2
+                    ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+                  GROUP BY 1, 2)
+        SELECT a, b FROM inter
+        JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9""").fetchall()))
+    assert got == exp
+
+
+def test_minhash_verified_subset_and_recall(ray_session, docs_ds):
+    """Verified MinHash pairs ⊆ exact pairs (verification is exact);
+    16x4 banding at tau=0.9 should recall essentially all of them."""
+    from automatic_reference_extractor_ray.ops.dedup import (
+        jaccard_pairs, minhash_lsh_pairs)
+    exact = _pairs(jaccard_pairs(docs_ds, tau=0.9))
+    mh = _pairs(minhash_lsh_pairs(docs_ds, tau=0.9))
+    assert mh <= exact
+    assert len(mh) >= 0.98 * len(exact)
+
+
+def test_simhash_pairs_are_close_fingerprints(ray_session, docs_ds):
+    from automatic_reference_extractor_ray.ops.dedup import (
+        _token_set, simhash64, simhash_pairs)
+    pairs = list(_pairs(simhash_pairs(docs_ds, max_hamming=8)))[:50]
+    texts = dict(zip(*(lambda d: (d["doc_id"], d["text"]))(
+        docs_ds.to_pandas())))
+    for a, b in pairs:
+        ham = bin(simhash64(_token_set(texts[a]))
+                  ^ simhash64(_token_set(texts[b]))).count("1")
+        assert ham <= 8, (a, b, ham)
+
+
+def test_exact_dedup_groups(ray_session):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.dedup import exact_dedup
+    df = pd.DataFrame({
+        "doc_id": ["d1", "d2", "d3"],
+        "text": ["Hello  World", "hello world", "unrelated"],
+    })
+    out = exact_dedup(rd.from_pandas(df)).to_pandas()
+    dup = out[out["n_dups"] == 2]
+    assert len(dup) == 1 and dup["keeper_doc_id"].iloc[0] == "d1"
+    assert len(out) == 2
