@@ -243,6 +243,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from automatic_reference_extractor_ray.ops.ann import lsh_topk
         return lsh_topk(_read(sf, "embeddings"), ANN_QUERY_IDS, k=10)
 
+    def ann_ivf_q(sf):
+        from automatic_reference_extractor_ray.ops.ann import ivf_topk
+        return ivf_topk(_read(sf, "embeddings"), ANN_QUERY_IDS, k=10)
+
     # ---- relational primitives ----
     def q1_pricing_q(sf):
         from automatic_reference_extractor_ray.ops.relational import q1_pricing_summary
@@ -293,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": dedup_embedding_q,
         "ann_topk": ann_topk_q,
         "ann_lsh": ann_lsh_q,
+        "ann_ivf": ann_ivf_q,
         "q1_pricing": q1_pricing_q,
         "top_customers": top_customers_q,
         "events_hourly": events_hourly_q,

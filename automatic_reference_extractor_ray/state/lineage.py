@@ -30,6 +30,17 @@ from ..config import ExtractConfig
 from ..pipelines.extract import extract_refs
 
 
+def fingerprint_dir(path: str) -> str:
+    """Input fingerprint for lineage records: hash of the directory's
+    (name, size, mtime_ns) listing — cheap, catches input swaps between
+    a run and its resume without reading data."""
+    h = zlib.crc32(b"")
+    for name in sorted(os.listdir(path)):
+        st = os.stat(os.path.join(path, name))
+        h = zlib.crc32(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode(), h)
+    return f"{h:08x}"
+
+
 def partition_of(doc_id: str, num_partitions: int) -> int:
     # hash the BASE id so all versions of a document co-locate in one
     # partition — version dedup (G4) runs per partition and must see
@@ -72,6 +83,15 @@ def run_resumable_extract(docs_factory, out_dir: str,
     cfg = cfg or ExtractConfig()
     os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
     done = completed_partitions(out_dir)
+    if input_fingerprint and done:
+        # refuse to mix partitions of two different inputs
+        for r in read_lineage(out_dir):
+            prior = r.get("input_fingerprint")
+            if prior and prior != input_fingerprint:
+                raise ValueError(
+                    f"resume fingerprint mismatch: partition {r['partition']} "
+                    f"was written from input {prior}, current input is "
+                    f"{input_fingerprint}; use a fresh out_dir")
     run_metrics = {"partitions_total": num_partitions,
                    "partitions_skipped": len(done), "partitions_run": 0,
                    "refs_written": 0}

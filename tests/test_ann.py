@@ -1,0 +1,62 @@
+"""ANN family: brute force is exact; LSH / IVF recall vs brute force."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+QIDS = [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+    return rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet") \
+             .materialize()
+
+
+@pytest.fixture(scope="module")
+def brute(emb_ds):
+    from automatic_reference_extractor_ray.ops.ann import brute_force_topk
+    return brute_force_topk(emb_ds, QIDS, k=10).to_pandas()
+
+
+def test_brute_force_matches_numpy(emb_ds, brute):
+    df = emb_ds.to_pandas()
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    ids = df["vec_id"].to_numpy()
+    for qid in QIDS:
+        qv = m[ids == qid][0]
+        cos = m @ qv
+        mask = ids != qid
+        order = np.lexsort((ids[mask], -cos[mask]))
+        expect = ids[mask][order][:10].tolist()
+        got = brute[brute["query_id"] == qid].sort_values("rank")[
+            "neighbor_id"].tolist()
+        assert got == expect, qid
+
+
+def _recall(approx: pd.DataFrame, brute: pd.DataFrame) -> float:
+    hits = tot = 0
+    for qid in QIDS:
+        b = set(brute[brute["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        hits += len(a & b)
+        tot += len(b)
+    return hits / tot
+
+
+def test_lsh_recall(emb_ds, brute):
+    from automatic_reference_extractor_ray.ops.ann import lsh_topk
+    approx = lsh_topk(emb_ds, QIDS, k=10).to_pandas()
+    assert _recall(approx, brute) >= 0.5
+
+
+def test_ivf_recall(emb_ds, brute):
+    from automatic_reference_extractor_ray.ops.ann import ivf_topk
+    approx = ivf_topk(emb_ds, QIDS, k=10).to_pandas()
+    assert _recall(approx, brute) >= 0.5
+    # every query returns a full top-k and ranks are dense 1..k
+    for qid in QIDS:
+        g = approx[approx["query_id"] == qid].sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))

@@ -52,6 +52,25 @@ def test_resume_skips_completed_and_matches(ray_session, tmp_path):
     pd.testing.assert_frame_equal(resumed, full)
 
 
+def test_resume_rejects_changed_input(ray_session, tmp_path):
+    import pytest
+
+    from automatic_reference_extractor_ray.state.lineage import (
+        fingerprint_dir, run_resumable_extract)
+    out = str(tmp_path / "outfp")
+    fp = fingerprint_dir("/root/testdata/sf0.001")
+    assert fp == fingerprint_dir("/root/testdata/sf0.001")
+    run_resumable_extract(_docs_factory(), out, num_partitions=2,
+                          input_fingerprint=fp)
+    # same input resumes cleanly (all partitions skipped)
+    m = run_resumable_extract(_docs_factory(), out, num_partitions=2,
+                              input_fingerprint=fp)
+    assert m["partitions_skipped"] == 2
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        run_resumable_extract(_docs_factory(), out, num_partitions=2,
+                              input_fingerprint="deadbeef")
+
+
 def test_golden_matches_partitioned_output(ray_session, tmp_path):
     from automatic_reference_extractor_ray.sources.goldens import (
         golden_table, sf_doc_keys)

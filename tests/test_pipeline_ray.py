@@ -55,6 +55,32 @@ def test_order_independence_under_partitioning(ray_session, golden_df):
     assert_frames_equal(out, golden_df)
 
 
+def test_order_independence_under_input_shuffle(ray_session, golden_df):
+    """Randomly permuting input rows must not change any document's
+    span sequence (adversarial layout per SURVEY.md §5.3)."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.pipelines.extract import extract_refs
+    from automatic_reference_extractor_ray.sources.goldens import sf_doc_keys
+    from automatic_reference_extractor_ray.sources.corpus import build_doc
+    from automatic_reference_extractor_ray.sources.interleave import (
+        rows_to_docs_table)
+    rows = []
+    for k in sf_doc_keys(SF):
+        r, _ = build_doc(k)
+        rows.extend(r)
+    rng = np.random.default_rng(99)
+    rows = [rows[i] for i in rng.permutation(len(rows))]
+    ds = rd.from_arrow(rows_to_docs_table(rows)).repartition(13)
+    out = _norm(extract_refs(ds).to_pandas())
+    assert_frames_equal(out, golden_df)
+
+
+def test_rebalance_by_cost_preserves_output(ray_session, golden_df):
+    out = run_pipeline(rebalance=True)
+    assert_frames_equal(out, golden_df)
+
+
 def test_span_sequence_contract(ray_session, golden_df):
     """Per-row invariant: span-sequence equality (kind, text, media_ref,
     order) per document."""
