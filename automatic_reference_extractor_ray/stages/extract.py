@@ -63,19 +63,33 @@ class ExtractUnits:
 
         for doc_id, off, kind, text, media_ref in zip(
                 doc_ids, offsets, kinds, texts, refs):
-            if kind == "media":
-                payload = self.store.fetch(media_ref)
-                obs = parse_hocr(payload.decode("utf-8"))
-                for seq, r in enumerate(process_page(obs, self.cfg)):
-                    emit(doc_id, off, seq, r["raw"], media_ref, r["detector"],
-                         r["namer"], r["box"], r["column"],
-                         parse_fields(r["raw"]))
-            else:
-                for seq, r in enumerate(extract_text_unit(text, self.cfg.min_ref_len)):
-                    emit(doc_id, off, seq, r["text"], "", r["detector"],
-                         r["namer"], (r["x1"], r["y1"], r["x2"], r["y2"]),
-                         r["column"],
-                         {k: r[k] for k in RECORD_FIELD_KEYS})
+            # poison-row containment (SURVEY.md §4): a malformed unit
+            # becomes ONE explicit kind='error' record instead of an
+            # exception that kills the whole block — the reference's
+            # bare-except swallow (imgProcessing.py:157-171) made
+            # observable and filterable (refs.filter(kind != 'error'))
+            try:
+                if kind == "media":
+                    payload = self.store.fetch(media_ref)
+                    obs = parse_hocr(payload.decode("utf-8"))
+                    for seq, r in enumerate(process_page(obs, self.cfg)):
+                        emit(doc_id, off, seq, r["raw"], media_ref,
+                             r["detector"], r["namer"], r["box"], r["column"],
+                             parse_fields(r["raw"]))
+                else:
+                    for seq, r in enumerate(
+                            extract_text_unit(text, self.cfg.min_ref_len)):
+                        emit(doc_id, off, seq, r["text"], "", r["detector"],
+                             r["namer"], (r["x1"], r["y1"], r["x2"], r["y2"]),
+                             r["column"],
+                             {k: r[k] for k in RECORD_FIELD_KEYS})
+            except Exception as e:                     # noqa: BLE001
+                rec = dict.fromkeys(RECORD_FIELD_KEYS, "")
+                rec["authors"] = []
+                emit(doc_id, off, 0, f"{type(e).__name__}: {e}"[:500],
+                     media_ref, "Error", type(e).__name__, (0, 0, 0, 0),
+                     0, rec)
+                cols["kind"][-1] = "error"
 
         return pa.table(
             {n: pa.array(cols[n], type=RECORDS_SCHEMA.field(n).type)

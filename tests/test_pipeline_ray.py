@@ -117,3 +117,29 @@ def test_version_dedup_broadcast(ray_session):
     assert all(not d.endswith("~1") for d in kept)
     assert any(d.endswith("~2") for d in kept)
     assert plain[0]["doc_id"] in kept
+
+
+def test_poison_row_becomes_error_record(ray_session):
+    """A malformed unit (unresolvable media_ref) yields one explicit
+    kind='error' record; healthy documents in the same block are
+    unaffected (SURVEY.md §4 poison-row containment)."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.pipelines.extract import extract_refs
+    from automatic_reference_extractor_ray.sources.corpus import build_doc
+    from automatic_reference_extractor_ray.sources.interleave import (
+        rows_to_docs_table)
+    good, golden = build_doc("doc-000001")
+    poison = [{"doc_id": "poison-doc", "spans": [
+        {"kind": "media", "text": "", "media_ref": "not-a-valid-ref",
+         "offset": 0}]}]
+    ds = rd.from_arrow(rows_to_docs_table(good + poison))
+    out = extract_refs(ds).to_pandas()
+    err = out[out["kind"] == "error"]
+    assert list(err["doc_id"]) == ["poison-doc"]
+    assert err["detector"].iloc[0] == "Error"
+    assert (err["x1"].iloc[0], err["y1"].iloc[0]) == (0, 0)
+    healthy = out[out["doc_id"] != "poison-doc"]
+    assert len(healthy) == len(golden)
+    assert list(healthy.sort_values("span_idx")["text"]) == \
+        [g["text"] for g in golden]
