@@ -72,3 +72,18 @@ def read_interleaved_doc_ids(sf_dir: str, repeat: int = 1):
 def read_docs_parquet(path: str):
     """Read an already-materialized interleaved docs table."""
     return rd.read_parquet(path, schema=DOCUMENTS_SCHEMA)
+
+
+def read_docs_lance(uri: str, **kw):
+    """Deployment reader: the Lance-backed documents table
+    (``ray.data.read_lance`` — column projection + versioned table; the
+    version-dedup G4 stage is then often unnecessary because Lance
+    itself versions rows).  Gated: the ``lance`` wheel is not in the
+    test container."""
+    try:
+        import lance  # noqa: F401
+    except ImportError as e:                           # pragma: no cover
+        raise ImportError(
+            "read_docs_lance requires the 'lance' package; in this test "
+            "environment use read_docs_parquet / read_interleaved_docs") from e
+    return rd.read_lance(uri, **kw)                     # pragma: no cover

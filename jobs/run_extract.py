@@ -1,0 +1,63 @@
+"""Deployment entry point — the ``ray job submit`` surface.
+
+    ray job submit --working-dir . -- \
+        python jobs/run_extract.py --input /data/docs.lance \
+        --out /data/refs --partitions 256
+
+Runs the flagship extraction pipeline resumably: output is partitioned
+by hashed base doc_id with per-partition lineage records, so a killed
+job rerun with the same arguments skips completed partitions
+(state/lineage.py).  On a fixed-size cluster the same command runs
+unchanged at N and 4N nodes; ``--partitions`` should be a few times the
+total worker count.
+
+Inputs: a Lance URI (``.lance``), a parquet path of the documents
+schema, or a testdata sf directory (synthetic corpus expansion).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def docs_factory(inp: str):
+    from automatic_reference_extractor_ray.sources import interleave as iv
+    if inp.endswith(".lance"):
+        return lambda: iv.read_docs_lance(inp)
+    if os.path.isdir(inp) and os.path.exists(os.path.join(inp, "documents.parquet")):
+        return lambda: iv.read_interleaved_docs(inp)
+    return lambda: iv.read_docs_parquet(inp)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--no-version-dedup", action="store_true")
+    args = ap.parse_args()
+
+    import ray
+    if not ray.is_initialized():                     # driver owns the session
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"))
+
+    from automatic_reference_extractor_ray.state.lineage import (
+        fingerprint_dir, run_resumable_extract)
+    fp = fingerprint_dir(args.input) if os.path.isdir(args.input) else ""
+    metrics = run_resumable_extract(
+        docs_factory(args.input), args.out,
+        num_partitions=args.partitions,
+        input_fingerprint=fp,
+        version_dedup=not args.no_version_dedup)
+    print(json.dumps(metrics))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
