@@ -54,3 +54,40 @@ def test_versioned_split():
     assert split_versioned_doc_id("doc-1~7") == ("doc-1", 7)
     assert split_versioned_doc_id("doc-1") == ("doc-1", 0)
     assert split_versioned_doc_id("a~b") == ("a~b", 0)
+
+
+# ---- property tests (SURVEY.md §7: M4 char-index math under random lines)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_line = st.text(alphabet="ab1 -", min_size=0, max_size=12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_line, min_size=1, max_size=8))
+def test_concat_index_invariants(lines):
+    text, ranges = concat_lines_with_index(lines)
+    assert len(ranges) == len(lines)
+    # full text is exactly the concatenation of the repaired lines
+    repaired = [repair_line(ln) for ln in lines]
+    assert text == "".join(r for r, _ in repaired)
+    # ranges are the reference's inclusive [prev+1, prev+L] chain:
+    # contiguous from 0, each length == the repaired line length
+    prev = -1
+    for (s, e), (_, L) in zip(ranges, repaired):
+        assert s == prev + 1
+        assert e == prev + L
+        prev = e
+    # the indexed slice recovers each repaired line (end inclusive)
+    for (s, e), (r, L) in zip(ranges, repaired):
+        assert text[s:e + 1] == r
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_line, min_size=1, max_size=8))
+def test_join_repaired_equals_concat(lines):
+    # join_lines_repaired == concat text minus its trailing join
+    # space(s) — the two implementations must never drift
+    text, _ = concat_lines_with_index(lines)
+    assert join_lines_repaired(lines) == text.rstrip(" ")
