@@ -367,6 +367,40 @@ def oracle_sql() -> dict[str, str]:
         "ocr_lines": f"""
             SELECT media_ref, line_no, text, x1, y1, x2, y2
             FROM read_parquet('{ORACLE_DIR}/media_lines.parquet')""",
+        "doc_xml": f"""
+            WITH esc AS (
+              SELECT *,
+                replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),
+                        '>', '&gt;') AS etext
+              FROM {G}),
+            body AS (
+              SELECT doc_id, span_idx,
+                '<BibStructured detector="' || detector || '" namer="'
+                || namer || '">'
+                || '<rawString coordinates="' || x1 || ' ' || y1 || ' '
+                || x2 || ' ' || y2 || '">' || etext || '</rawString>'
+                || CASE WHEN len(authors) > 0 THEN
+                     '<authors>' || list_aggregate(list_transform(authors,
+                        a -> '<author>' || replace(replace(replace(a,
+                             '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                             || '</author>'), 'string_agg', '')
+                     || '</authors>' ELSE '' END
+                || CASE WHEN title     <> '' THEN '<title>'     || replace(replace(replace(title,     '&','&amp;'),'<','&lt;'),'>','&gt;') || '</title>'     ELSE '' END
+                || CASE WHEN journal   <> '' THEN '<journal>'   || replace(replace(replace(journal,   '&','&amp;'),'<','&lt;'),'>','&gt;') || '</journal>'   ELSE '' END
+                || CASE WHEN date      <> '' THEN '<date>'      || date      || '</date>'      ELSE '' END
+                || CASE WHEN publisher <> '' THEN '<publisher>' || replace(replace(replace(publisher, '&','&amp;'),'<','&lt;'),'>','&gt;') || '</publisher>' ELSE '' END
+                || CASE WHEN location  <> '' THEN '<location>'  || replace(replace(replace(location,  '&','&amp;'),'<','&lt;'),'>','&gt;') || '</location>'  ELSE '' END
+                || CASE WHEN volume    <> '' THEN '<volume>'    || volume    || '</volume>'    ELSE '' END
+                || CASE WHEN issue     <> '' THEN '<issue>'     || issue     || '</issue>'     ELSE '' END
+                || CASE WHEN pages     <> '' THEN '<pages>'     || pages     || '</pages>'     ELSE '' END
+                || '</BibStructured>' AS frag
+              FROM esc)
+            SELECT doc_id, COUNT(*) AS n_refs,
+                   md5('<algorithm name="LOCDB Web service" fname="'
+                       || doc_id || '">'
+                       || string_agg(frag, '' ORDER BY span_idx)
+                       || '</algorithm>') AS xml_md5
+            FROM body GROUP BY doc_id""",
         "result_view": rf"""
             WITH ids AS (SELECT DISTINCT doc_id FROM {C}),
             parsed AS (
