@@ -166,6 +166,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from automatic_reference_extractor_ray.ops.multimodal import ocr_line_counts
         return ocr_line_counts(_media_refs(sf))
 
+    def media_resize_q(sf):
+        from automatic_reference_extractor_ray.ops.multimodal import media_resize
+        return media_resize(_media_refs(sf))
+
+    def frame_sample_q(sf):
+        from automatic_reference_extractor_ray.ops.multimodal import frame_sample
+        return frame_sample(_media_refs(sf))
+
+    def embed_texts_q(sf):
+        from automatic_reference_extractor_ray.ops.multimodal import embed_texts
+        out = embed_texts(_docs_table(sf)).to_pandas()
+        out["emb_norm_x1000"] = out["embedding"].map(
+            lambda v: int(round(1000 * float(np.linalg.norm(v)))))
+        return out[["doc_id", "emb_norm_x1000"]]
+
     def ocr_lines_q(sf):
         from automatic_reference_extractor_ray.pipelines.lines import ocr_lines
         return ocr_lines(_media_refs(sf))
@@ -284,6 +299,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": media_features_q,
         "ocr_line_counts": ocr_line_counts_q,
         "ocr_lines": ocr_lines_q,
+        "media_resize": media_resize_q,
+        "frame_sample": frame_sample_q,
+        "embed_texts": embed_texts_q,
         "result_view": result_view_q,
         "doc_xml": doc_xml_q,
         "token_counts": token_counts_q,
@@ -401,6 +419,25 @@ def oracle_sql() -> dict[str, str]:
                        || string_agg(frag, '' ORDER BY span_idx)
                        || '</algorithm>') AS xml_md5
             FROM body GROUP BY doc_id""",
+        "media_resize": f"""
+            SELECT media_ref,
+                   CAST(LEAST(length(payload), 1048576) AS BIGINT) AS n_bytes_out,
+                   length(payload) > 1048576 AS resized
+            FROM {P}""",
+        "frame_sample": f"""
+            WITH f AS (SELECT unnest([0, 1, 2, 3]) AS frame_no),
+            s AS (SELECT media_ref, payload,
+                         GREATEST(1, length(payload) // 4) AS step
+                  FROM {P})
+            SELECT s.media_ref, CAST(f.frame_no AS INT) AS frame_no,
+                   md5(substring(s.payload, f.frame_no * s.step + 1, s.step))
+                     AS frame_md5
+            FROM s CROSS JOIN f""",
+        "embed_texts": f"""
+            SELECT doc_id,
+                   CASE WHEN len({TOK}) > 0 THEN 1000 ELSE 0 END
+                     AS emb_norm_x1000
+            FROM documents""",
         "result_view": rf"""
             WITH ids AS (SELECT DISTINCT doc_id FROM {C}),
             parsed AS (

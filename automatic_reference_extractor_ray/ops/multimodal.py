@@ -74,6 +74,118 @@ class OcrLineCounter:
                          "n_lines": pa.array(counts, pa.int64())})
 
 
+class MediaResize:
+    """Actor-pool stage: bounded-size transform (the reference's M2
+    ``convert -resize 3500x3500`` analogue).  The codec transform is
+    stubbed deterministically (payload truncation to ``max_bytes`` with
+    an honest ``resized`` flag); a real implementation swaps
+    ``_transform`` for a PIL/libvips call — schema, actor signature and
+    small-batch sizing are the contract."""
+
+    def __init__(self, store_spec: str = "synth", max_bytes: int = 1 << 20):
+        self.store = make_store(store_spec)
+        self.max_bytes = max_bytes
+
+    def _transform(self, payload: bytes) -> bytes:
+        return payload[: self.max_bytes]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        out_n, resized = [], []
+        for r in refs:
+            p = self.store.fetch(r)
+            t = self._transform(p)
+            out_n.append(len(t))
+            resized.append(len(t) != len(p))
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "n_bytes_out": pa.array(out_n, pa.int64()),
+            "resized": pa.array(resized, pa.bool_()),
+        })
+
+
+class FrameSample:
+    """Actor-pool stage: video-style frame sampling — one media row
+    fans out to ``n_frames`` child rows ``(media_ref, frame_no,
+    frame_md5)``.  Decode is stubbed (deterministic byte-stride slices
+    stand in for decoded frames); the fan-out shape, child-row keying
+    and small batches are the real plumbing."""
+
+    def __init__(self, store_spec: str = "synth", n_frames: int = 4):
+        self.store = make_store(store_spec)
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, frames, digests = [], [], []
+        for r in batch.column("media_ref").to_pylist():
+            p = self.store.fetch(r)
+            step = max(1, len(p) // self.n_frames)
+            for f in range(self.n_frames):
+                chunk = p[f * step:(f + 1) * step]
+                refs.append(r)
+                frames.append(f)
+                digests.append(hashlib.md5(chunk).hexdigest())
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "frame_no": pa.array(frames, pa.int32()),
+            "frame_md5": pa.array(digests, pa.string()),
+        })
+
+
+class TextEmbedder:
+    """Actor-pool stage: batched 'model' inference — text rows →
+    ``dim``-float embeddings.  The model is a deterministic feature
+    hasher (token hash → bucket, L2-normalized), loaded once per actor;
+    swap for a real encoder with the same signature.  Batched matrix
+    construction, not per-row calls, is the pattern under test."""
+
+    def __init__(self, dim: int = 64):
+        import re as _re
+
+        import numpy as _np
+        self.dim = dim
+        self.token_re = _re.compile(r"[a-z0-9]+")
+        self.np = _np
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        np = self.np
+        texts = batch.column("text").to_pylist()
+        mat = np.zeros((len(texts), self.dim), np.float32)
+        for i, t in enumerate(texts):
+            for tok in self.token_re.findall(t.lower()):
+                h = int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                    "little")
+                mat[i, h % self.dim] += 1.0 if (h >> 62) & 1 else -1.0
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms == 0, 1.0, norms)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+        })
+
+
+def media_resize(media_refs_ds, store_spec: str = "synth",
+                 concurrency=(1, 4), batch_size: int = 16, **kw):
+    return media_refs_ds.map_batches(
+        MediaResize, fn_constructor_kwargs=dict(store_spec=store_spec, **kw),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+
+
+def frame_sample(media_refs_ds, store_spec: str = "synth",
+                 concurrency=(1, 4), batch_size: int = 8, **kw):
+    return media_refs_ds.map_batches(
+        FrameSample, fn_constructor_kwargs=dict(store_spec=store_spec, **kw),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+
+
+def embed_texts(docs_ds, dim: int = 64, concurrency=(1, 8),
+                batch_size: int = 256):
+    return docs_ds.map_batches(
+        TextEmbedder, fn_constructor_kwargs=dict(dim=dim),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+
+
 def ocr_line_counts(media_refs_ds, store_spec: str = "synth",
                     concurrency=(1, 4), batch_size: int = 16):
     return media_refs_ds.map_batches(
