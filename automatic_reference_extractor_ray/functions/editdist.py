@@ -12,6 +12,8 @@ the left-to-right insertion dependency is closed exactly by
 
 from __future__ import annotations
 
+from collections import Counter
+
 import numpy as np
 
 
@@ -63,3 +65,29 @@ def levenshtein_lt(a: str, b: str, bound: int) -> bool:
             return False
         prev = row
     return int(prev[-1]) < bound
+
+
+def near_any(x: str, snapshot: list[tuple[str, Counter]], bound: int) -> bool:
+    """True iff ``levenshtein(x, s) < bound`` for ANY (s, Counter(s)) in
+    ``snapshot`` — the J4 anti-join inner loop with two sound pre-filters
+    before the DP: the length gate, and the character-count lower bound
+    (one unit edit changes the char multiset by at most one removal plus
+    one insertion, so distance >= L1(count_a, count_b) / 2).  Counts are
+    precomputed once per snapshot string, so comparing one candidate
+    against N primaries does N cheap multiset diffs and almost never a
+    DP."""
+    cx = Counter(x)
+    lx = len(x)
+    for s, cs in snapshot:
+        if abs(lx - len(s)) >= bound:
+            continue
+        l1 = sum((cx - cs).values()) + sum((cs - cx).values())
+        if l1 >= 2 * bound:
+            continue
+        if levenshtein_lt(x, s, bound):
+            return True
+    return False
+
+
+def snapshot_counts(strings: list[str]) -> list[tuple[str, Counter]]:
+    return [(s, Counter(s)) for s in strings]

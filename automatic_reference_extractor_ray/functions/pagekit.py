@@ -144,11 +144,12 @@ def _process_column(lines: list[str], boxes: np.ndarray, dets: np.ndarray,
                                 namer="ParsCit", seq=seq)); seq += 1
 
     # J4 fuzzy anti-join (snapshot of primary rawStrings)
-    from .editdist import levenshtein_lt
-    snapshot = [r["raw"].strip().replace(" ", "") for r in records]
+    from .editdist import near_any, snapshot_counts
+    snapshot = snapshot_counts(
+        [r["raw"].strip().replace(" ", "") for r in records])
     for cand, ub in candidates:
         stripped = cand.strip().replace(" ", "")
-        if any(levenshtein_lt(stripped, s, cfg.near_dup_max_distance) for s in snapshot):
+        if near_any(stripped, snapshot, cfg.near_dup_max_distance):
             continue
         records.append(dict(raw=cand, box=tuple(int(v) for v in ub),
                             detector="Image", namer="Grobid", seq=seq))

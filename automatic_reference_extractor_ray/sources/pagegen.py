@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..functions.boxes import iou, union_box
-from ..functions.editdist import levenshtein_lt
+from ..functions.editdist import near_any, snapshot_counts
 from ..functions.fields import parse_fields
 from ..functions.textkit import collapse_ws, join_lines_repaired
 from .citegen import Citation, gen_body_sentence, gen_citation
@@ -193,12 +193,13 @@ def _column_golden(col: _Col) -> list[dict]:
                                  detector="ParsCit", namer="ParsCit", seq=seq,
                                  fields=fields))
                 seq += 1
-        snapshot = [r.replace(" ", "") for r in col.segmented_raws]
+        snapshot = snapshot_counts(
+            [r.replace(" ", "") for r in col.segmented_raws])
     else:
         snapshot = []
     for cand_raw, ub in candidates:
         stripped = cand_raw.replace(" ", "")
-        if any(levenshtein_lt(stripped, s, NEAR_DUP) for s in snapshot):
+        if near_any(stripped, snapshot, NEAR_DUP):
             continue
         recs.append(dict(raw=cand_raw, box=ub, column=col.idx,
                          detector="Image", namer="Grobid", seq=seq,
