@@ -107,6 +107,16 @@ def run_resumable_extract(docs_factory, out_dir: str,
         final = os.path.join(out_dir, f"part-{p}")
         shutil.rmtree(tmp, ignore_errors=True)
         refs.write_parquet(tmp)
+        # a zero-row partition writes no files at all — materialize an
+        # explicit empty table so the partition dir is self-describing
+        # and every downstream reader (incl. this metrics pass) works
+        if not os.path.isdir(tmp) or not os.listdir(tmp):
+            import pyarrow.parquet as pq
+
+            from ..schema import REFS_SCHEMA
+            os.makedirs(tmp, exist_ok=True)
+            pq.write_table(REFS_SCHEMA.empty_table(),
+                           os.path.join(tmp, "empty.parquet"))
         # metrics from what was just written (no second execution)
         import pyarrow.dataset as pads
         written = pads.dataset(tmp)

@@ -25,13 +25,18 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def docs_factory(inp: str):
+def docs_factory(inp: str, quarantine: bool = False):
     from automatic_reference_extractor_ray.sources import interleave as iv
+    from automatic_reference_extractor_ray.stages.validate import (
+        validate_documents)
     if inp.endswith(".lance"):
-        return lambda: iv.read_docs_lance(inp)
-    if os.path.isdir(inp) and os.path.exists(os.path.join(inp, "documents.parquet")):
-        return lambda: iv.read_interleaved_docs(inp)
-    return lambda: iv.read_docs_parquet(inp)
+        read = lambda: iv.read_docs_lance(inp)            # noqa: E731
+    elif os.path.isdir(inp) and os.path.exists(
+            os.path.join(inp, "documents.parquet")):
+        read = lambda: iv.read_interleaved_docs(inp)      # noqa: E731
+    else:
+        read = lambda: iv.read_docs_parquet(inp)          # noqa: E731
+    return lambda: validate_documents(read(), quarantine=quarantine)
 
 
 def main() -> int:
@@ -40,6 +45,8 @@ def main() -> int:
     ap.add_argument("--out", required=True)
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--no-version-dedup", action="store_true")
+    ap.add_argument("--quarantine", action="store_true",
+                    help="drop invalid input rows instead of failing fast")
     args = ap.parse_args()
 
     import ray
@@ -50,7 +57,7 @@ def main() -> int:
         fingerprint_dir, run_resumable_extract)
     fp = fingerprint_dir(args.input) if os.path.isdir(args.input) else ""
     metrics = run_resumable_extract(
-        docs_factory(args.input), args.out,
+        docs_factory(args.input, quarantine=args.quarantine), args.out,
         num_partitions=args.partitions,
         input_fingerprint=fp,
         version_dedup=not args.no_version_dedup)

@@ -1,0 +1,61 @@
+"""Input-contract validation (S1 ingest gate)."""
+
+import pyarrow as pa
+import pytest
+
+from automatic_reference_extractor_ray.schema import SPAN_STRUCT
+
+
+def _docs(rows):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.string()),
+        "spans": pa.array([r[1] for r in rows], pa.list_(SPAN_STRUCT)),
+    }))
+
+
+GOOD = ("ok-doc", [{"kind": "text", "text": "body", "media_ref": "",
+                    "offset": 0},
+                   {"kind": "media", "text": "", "media_ref": "synth://x",
+                    "offset": 1}])
+
+
+def test_valid_rows_pass(ray_session):
+    from automatic_reference_extractor_ray.stages.validate import (
+        validate_documents)
+    out = validate_documents(_docs([GOOD])).take_all()
+    assert len(out) == 1
+
+
+@pytest.mark.parametrize("bad,reason", [
+    (("gap", [{"kind": "text", "text": "x", "media_ref": "", "offset": 1}]),
+     "offsets not dense"),
+    (("kind", [{"kind": "video", "text": "", "media_ref": "m", "offset": 0}]),
+     "invalid span kind"),
+    (("noref", [{"kind": "media", "text": "", "media_ref": "", "offset": 0}]),
+     "empty media_ref"),
+    (("txtref", [{"kind": "text", "text": "x", "media_ref": "m", "offset": 0}]),
+     "text span carrying"),
+])
+def test_invalid_rows_fail_fast(ray_session, bad, reason):
+    from automatic_reference_extractor_ray.stages.validate import (
+        validate_documents)
+    with pytest.raises(Exception, match=reason):
+        validate_documents(_docs([GOOD, bad])).take_all()
+
+
+def test_quarantine_drops_only_offenders(ray_session):
+    from automatic_reference_extractor_ray.stages.validate import (
+        validate_documents)
+    bad = ("bad", [{"kind": "nope", "text": "", "media_ref": "", "offset": 0}])
+    out = validate_documents(_docs([GOOD, bad]), quarantine=True).take_all()
+    assert [r["doc_id"] for r in out] == ["ok-doc"]
+
+
+def test_missing_column_is_named(ray_session):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.stages.validate import (
+        validate_documents)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(["x"], pa.string())}))
+    with pytest.raises(Exception, match="missing column"):
+        validate_documents(ds).take_all()
