@@ -185,6 +185,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from automatic_reference_extractor_ray.pipelines.lines import ocr_lines
         return ocr_lines(_media_refs(sf))
 
+    def segment_lookup_q(sf):
+        from automatic_reference_extractor_ray.pipelines.lines import (
+            ocr_lines, page_lookup_all)
+        return page_lookup_all(ocr_lines(_media_refs(sf)))
+
     def result_view_q(sf):
         from automatic_reference_extractor_ray.pipelines.extract import extract_refs
         from automatic_reference_extractor_ray.pipelines.results import result_view
@@ -299,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": media_features_q,
         "ocr_line_counts": ocr_line_counts_q,
         "ocr_lines": ocr_lines_q,
+        "segment_lookup": segment_lookup_q,
         "media_resize": media_resize_q,
         "frame_sample": frame_sample_q,
         "embed_texts": embed_texts_q,
@@ -419,6 +425,35 @@ def oracle_sql() -> dict[str, str]:
                        || string_agg(frag, '' ORDER BY span_idx)
                        || '</algorithm>') AS xml_md5
             FROM body GROUP BY doc_id""",
+        "segment_lookup": f"""
+            WITH lines AS (
+              SELECT * FROM read_parquet('{ORACLE_DIR}/media_lines.parquet')),
+            ub AS (
+              SELECT media_ref,
+                     MIN(x1) AS ux1, MIN(y1) AS uy1,
+                     MAX(x2) AS ux2, MAX(y2) AS uy2
+              FROM lines WHERE line_no <= 1 GROUP BY media_ref),
+            hits AS (
+              SELECT l.* FROM lines l JOIN ub USING (media_ref)
+              WHERE LEAST(l.x2, ub.ux2) - GREATEST(l.x1, ub.ux1) > 0
+                AND LEAST(l.y2, ub.uy2) - GREATEST(l.y1, ub.uy1) > 0),
+            rep AS (
+              SELECT media_ref, line_no, x1, y1, x2, y2,
+                     CASE WHEN text LIKE '%-' AND length(text) >= 2
+                               AND substr(text, length(text) - 1, 1)
+                                   BETWEEN '0' AND '9'
+                          THEN text
+                          WHEN text LIKE '%-'
+                          THEN substr(text, 1, length(text) - 1)
+                          ELSE text || ' ' END AS rtext
+              FROM hits)
+            SELECT media_ref,
+                   trim(regexp_replace(
+                        string_agg(rtext, '' ORDER BY line_no),
+                        '\\s+', ' ', 'g')) AS raw_string,
+                   MIN(x1) AS x1, MIN(y1) AS y1,
+                   MAX(x2) AS x2, MAX(y2) AS y2
+            FROM rep GROUP BY media_ref""",
         "media_resize": f"""
             SELECT media_ref,
                    CAST(LEAST(length(payload), 1048576) AS BIGINT) AS n_bytes_out,

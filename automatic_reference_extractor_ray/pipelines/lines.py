@@ -74,6 +74,39 @@ def write_lines_table(media_refs_ds, out_dir: str, **kw) -> None:
     ocr_lines(media_refs_ds, **kw).write_parquet(out_dir)
 
 
+def page_lookup_all(lines_ds):
+    """Batch form of the J8 lookup for the driver gate: for EVERY page,
+    a deterministic user box (the union of its first two lines) is
+    looked up — IoU > 0 lines, box union, repaired+collapsed text —
+    inside the bounded-bucket shuffle, one output row per page.
+    Exercises the lookup machinery distributed (no per-page driver
+    round-trips) and is SQL-oracle-checkable."""
+    import pandas as pd
+
+    from ..ops.shuffle import bucketed_groupby
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for ref, g in pdf.groupby("media_ref", sort=False):
+            g = g.sort_values("line_no")
+            boxes = g[["x1", "y1", "x2", "y2"]].to_numpy(np.int64)
+            head = boxes[:2]
+            ub = np.array([head[:, 0].min(), head[:, 1].min(),
+                           head[:, 2].max(), head[:, 3].max()])
+            # strict-overlap (iou > 0): intersection area must be positive
+            ix = np.minimum(boxes[:, 2], ub[2]) - np.maximum(boxes[:, 0], ub[0])
+            iy = np.minimum(boxes[:, 3], ub[3]) - np.maximum(boxes[:, 1], ub[1])
+            hit = (ix > 0) & (iy > 0)
+            texts = g["text"].to_numpy()
+            merged = union_box(boxes[hit])
+            raw = collapse_ws(join_lines_repaired(list(texts[hit])))
+            rows.append((ref, raw, *(int(v) for v in merged)))
+        return pd.DataFrame(rows, columns=["media_ref", "raw_string",
+                                           "x1", "y1", "x2", "y2"])
+
+    return bucketed_groupby(lines_ds, "media_ref", per_bucket)
+
+
 def segment_lookup(lines_tbl: pa.Table, media_ref: str,
                    user_box: tuple[int, int, int, int]) -> dict | None:
     """J8 point lookup: IoU > 0 lines of one page vs the user box →
