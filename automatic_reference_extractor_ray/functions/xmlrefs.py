@@ -34,7 +34,9 @@ def extract_xml_citations(markup: str) -> list[str]:
         cid = cm.group("id")
         for bm in _BIBU_RE.finditer(cm.group("body")):
             text = _TAG_RE.sub("", bm.group("text"))
-            text = text.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+            # &lt;/&gt; first, &amp; LAST — the reverse order would
+            # double-unescape "&amp;lt;" into "<" instead of "&lt;"
+            text = text.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
             refs.append(f"[{cid}] " + collapse_ws(text))
     return refs
 

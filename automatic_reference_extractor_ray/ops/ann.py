@@ -57,7 +57,10 @@ def brute_force_topk(embeddings, query_ids: list[int], k: int = 10):
         for j, qid in enumerate(qids_):
             mask = ids != qid
             c = cos[mask, j]; cids = ids[mask]
-            top = np.argsort(-c, kind="stable")[:k]
+            # tie-break (cos DESC, neighbor_id ASC) BEFORE truncating the
+            # block-local top-k — a cosine tie at the k boundary must keep
+            # the smaller id, matching the oracle's ORDER BY
+            top = np.lexsort((cids, -c))[:k]
             for t in top:
                 rows.append((int(qid), float(c[t]), int(cids[t])))
         return pd.DataFrame(rows, columns=["query_id", "cos", "neighbor_id"])
@@ -135,7 +138,7 @@ def ivf_topk(embeddings, query_ids: list[int], k: int = 10,
                 mids = ids[members]
                 mask = mids != qids_[qi]
                 cc, mm = c[mask], mids[mask]
-                top = np.argsort(-cc, kind="stable")[:k]
+                top = np.lexsort((mm, -cc))[:k]
                 for t in top:
                     rows.append((int(qids_[qi]), float(cc[t]), int(mm[t])))
         return pd.DataFrame(rows, columns=["query_id", "cos", "neighbor_id"]) \
@@ -202,7 +205,7 @@ def lsh_topk(embeddings, query_ids: list[int], k: int = 10,
                 mids = ids[members]
                 mask = mids != qids_[qi]
                 cc, mm = c[mask], mids[mask]
-                top = np.argsort(-cc, kind="stable")[:k]
+                top = np.lexsort((mm, -cc))[:k]
                 for t in top:
                     rows.append((int(qids_[qi]), float(cc[t]), int(mm[t])))
         return pd.DataFrame(rows, columns=["query_id", "cos", "neighbor_id"])

@@ -83,15 +83,24 @@ def run_resumable_extract(docs_factory, out_dir: str,
     cfg = cfg or ExtractConfig()
     os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
     done = completed_partitions(out_dir)
-    if input_fingerprint and done:
-        # refuse to mix partitions of two different inputs
+    if done:
+        # refuse to mix partitions of two different inputs OR two
+        # different partition layouts — resuming 16-way output with
+        # --partitions 32 would silently duplicate/omit documents
         for r in read_lineage(out_dir):
             prior = r.get("input_fingerprint")
-            if prior and prior != input_fingerprint:
+            if input_fingerprint and prior and prior != input_fingerprint:
                 raise ValueError(
                     f"resume fingerprint mismatch: partition {r['partition']} "
                     f"was written from input {prior}, current input is "
                     f"{input_fingerprint}; use a fresh out_dir")
+            prior_np = r.get("num_partitions")
+            if prior_np is not None and prior_np != num_partitions:
+                raise ValueError(
+                    f"resume layout mismatch: partition {r['partition']} was "
+                    f"written with num_partitions={prior_np}, this run uses "
+                    f"num_partitions={num_partitions}; rerun with "
+                    f"--partitions {prior_np} or use a fresh out_dir")
     run_metrics = {"partitions_total": num_partitions,
                    "partitions_skipped": len(done), "partitions_run": 0,
                    "refs_written": 0}

@@ -68,3 +68,13 @@ def test_xml_docs_extract():
             assert refs == [g["text"] for g in golden]
             return
     raise AssertionError("no xml doc found")
+
+
+def test_xml_entity_unescape_order():
+    """'&amp;lt;' must unescape to '&lt;' (one level), not '<'."""
+    from automatic_reference_extractor_ray.functions.xmlrefs import (
+        extract_xml_citations)
+    markup = ('<Citations><Citation ID="1"><BibUnstructured>'
+              'A &amp;lt; B &amp; C &lt;x&gt;'
+              '</BibUnstructured></Citation></Citations>')
+    assert extract_xml_citations(markup) == ["[1] A &lt; B & C <x>"]

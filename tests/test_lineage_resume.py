@@ -84,3 +84,14 @@ def test_golden_matches_partitioned_output(ray_session, tmp_path):
     exp["authors"] = exp["authors"].map(tuple)
     exp = exp.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_resume_rejects_changed_partition_layout(ray_session, tmp_path):
+    import pytest
+
+    from automatic_reference_extractor_ray.state.lineage import (
+        run_resumable_extract)
+    out = str(tmp_path / "outnp")
+    run_resumable_extract(_docs_factory(), out, num_partitions=2)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        run_resumable_extract(_docs_factory(), out, num_partitions=4)

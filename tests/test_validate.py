@@ -59,3 +59,38 @@ def test_missing_column_is_named(ray_session):
     ds = rd.from_arrow(pa.table({"doc_id": pa.array(["x"], pa.string())}))
     with pytest.raises(Exception, match="missing column"):
         validate_documents(ds).take_all()
+
+
+def test_quarantine_survives_null_span_structs(ray_session):
+    from automatic_reference_extractor_ray.stages.validate import (
+        validate_documents)
+    nullspan = ("nullspan", [None])
+    nulloff = ("nulloff", [{"kind": "text", "text": "x", "media_ref": "",
+                            "offset": None}])
+    out = validate_documents(_docs([GOOD, nullspan, nulloff]),
+                             quarantine=True).take_all()
+    assert [r["doc_id"] for r in out] == ["ok-doc"]
+
+
+def test_quarantine_dir_collects_tagged_offenders(ray_session, tmp_path):
+    from automatic_reference_extractor_ray.stages.validate import (
+        read_quarantined, validate_documents)
+    qdir = str(tmp_path / "dead_letters")
+    bad1 = ("bad1", [{"kind": "nope", "text": "", "media_ref": "", "offset": 0}])
+    bad2 = ("bad2", [None])
+    out = validate_documents(_docs([GOOD, bad1, bad2]), quarantine=True,
+                             quarantine_dir=qdir).take_all()
+    assert [r["doc_id"] for r in out] == ["ok-doc"]
+    side = read_quarantined(qdir).to_pandas().sort_values("doc_id")
+    assert list(side["doc_id"]) == ["bad1", "bad2"]
+    assert list(side["_invalid_reason"]) == [
+        "invalid span kind 'nope'", "null span element"]
+
+
+def test_quarantine_dir_requires_quarantine_mode(ray_session, tmp_path):
+    import pytest
+
+    from automatic_reference_extractor_ray.stages.validate import (
+        validate_documents)
+    with pytest.raises(ValueError, match="requires quarantine"):
+        validate_documents(_docs([GOOD]), quarantine_dir=str(tmp_path / "q"))
