@@ -11,10 +11,12 @@ Scale design: every many-key aggregate (pair dedup/counting, token
 document frequencies) goes through ``ops.shuffle.bucketed_*`` — a
 bounded-cardinality hash shuffle — never Ray's per-group aggregate.
 Shuffled rows are (token, id) / (band, id) / (a, b) pairs, never full
-texts.  Candidate verification uses a broadcast token-set map
-(``ray.put`` once, read per actor); at 10^12-doc scale that broadcast
-becomes a bucket-join of token sets against candidates on doc_id —
-flagged at each use site.
+texts.  Candidate verification is a distributed two-hop bucket join
+(pairs ⋈ token sets on ``a``, then on ``b``, exact Jaccard computed
+inside the second join's bucket) — nothing whole-corpus ever
+materializes on the driver.  The only remaining broadcast is the
+token→document-frequency map in ``jaccard_pairs`` (vocabulary-sized,
+bounded — not data-scaling).
 """
 
 from __future__ import annotations
@@ -25,7 +27,8 @@ import re
 import numpy as np
 import pandas as pd
 
-from .shuffle import bucketed_agg, bucketed_distinct, bucketed_groupby
+from .shuffle import (bucketed_agg, bucketed_distinct, bucketed_groupby,
+                      bucketed_join)
 
 TOKEN_RE = re.compile(r"[a-z0-9]+")
 WS_RE = re.compile(r"\s+")
@@ -75,39 +78,100 @@ def _tokenize_ds(docs):
     return docs.map_batches(tokenize, batch_format="pandas")
 
 
-def _token_map_ref(docs):
-    """Broadcast {doc_id: frozenset(tokens)} for candidate verification.
-    Small at test scale; at 10^12 docs this becomes a bucket-join of
-    token sets against candidate pairs on doc_id instead."""
-    import ray
-    tok_df = docs.map_batches(
-        lambda b: pd.DataFrame(
-            {"doc_id": b["doc_id"],
-             "toks": [" ".join(_token_set(t)) for t in b["text"]]}),
-        batch_format="pandas").to_pandas()
-    tok_map = {d: frozenset(t.split())
-               for d, t in zip(tok_df["doc_id"], tok_df["toks"])}
-    return ray.put(tok_map)
+def _toks_ds(docs, key: str, coded: bool):
+    """Per-document token-set rows keyed for a pair join: one row per
+    doc with ``toks_<key>`` = space-joined sorted token set.  ``coded``
+    keys by the int64 doc code (minhash pairs travel as ints) and
+    carries ``doc_<key>`` for decode; otherwise the key IS the doc_id
+    string."""
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        toks = [" ".join(_token_set(t)) for t in b["text"]]
+        if coded:
+            return pd.DataFrame({
+                key: np.fromiter((_doc_code(d) for d in b["doc_id"]),
+                                 np.int64, len(b)),
+                f"doc_{key}": b["doc_id"].to_numpy(),
+                f"toks_{key}": toks})
+        return pd.DataFrame({key: b["doc_id"].to_numpy(),
+                             f"toks_{key}": toks})
+
+    return docs.map_batches(fn, batch_format="pandas")
 
 
-def _verify_jaccard(cands, tok_ref, tau: float):
-    """Exact-Jaccard filter of candidate (a, b) pairs via the broadcast
-    token-set map; vectorizable per batch, cheap per pair."""
-    import ray
+def _jaccard_mask(toks_a, toks_b, tau: float) -> np.ndarray:
+    """Vector of exact token-set Jaccard >= tau over two aligned string
+    columns; token strings parsed once per distinct value (pairs share
+    docs heavily inside a bucket)."""
+    cache: dict[str, frozenset] = {}
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        tm = ray.get(tok_ref)
-        keep_a, keep_b = [], []
-        for a, b in zip(batch["a"], batch["b"]):
-            sa, sb = tm[a], tm[b]
-            inter = len(sa & sb)
-            if inter and inter / (len(sa) + len(sb) - inter) >= tau:
-                keep_a.append(a)
-                keep_b.append(b)
-        return pd.DataFrame({"a": keep_a, "b": keep_b}) if keep_a \
-            else EMPTY_PAIRS
+    def fs(s: str) -> frozenset:
+        v = cache.get(s)
+        if v is None:
+            v = cache[s] = frozenset(s.split())
+        return v
 
-    return cands.map_batches(verify, batch_format="pandas")
+    out = np.zeros(len(toks_a), dtype=bool)
+    for i, (sa_s, sb_s) in enumerate(zip(toks_a, toks_b)):
+        sa, sb = fs(sa_s), fs(sb_s)
+        inter = len(sa & sb)
+        if inter and inter / (len(sa) + len(sb) - inter) >= tau:
+            out[i] = True
+    return out
+
+
+def _doc_key_dtype(docs) -> str:
+    """Declared join dtype of the doc_id column ("int64" for integer id
+    corpora like the sf testdata, else "object") — keys must keep their
+    native dtype through the join or padding upcasts them to object and
+    downstream sorts/compares diverge."""
+    import pyarrow as pa
+    sch = docs.schema()                      # ray.data.Schema wrapper
+    t = dict(zip(sch.names, sch.types))["doc_id"]
+    if isinstance(t, pa.DataType):
+        return "int64" if pa.types.is_integer(t) else "object"
+    return "int64" if np.issubdtype(np.dtype(t), np.integer) else "object"
+
+
+def _verify_pairs_join(cands, docs, tau: float, coded: bool,
+                       num_buckets: int | None = None):
+    """Exact-Jaccard verification of candidate (a, b) pairs as a
+    distributed two-hop bucket join (the round-1 driver-broadcast
+    verifier's scale fix): pairs ⋈ token sets on ``a``, the result
+    ⋈ token sets on ``b``, with the Jaccard filter applied INSIDE the
+    second join's bucket so token strings never re-enter the object
+    store.  Emits (a, b) doc ids, a < b."""
+    kt = "int64" if coded else _doc_key_dtype(docs)
+    dt = _doc_key_dtype(docs)
+    extra_a = {"doc_a": dt} if coded else {}
+    extra_b = {"doc_b": dt} if coded else {}
+
+    j1 = bucketed_join(
+        cands, _toks_ds(docs, "a", coded), "a",
+        {"a": kt, "b": kt},
+        {"a": kt, **extra_a, "toks_a": "object"},
+        num_buckets)
+
+    def verify(m: pd.DataFrame) -> pd.DataFrame:
+        if not len(m):
+            return EMPTY_PAIRS
+        keep = m[_jaccard_mask(m["toks_a"].to_numpy(),
+                               m["toks_b"].to_numpy(), tau)]
+        if not len(keep):
+            return EMPTY_PAIRS
+        if coded:
+            da = keep["doc_a"].to_numpy()
+            db = keep["doc_b"].to_numpy()
+            lo = np.minimum(da, db)
+            hi = np.maximum(da, db)
+            return pd.DataFrame({"a": lo, "b": hi})
+        return keep[["a", "b"]].reset_index(drop=True)
+
+    return bucketed_join(
+        j1, _toks_ds(docs, "b", coded), "b",
+        {"b": kt, "a": kt, **extra_a, "toks_a": "object"},
+        {"b": kt, **extra_b, "toks_b": "object"},
+        num_buckets, post=verify)
 
 
 # --------------------------------------------- exact jaccard (prefix filter)
@@ -171,7 +235,7 @@ def jaccard_pairs(docs, tau: float = 0.9):
 
     cands = bucketed_distinct(
         bucketed_groupby(index, "token", pairs_of_bucket), ["a", "b"])
-    return _verify_jaccard(cands, _token_map_ref(docs), tau)
+    return _verify_pairs_join(cands, docs, tau, coded=False)
 
 
 # ------------------------------------------------------------ MinHash LSH
@@ -232,36 +296,6 @@ def _int_pairs_of_groups(pdf: pd.DataFrame, group_keys: list[str]) -> pd.DataFra
                          "b": np.concatenate(outs_b)}).drop_duplicates()
 
 
-def _verify_coded_pairs(cands, docs, tau: float):
-    """Exact-Jaccard verification of int-coded candidate pairs via a
-    broadcast {code: (doc_id, token_set)} map (bucket-join at 10^12
-    scale); emits (a, b) as doc_id strings with a < b."""
-    import ray
-    tok_df = docs.map_batches(
-        lambda b: pd.DataFrame(
-            {"doc_id": b["doc_id"],
-             "toks": [" ".join(_token_set(t)) for t in b["text"]]}),
-        batch_format="pandas").to_pandas()
-    cmap = {_doc_code(d): (d, frozenset(t.split()))
-            for d, t in zip(tok_df["doc_id"], tok_df["toks"])}
-    ref = ray.put(cmap)
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        cm = ray.get(ref)
-        keep_a, keep_b = [], []
-        for ca, cb in zip(batch["a"].to_numpy(), batch["b"].to_numpy()):
-            da, sa = cm[ca]
-            db, sb = cm[cb]
-            inter = len(sa & sb)
-            if inter and inter / (len(sa) + len(sb) - inter) >= tau:
-                a, b = (da, db) if da < db else (db, da)
-                keep_a.append(a); keep_b.append(b)
-        return pd.DataFrame({"a": keep_a, "b": keep_b}) if keep_a \
-            else EMPTY_PAIRS
-
-    return cands.map_batches(verify, batch_format="pandas")
-
-
 def minhash_lsh_pairs(docs, tau: float = 0.9):
     """MinHash+LSH near-dup pairs, verified with exact Jaccard:
 
@@ -297,7 +331,7 @@ def minhash_lsh_pairs(docs, tau: float = 0.9):
         bucketed_groupby(bands, ["band", "band_hash"],
                          lambda p: _int_pairs_of_groups(p, ["band", "band_hash"])),
         ["a", "b"])
-    return _verify_coded_pairs(cands, docs, tau)
+    return _verify_pairs_join(cands, docs, tau, coded=True)
 
 
 # --------------------------------------------------------------- SimHash
@@ -326,8 +360,6 @@ def simhash_pairs(docs, max_hamming: int = 8):
     hamming <= 3; wider radii may miss spread bit-flips — banding
     parameters are explicit).  Exact Hamming verified per candidate;
     final pair set deduped through the bounded-bucket shuffle."""
-
-    import ray
 
     def sigs(batch: pd.DataFrame) -> pd.DataFrame:
         bands, chunks, shs, codes = [], [], [], []
@@ -372,22 +404,42 @@ def simhash_pairs(docs, max_hamming: int = 8):
     cands = bucketed_distinct(
         bucketed_groupby(bands, ["band", "chunk"], pairs_of_bucket),
         ["a", "b"])
+    return _decode_pairs_join(cands, docs)
 
-    # translate int codes back to doc_id strings (broadcast; join at scale)
-    id_df = docs.map_batches(
-        lambda b: pd.DataFrame({"doc_id": b["doc_id"]}),
-        batch_format="pandas").to_pandas()
-    rmap = {_doc_code(d): d for d in id_df["doc_id"]}
-    ref = ray.put(rmap)
 
-    def decode(batch: pd.DataFrame) -> pd.DataFrame:
-        rm = ray.get(ref)
-        a = [rm[c] for c in batch["a"]]
-        b = [rm[c] for c in batch["b"]]
-        pairs = [(x, y) if x < y else (y, x) for x, y in zip(a, b)]
-        return pd.DataFrame(pairs, columns=["a", "b"]) if pairs else EMPTY_PAIRS
+def _ids_ds(docs, key: str):
+    """(code, doc_<key>) rows — the join-side id decode table."""
 
-    return cands.map_batches(decode, batch_format="pandas")
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key: np.fromiter((_doc_code(d) for d in b["doc_id"]),
+                             np.int64, len(b)),
+            f"doc_{key}": b["doc_id"].to_numpy()})
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def _decode_pairs_join(cands, docs, num_buckets: int | None = None):
+    """Translate int-coded (a, b) pairs back to doc ids with two
+    bucketed joins on the id table — no driver-side corpus map; emits
+    doc-id pairs ordered a < b."""
+    dt = _doc_key_dtype(docs)
+    j1 = bucketed_join(cands, _ids_ds(docs, "a"), "a",
+                       {"a": "int64", "b": "int64"},
+                       {"a": "int64", "doc_a": dt}, num_buckets)
+
+    def decode(m: pd.DataFrame) -> pd.DataFrame:
+        if not len(m):
+            return EMPTY_PAIRS
+        da = m["doc_a"].to_numpy()
+        db = m["doc_b"].to_numpy()
+        return pd.DataFrame({"a": np.minimum(da, db),
+                             "b": np.maximum(da, db)})
+
+    return bucketed_join(j1, _ids_ds(docs, "b"), "b",
+                         {"b": "int64", "a": "int64", "doc_a": dt},
+                         {"b": "int64", "doc_b": dt},
+                         num_buckets, post=decode)
 
 
 # ----------------------------------------------------- embedding near-dup

@@ -12,9 +12,21 @@ shuffle: rows are hash-partitioned on the key columns into
 ``num_buckets`` buckets map-side, Ray shuffles ONLY the small integer
 bucket key, and a pandas function sees every row of each bucket — so
 any per-key computation inside it is complete and exact.  This is the
-same data movement a hash shuffle performs on a real cluster; at
-10^12-row scale ``num_buckets`` grows with the cluster, not with key
-cardinality.
+same data movement a hash shuffle performs on a real cluster.
+
+``bucketed_join`` is the equi-join built on the same primitive: both
+sides are hash-bucketed on the join key, unioned into one stream (with
+an explicit unified schema so blocks stay Arrow-convertible), and each
+bucket runs one pandas merge — the standard distributed hash join.  It
+exists so candidate-pair verification can join pairs against per-doc
+payloads WITHOUT broadcasting a whole-corpus map to the driver.
+
+Bucket sizing: ``num_buckets=None`` derives the count from the cluster
+CPU count (2 per core, floor 32) and, when the caller can estimate it,
+the input size — per-bucket memory is ~``data_bytes / num_buckets``, so
+buckets must grow with the input, not stay fixed.  Outputs are
+bucket-count invariant (property-tested), so sizing is purely a
+memory/parallelism dial.
 
 Keys must be flat (string/int/float) columns; buckets are assigned with
 a deterministic stable hash so results are reproducible across runs and
@@ -27,6 +39,26 @@ import numpy as np
 import pandas as pd
 
 BUCKET_COL = "__bucket"
+SIDE_COL = "__side"
+
+# per-bucket payload target when the caller supplies a size estimate:
+# one bucket's rows materialize in one map_groups task
+TARGET_BUCKET_BYTES = 256 << 20
+
+
+def auto_num_buckets(size_bytes: int | None = None,
+                     min_buckets: int = 32) -> int:
+    """Bucket count scaled to the cluster (2/core) and, if estimable,
+    the input size (≥ size/256MB so one bucket fits a task heap)."""
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or 32
+    except Exception:                                      # noqa: BLE001
+        cpus = 32
+    nb = max(min_buckets, 2 * cpus)
+    if size_bytes:
+        nb = max(nb, -(-int(size_bytes) // TARGET_BUCKET_BYTES))
+    return nb
 
 
 def _bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:
@@ -37,7 +69,8 @@ def _bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarra
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
-def bucketed_groupby(ds, keys: list[str] | str, fn, num_buckets: int = 32):
+def bucketed_groupby(ds, keys: list[str] | str, fn,
+                     num_buckets: int | None = None):
     """Exact grouped computation over arbitrarily many keys.
 
     ``fn(pdf) -> pdf`` receives one complete hash bucket (every row of
@@ -45,10 +78,11 @@ def bucketed_groupby(ds, keys: list[str] | str, fn, num_buckets: int = 32):
     inside.  The Ray-level shuffle sees ``num_buckets`` groups only.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
+    nb = num_buckets or auto_num_buckets()
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df[BUCKET_COL] = (_bucket_of(df, keys, num_buckets)
+        df[BUCKET_COL] = (_bucket_of(df, keys, nb)
                           if len(df) else np.array([], dtype=np.int64))
         return df
 
@@ -59,7 +93,7 @@ def bucketed_groupby(ds, keys: list[str] | str, fn, num_buckets: int = 32):
 
 
 def bucketed_agg(ds, keys: list[str] | str, aggs: dict[str, tuple[str, str]],
-                 num_buckets: int = 32):
+                 num_buckets: int | None = None):
     """Named-aggregation convenience: ``aggs`` as in pandas
     ``DataFrame.agg`` — {out_col: (in_col, how)}."""
     keys = [keys] if isinstance(keys, str) else list(keys)
@@ -72,8 +106,93 @@ def bucketed_agg(ds, keys: list[str] | str, aggs: dict[str, tuple[str, str]],
     return bucketed_groupby(ds, keys, agg, num_buckets)
 
 
-def bucketed_distinct(ds, keys: list[str] | str, num_buckets: int = 32):
+def bucketed_distinct(ds, keys: list[str] | str,
+                      num_buckets: int | None = None):
     """Global DISTINCT over the key columns."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     return bucketed_groupby(
         ds, keys, lambda pdf: pdf.drop_duplicates(keys)[keys], num_buckets)
+
+
+def _pad_to_schema(df: pd.DataFrame, schema: dict[str, str],
+                   side: int) -> pd.DataFrame:
+    """Project ``df`` onto the unified join schema: missing columns are
+    filled with a dtype-appropriate default (0 / "" / NaN) so every
+    block has identical names AND dtypes — mixed-type object columns
+    would break Arrow block conversion mid-shuffle."""
+    out = pd.DataFrame(index=df.index)
+    for col, dtype in schema.items():
+        if col in df.columns:
+            out[col] = df[col].to_numpy() if dtype != "object" else df[col]
+        elif dtype == "object":
+            out[col] = ""
+        else:
+            out[col] = np.zeros(len(df), dtype=dtype)
+        if dtype != "object":
+            out[col] = out[col].astype(dtype)
+    out[SIDE_COL] = np.full(len(df), side, dtype=np.int8)
+    return out
+
+
+def bucketed_join(left, right, on: str,
+                  left_schema: dict[str, str], right_schema: dict[str, str],
+                  num_buckets: int | None = None, post=None):
+    """Distributed inner equi-join on one key column present in BOTH
+    sides under the same name and dtype.
+
+    ``left_schema`` / ``right_schema`` declare each side's full column
+    set as {col: dtype-str} (``"int64"``, ``"object"``, ...); non-key
+    columns must be DISJOINT between sides so output ownership is
+    unambiguous.  Both sides are hash-bucketed on ``on``'s VALUES,
+    projected onto the unified schema (padded columns get 0/"" so every
+    block keeps identical, Arrow-convertible dtypes), unioned, and each
+    bucket runs one pandas merge over the sides' real columns only.
+
+    This is the broadcast-free path for candidate-pair verification:
+    pairs ⋈ per-doc payloads moves only payload rows through the
+    shuffle — never a driver-side whole-corpus map.
+
+    ``post(merged_pdf) -> pdf`` (optional) runs on each bucket's merge
+    result INSIDE the map_groups task — use it to verify/shrink rows
+    (e.g. drop heavy payload columns) before they re-enter the object
+    store.  It must handle empty input and return a stable schema.
+    """
+    overlap = (set(left_schema) & set(right_schema)) - {on}
+    if overlap:
+        raise ValueError(f"non-key columns present on both sides: {overlap}")
+    if left_schema[on] != right_schema[on]:
+        raise ValueError(
+            f"join key dtype mismatch: {left_schema[on]} vs {right_schema[on]}")
+    schema = {**left_schema, **{k: v for k, v in right_schema.items()
+                                if k != on}}
+    lcols = list(left_schema)
+    rcols = list(right_schema)
+    nb = num_buckets or auto_num_buckets()
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = _pad_to_schema(df, schema, side)
+            # hash a dtype-CANONICAL view of the key: blocks round-trip
+            # through Arrow/pandas between stages, and hash_pandas_object
+            # hashes int64 and object(int) columns differently — without
+            # this, equal keys land in different buckets per side
+            kv = df[[on]].copy()
+            kv[on] = (kv[on].astype(object) if schema[on] == "object"
+                      else kv[on].astype(schema[on]))
+            out[BUCKET_COL] = (_bucket_of(kv, [on], nb)
+                               if len(df) else np.array([], dtype=np.int64))
+            return out
+        return fn
+
+    lt = left.map_batches(tag(0), batch_format="pandas")
+    rt = right.map_batches(tag(1), batch_format="pandas")
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g[SIDE_COL] == 0][lcols]
+        r = g[g[SIDE_COL] == 1][rcols]
+        merged = l.merge(r, on=on, how="inner")[list(schema)]
+        return post(merged) if post is not None else merged
+
+    return (lt.union(rt)
+            .groupby(BUCKET_COL)
+            .map_groups(merge_bucket, batch_format="pandas"))

@@ -5,23 +5,28 @@ Scale design: versions are *rare* (a re-uploaded document), so instead
 of shuffling every row through ``groupby(base_id)`` we do a two-phase
 broadcast semi-join:
 
-  1. light pass over (base_id, version) only: per-batch partial max +
-     count → small ``groupby`` over the partials → keep only base_ids
-     that actually have >1 distinct version (tiny in practice);
+  1. light pass over (base_id, version) only: per-batch distinct
+     combiner → DISTRIBUTED aggregate (bounded-bucket shuffle) with the
+     ``>1 distinct version`` filter applied inside each bucket — only
+     base_ids that are actually multi-versioned (tiny in practice) ever
+     reach the driver;
   2. ``ray.put`` that {base_id: max_version} dict once; filter inside
      ``map_batches`` — no full shuffle of document payloads.
 
-The (rare) pathological case — nearly every doc versioned — degrades to
-a groupby over (base_id, version) pairs, still never over payloads.
+The (rare) pathological case — nearly every doc versioned — still only
+collects the multi-version keys, never the whole id universe; the
+shuffle stays over (base_id, version) pairs, never payloads.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 
 from ..functions.textkit import split_versioned_doc_id
+from ..ops.shuffle import bucketed_groupby
 
 
 def _base_ver(batch: pa.Table) -> pa.Table:
@@ -31,29 +36,35 @@ def _base_ver(batch: pa.Table) -> pa.Table:
                      "version": pa.array(vers, pa.int64())})
 
 
-def _partial_max(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: one (base_id, max version, n versions) row per
-    base_id — shrinks the shuffle input to distinct-keys-per-batch."""
-    import pandas as pd
-    df = batch.to_pandas()
-    g = df.groupby("base_id")["version"].agg(["max", "nunique"]).reset_index()
-    g.columns = ["base_id", "max_version", "n_versions"]
-    return pa.Table.from_pandas(g, preserve_index=False)
+def _distinct_bv(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: distinct (base_id, version) rows — shrinks
+    the shuffle input to distinct-keys-per-batch."""
+    df = batch.to_pandas().drop_duplicates()
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _multi_version_max(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per bucket (sees ALL rows of its base_ids): keep only base_ids
+    with >1 distinct version, with their max version — the n>1 filter
+    runs BEFORE anything returns toward the driver."""
+    g = pdf.groupby("base_id")["version"].agg(["max", "nunique"])
+    g = g[g["nunique"] > 1]
+    return pd.DataFrame({"base_id": g.index,
+                         "max_version": g["max"].astype("int64")})
 
 
 def compute_latest_versions(docs) -> dict[str, int]:
-    """→ {base_id: latest_version} for base_ids with >1 version."""
-    import pandas as pd
-    partials = (docs.select_columns(["doc_id"])
-                .map_batches(_base_ver, batch_format="pyarrow")
-                .map_batches(_partial_max, batch_format="pyarrow"))
-    pdf = partials.to_pandas()
-    if pdf.empty:
+    """→ {base_id: latest_version} for base_ids with >1 version.
+    Fully distributed; the collected frame holds multi-version keys
+    ONLY (re-uploaded documents — rare), never the id universe."""
+    dup = bucketed_groupby(
+        (docs.select_columns(["doc_id"])
+         .map_batches(_base_ver, batch_format="pyarrow")
+         .map_batches(_distinct_bv, batch_format="pyarrow")),
+        "base_id", _multi_version_max).to_pandas()
+    if dup.empty:
         return {}
-    agg = pdf.groupby("base_id").agg(
-        max_version=("max_version", "max"), n=("n_versions", "sum"))
-    dup = agg[agg["n"] > 1]
-    return dict(zip(dup.index, dup["max_version"].astype(int)))
+    return dict(zip(dup["base_id"], dup["max_version"].astype(int)))
 
 
 def latest_version_filter(docs, ids=None):

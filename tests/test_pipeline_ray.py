@@ -143,3 +143,27 @@ def test_poison_row_becomes_error_record(ray_session):
     assert len(healthy) == len(golden)
     assert list(healthy.sort_values("span_idx")["text"]) == \
         [g["text"] for g in golden]
+
+
+def test_version_dedup_all_versioned(ray_session):
+    """~100% of docs versioned: the distributed aggregate must still
+    return exactly the multi-version base_ids (with max version), and a
+    doc with duplicate same-version rows must NOT count as
+    multi-versioned."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.schema import SPAN_STRUCT
+    from automatic_reference_extractor_ray.stages.dedup_version import (
+        compute_latest_versions)
+    ids = []
+    for i in range(500):
+        ids += [f"d{i}~1", f"d{i}~3"]
+    ids += ["solo~2", "solo~2"]          # duplicated single-version rows
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.string()),
+        "spans": pa.array([[] for _ in ids], pa.list_(SPAN_STRUCT))}))
+    latest = compute_latest_versions(ds)
+    assert len(latest) == 500
+    assert "solo" not in latest
+    assert all(v == 3 for v in latest.values())

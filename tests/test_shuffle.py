@@ -1,0 +1,103 @@
+"""Bounded-bucket shuffle primitives: join correctness and the
+bucket-count invariance property (outputs must not depend on the
+parallelism dial)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ds(df):
+    import ray.data as rd
+    return rd.from_pandas(df)
+
+
+def _pairs_df(n=200, seed=7):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({"a": rng.integers(0, 40, n),
+                         "b": rng.integers(0, 40, n)})
+
+
+def _lookup_df():
+    return pd.DataFrame({"a": np.arange(40),
+                         "payload": [f"p{i}" for i in range(40)]})
+
+
+def _norm(df):
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_bucketed_join_matches_pandas_merge(ray_session):
+    from automatic_reference_extractor_ray.ops.shuffle import bucketed_join
+    pairs, lk = _pairs_df(), _lookup_df()
+    got = bucketed_join(_ds(pairs), _ds(lk), "a",
+                        {"a": "int64", "b": "int64"},
+                        {"a": "int64", "payload": "object"},
+                        num_buckets=8).to_pandas()
+    exp = pairs.merge(lk, on="a", how="inner")
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp))
+
+
+def test_bucketed_join_string_key_and_post(ray_session):
+    from automatic_reference_extractor_ray.ops.shuffle import bucketed_join
+    left = pd.DataFrame({"k": list("abcabc"), "x": np.arange(6)})
+    right = pd.DataFrame({"k": list("abd"), "y": ["ya", "yb", "yd"]})
+    got = bucketed_join(
+        _ds(left), _ds(right), "k",
+        {"k": "object", "x": "int64"}, {"k": "object", "y": "object"},
+        num_buckets=4,
+        post=lambda m: m[m["x"] % 2 == 0][["k", "y"]]).to_pandas()
+    exp = left.merge(right, on="k")
+    exp = exp[exp["x"] % 2 == 0][["k", "y"]]
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp))
+
+
+def test_bucketed_join_rejects_ambiguous_schemas(ray_session):
+    from automatic_reference_extractor_ray.ops.shuffle import bucketed_join
+    with pytest.raises(ValueError, match="both sides"):
+        bucketed_join(_ds(_pairs_df()), _ds(_pairs_df()), "a",
+                      {"a": "int64", "b": "int64"},
+                      {"a": "int64", "b": "int64"})
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        bucketed_join(_ds(_pairs_df()), _ds(_lookup_df()), "a",
+                      {"a": "int64", "b": "int64"},
+                      {"a": "object", "payload": "object"})
+
+
+@pytest.mark.parametrize("nb", [3, 8, 64])
+def test_bucket_count_invariance(ray_session, nb):
+    """Aggregates, distinct and joins are pure functions of the data —
+    the bucket count is a memory/parallelism dial only."""
+    from automatic_reference_extractor_ray.ops.shuffle import (
+        bucketed_agg, bucketed_distinct, bucketed_join)
+    pairs = _pairs_df(300, seed=11)
+    agg = bucketed_agg(_ds(pairs), "a", {"n": ("b", "size"),
+                                         "mx": ("b", "max")},
+                       num_buckets=nb).to_pandas()
+    exp_agg = pairs.groupby("a").agg(n=("b", "size"),
+                                     mx=("b", "max")).reset_index()
+    pd.testing.assert_frame_equal(_norm(agg), _norm(exp_agg),
+                                  check_dtype=False)
+
+    dist = bucketed_distinct(_ds(pairs), ["a", "b"],
+                             num_buckets=nb).to_pandas()
+    pd.testing.assert_frame_equal(_norm(dist),
+                                  _norm(pairs.drop_duplicates()))
+
+    lk = _lookup_df()
+    j = bucketed_join(_ds(pairs), _ds(lk), "a",
+                      {"a": "int64", "b": "int64"},
+                      {"a": "int64", "payload": "object"},
+                      num_buckets=nb).to_pandas()
+    pd.testing.assert_frame_equal(_norm(j), _norm(pairs.merge(lk, on="a")))
+
+
+def test_auto_num_buckets_scales():
+    from automatic_reference_extractor_ray.ops.shuffle import (
+        TARGET_BUCKET_BYTES, auto_num_buckets)
+    base = auto_num_buckets()
+    assert base >= 32
+    # size-aware: a 100 GiB input must get >= size/target buckets
+    big = auto_num_buckets(size_bytes=100 << 30)
+    assert big >= (100 << 30) // TARGET_BUCKET_BYTES
+    assert auto_num_buckets(size_bytes=1) == base
