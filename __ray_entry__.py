@@ -254,6 +254,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from automatic_reference_extractor_ray.ops.dedup import embedding_dup_pairs
         return embedding_dup_pairs(_read(sf, "embeddings"), tau=EMB_TAU)
 
+    def dedup_embedding_lsh_q(sf):
+        from automatic_reference_extractor_ray.ops.dedup import (
+            embedding_dup_pairs_lsh)
+        return embedding_dup_pairs_lsh(_read(sf, "embeddings"), tau=EMB_TAU)
+
     # ---- similarity search ----
     def ann_topk_q(sf):
         from automatic_reference_extractor_ray.ops.ann import brute_force_topk
@@ -319,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup_minhash_q,
         "dedup_simhash": dedup_simhash_q,
         "dedup_embedding": dedup_embedding_q,
+        "dedup_embedding_lsh": dedup_embedding_lsh_q,
         "ann_topk": ann_topk_q,
         "ann_lsh": ann_lsh_q,
         "ann_ivf": ann_ivf_q,
@@ -594,6 +600,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM m GROUP BY user_id""",
-        # dedup_minhash / dedup_simhash / ann_lsh are approximate by
-        # design → rows-only checks (no SQL equivalent claimed).
+        # dedup_minhash / dedup_simhash / dedup_embedding_lsh / ann_lsh /
+        # ann_ivf are approximate by design → rows-only checks (no SQL
+        # equivalent claimed); recall vs the exact baselines is asserted
+        # in pytest instead.
     }

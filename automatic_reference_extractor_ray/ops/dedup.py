@@ -448,7 +448,8 @@ def embedding_dup_pairs(embeddings, tau: float = 0.4):
     """Cosine >= tau pairs over an embedding column: the full normalized
     matrix is broadcast once (ray.put) and every block computes its
     rows x all via one float64 matmul.  O(n^2) work, O(n*d) broadcast —
-    the brute-force baseline; the LSH/IVF scale path is in ops/ann.py."""
+    the brute-force ORACLE baseline; ``embedding_dup_pairs_lsh`` below
+    is the bucketed scale path."""
     import ray
 
     mat_df = embeddings.select_columns(["vec_id", "embedding"]).to_pandas()
@@ -474,3 +475,101 @@ def embedding_dup_pairs(embeddings, tau: float = 0.4):
                           "b": pd.Series([], dtype="int64")})
 
     return embeddings.map_batches(block, batch_format="pandas")
+
+
+EMB_LSH_TABLES = 16
+EMB_LSH_PLANES = 3
+# collision prob of one table at cos=0.4 (θ≈66°): (1-θ/π)^3 ≈ 0.25 →
+# 16 tables: 1-(1-.25)^16 ≈ 0.99 theoretical recall at the threshold;
+# tighter (higher-cos) pairs collide more often.  Measured recall on
+# the synthetic embeddings: 12 tables → 0.94, 16 → asserted ≥ 0.95 in
+# tests — table count is the recall/cost dial.
+
+_emb_plane_cache: dict = {}
+
+
+def _emb_planes(table: int, dim: int) -> np.ndarray:
+    key = (table, dim)
+    if key not in _emb_plane_cache:
+        rng = np.random.default_rng(0xE1B000 + table)
+        _emb_plane_cache[key] = rng.standard_normal((EMB_LSH_PLANES, dim))
+    return _emb_plane_cache[key]
+
+
+def _emb_side(embeddings, key: str):
+    """(key=vec_id, emb_<key>=embedding) join side."""
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({key: b["vec_id"].astype("int64").to_numpy(),
+                             f"emb_{key}": b["embedding"]})
+
+    return embeddings.map_batches(fn, batch_format="pandas")
+
+
+def embedding_dup_pairs_lsh(embeddings, tau: float = 0.4,
+                            n_tables: int = EMB_LSH_TABLES,
+                            num_buckets: int | None = None):
+    """Bucketed embedding near-dup — the 10^12-row path the brute-force
+    matmul can't take:
+
+      1. sign-random-projection signatures, ``n_tables`` independent
+         3-plane tables per vector (one matmul per block; planes are
+         regenerated deterministically per (table, dim) in every task —
+         nothing broadcast);
+      2. per (table, signature) bucket: numpy upper-triangle candidate
+         pairs of the bucket's vec_ids (int64 only through the shuffle);
+      3. global pair DISTINCT (bounded-bucket shuffle);
+      4. exact-cosine verification as a two-hop bucketed join of pairs
+         against the embedding column — same join shape as the token-set
+         verifiers above; vectors move through the shuffle once per hop,
+         never to the driver.
+
+    Recall < 1 by design (pairs missed by every table are lost) —
+    rows-only checked; recall vs ``embedding_dup_pairs`` measured in
+    tests.  Precision is 1 (exact verification)."""
+
+    def sigs(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        ids = b["vec_id"].astype("int64").to_numpy()
+        tables, ss, hh = [], [], []
+        for t in range(n_tables):
+            bits = (m @ _emb_planes(t, m.shape[1]).T) > 0
+            sig = (bits * (1 << np.arange(EMB_LSH_PLANES))).sum(axis=1)
+            tables.append(np.full(len(ids), t, dtype=np.int64))
+            ss.append(sig.astype(np.int64))
+            hh.append(ids)
+        return pd.DataFrame({"table": np.concatenate(tables),
+                             "sig": np.concatenate(ss),
+                             "h": np.concatenate(hh)})
+
+    bands = embeddings.map_batches(sigs, batch_format="pandas")
+    cands = bucketed_distinct(
+        bucketed_groupby(bands, ["table", "sig"],
+                         lambda p: _int_pairs_of_groups(p, ["table", "sig"])),
+        ["a", "b"], num_buckets)
+
+    j1 = bucketed_join(cands, _emb_side(embeddings, "a"), "a",
+                       {"a": "int64", "b": "int64"},
+                       {"a": "int64", "emb_a": "object"}, num_buckets)
+
+    def verify(m: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64")})
+        if not len(m):
+            return empty
+        ea = np.stack(m["emb_a"].to_numpy()).astype(np.float64)
+        eb = np.stack(m["emb_b"].to_numpy()).astype(np.float64)
+        ea /= np.linalg.norm(ea, axis=1, keepdims=True)
+        eb /= np.linalg.norm(eb, axis=1, keepdims=True)
+        cos = np.einsum("ij,ij->i", ea, eb)
+        keep = m[cos >= tau]
+        if not len(keep):
+            return empty
+        return pd.DataFrame({"a": keep["a"].astype("int64").to_numpy(),
+                             "b": keep["b"].astype("int64").to_numpy()})
+
+    return bucketed_join(j1, _emb_side(embeddings, "b"), "b",
+                         {"b": "int64", "a": "int64", "emb_a": "object"},
+                         {"b": "int64", "emb_b": "object"},
+                         num_buckets, post=verify)

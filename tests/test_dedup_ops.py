@@ -94,3 +94,23 @@ def test_exact_dedup_groups(ray_session):
     dup = out[out["n_dups"] == 2]
     assert len(dup) == 1 and dup["keeper_doc_id"].iloc[0] == "d1"
     assert len(out) == 2
+
+
+def _emb_ds():
+    import ray.data as rd
+    return rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_embedding_lsh_recall_vs_brute_force(ray_session):
+    """The bucketed LSH path must recover >=95% of the exact cosine
+    pairs at tau=0.4, with perfect precision (exact verification)."""
+    from automatic_reference_extractor_ray.ops.dedup import (
+        embedding_dup_pairs, embedding_dup_pairs_lsh)
+    exact = {(r["a"], r["b"])
+             for r in embedding_dup_pairs(_emb_ds(), tau=0.4).take_all()}
+    lsh = {(r["a"], r["b"])
+           for r in embedding_dup_pairs_lsh(_emb_ds(), tau=0.4).take_all()}
+    assert exact, "baseline produced no pairs — test corpus changed?"
+    assert lsh <= exact                       # precision 1
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.3f} ({len(lsh)}/{len(exact)})"
