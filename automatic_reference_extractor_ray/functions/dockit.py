@@ -19,6 +19,7 @@ from __future__ import annotations
 from .fields import EMPTY_FIELDS, parse_fields
 from .htmlrefs import extract_html_refs, has_cite, map_html_cite_fields
 from .segment import segment_text
+from .textkit import repair_title_line
 from .xmlrefs import extract_xml_citations
 
 FIELD_KEYS = ["authors", "title", "journal", "date", "publisher",
@@ -57,5 +58,7 @@ def extract_text_unit(text: str, min_len: int = 5) -> list[dict]:
             for f in map_html_cite_fields(text):
                 recs.append(_rec(str(f["raw"]), "Mapping", "Mapping", f))
         return recs
+    # M10: converted text first-line "title|..." repair runs only on
+    # the plain-text route, like the reference's prepareText
     return [_rec(raw, "ParsCit", "ParsCit", parse_fields(raw))
-            for raw in segment_text(text, min_len)]
+            for raw in segment_text(repair_title_line(text), min_len)]

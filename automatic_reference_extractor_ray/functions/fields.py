@@ -8,11 +8,21 @@ deterministic rule-based parser producing the same field set:
     authors (list), title, journal, date, publisher, location,
     volume, issue, pages
 
-Field semantics follow the Grobid TEI mapper (M12): authors are joined
-"First [Middle] Last"-style name strings; pages are ``from-to``
-(imgProcessing.py:948-956); date is the publication year.  Three
-recognized citation shapes (the synthetic-corpus templates) parse
-exactly; anything else falls back to year/sentence heuristics.
+Field semantics follow the Grobid TEI mapper (M12):
+
+  - authors are joined "First [Middle] Last"-style name strings
+    (imgProcessing.py:816-846); EDITORS are ignored — the mapper reads
+    ``<author>`` tags only, so "(ed.)" citations yield empty authors;
+  - pages are ``from-to`` when both ends exist (biblScope[to],
+    imgProcessing.py:948-951) and the bare ``from`` value otherwise
+    (the unit="page" fallback, :952-956);
+  - date is the publication year; issue/volume from biblScope units.
+
+Recognized shapes (all exercised by the synthetic corpus with
+generator-truth fields): journal article with multi-author comma lists
+("A., B., and C."), no-issue and from-only-page variants, book,
+editor book, surname-style.  Anything else degrades to year/sentence
+heuristics.
 """
 
 from __future__ import annotations
@@ -29,18 +39,37 @@ EMPTY_FIELDS: dict[str, object] = {
 # xmlProcessing.py:95).
 MARKER_PREFIX_RE = re.compile(r"^\s*(?:\[\d+\]|\d+[.)])\s+")
 
-# T1 journal article: "Last, A. and Last2, B. (1999). Title words. Journal Name, 12(3), 45-67."
+_AUTH = r"(?P<auth>.+?)"
+_YEAR = r"\((?P<year>(?:19|20)\d{2})\)\. "
+_TITLE = r"(?P<title>[^.]+)\. "
+
+# T1 journal article: "Last, A. and Last2, B. (1999). Title. Journal, 12(3), 45-67."
 _T1 = re.compile(
-    r"^(?P<auth>.+?) \((?P<year>(?:19|20)\d{2})\)\. "
-    r"(?P<title>[^.]+)\. (?P<journal>[^,.]+), "
+    rf"^{_AUTH} {_YEAR}{_TITLE}(?P<journal>[^,.]+), "
     r"(?P<vol>\d+)\((?P<iss>\d+)\), (?P<p1>\d+)-(?P<p2>\d+)\.$")
 
-# T2 book: "Last, A. (2001). Title words. Publisher Name, City."
-_T2 = re.compile(
-    r"^(?P<auth>.+?) \((?P<year>(?:19|20)\d{2})\)\. "
-    r"(?P<title>[^.]+)\. (?P<publisher>[^,.]+), (?P<loc>[^,.]+)\.$")
+# T6 from-only page: "... Journal, 12(3), 45."  (biblScope unit="page")
+_T6 = re.compile(
+    rf"^{_AUTH} {_YEAR}{_TITLE}(?P<journal>[^,.]+), "
+    r"(?P<vol>\d+)\((?P<iss>\d+)\), (?P<p1>\d+)\.$")
 
-# T3 surname-style: "Last and Last2. Title words. Journal Name 12:45-67, 1999."
+# T7 no-issue journal: "... Journal, 12, 45-67."
+_T7 = re.compile(
+    rf"^{_AUTH} {_YEAR}{_TITLE}(?P<journal>[^,.]+), "
+    r"(?P<vol>\d+), (?P<p1>\d+)-(?P<p2>\d+)\.$")
+
+# T5 editor book: "Last, A. (ed.) (2001). Title. Publisher, City."
+# — MUST be tried before T2, whose lazy author group would swallow
+# "(ed.)"; the TEI mapper ignores editors, so authors come out EMPTY.
+_T5 = re.compile(
+    rf"^(?P<eds>.+?) \(ed\.\) {_YEAR}{_TITLE}"
+    r"(?P<publisher>[^,.]+), (?P<loc>[^,.]+)\.$")
+
+# T2 book: "Last, A. (2001). Title. Publisher, City."
+_T2 = re.compile(
+    rf"^{_AUTH} {_YEAR}{_TITLE}(?P<publisher>[^,.]+), (?P<loc>[^,.]+)\.$")
+
+# T3 surname-style: "Last and Last2. Title. Journal Name 12:45-67, 1999."
 _T3 = re.compile(
     r"^(?P<auth>[A-Z][A-Za-z]+(?: and [A-Z][A-Za-z]+)?)\. "
     r"(?P<title>[^.]+)\. (?P<journal>.+?) "
@@ -48,13 +77,25 @@ _T3 = re.compile(
 
 _YEAR_RE = re.compile(r"\b(19|20)\d{2}\b")
 
+# author-list boundary: after an initial's period, before the next
+# capitalized surname — "Last, A., Last2, B." splits there while the
+# comma inside "Last, A." does not
+_AUTH_SPLIT_RE = re.compile(r"(?<=\.)\s*,\s+(?=[A-Z])")
+
 
 def strip_marker(raw: str) -> str:
     return MARKER_PREFIX_RE.sub("", raw, count=1)
 
 
 def _split_authors(auth: str) -> list[str]:
-    return [a.strip() for a in auth.split(" and ") if a.strip()]
+    """"A, B. and C, D." / "A, B., C, D., and E, F." / "A and B" →
+    individual name strings (the TEI mapper emits one <author> per
+    name; this is the flat-string equivalent)."""
+    auth = re.sub(r",? and ", "\x00", auth)
+    parts: list[str] = []
+    for chunk in _AUTH_SPLIT_RE.split(auth):
+        parts.extend(p.strip() for p in chunk.split("\x00"))
+    return [p for p in parts if p]
 
 
 def parse_fields(raw: str) -> dict[str, object]:
@@ -68,6 +109,24 @@ def parse_fields(raw: str) -> dict[str, object]:
         f.update(authors=_split_authors(m["auth"]), title=m["title"],
                  journal=m["journal"], date=m["year"], volume=m["vol"],
                  issue=m["iss"], pages=f"{m['p1']}-{m['p2']}")
+        return f
+    m = _T6.match(s)
+    if m:
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 journal=m["journal"], date=m["year"], volume=m["vol"],
+                 issue=m["iss"], pages=m["p1"])
+        return f
+    m = _T7.match(s)
+    if m:
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 journal=m["journal"], date=m["year"], volume=m["vol"],
+                 pages=f"{m['p1']}-{m['p2']}")
+        return f
+    m = _T5.match(s)
+    if m:
+        # editors ignored (TEI mapper reads <author> only) → authors []
+        f.update(title=m["title"], date=m["year"],
+                 publisher=m["publisher"], location=m["loc"])
         return f
     m = _T2.match(s)
     if m:

@@ -96,3 +96,30 @@ def split_versioned_doc_id(doc_id: str) -> tuple[str, int]:
         return base, int(ver)
     except ValueError:
         return doc_id, 0
+
+
+_DIGIT_RUN_RE = re.compile(r"\d+")
+
+
+def natsort_key(s: str) -> str:
+    """Flat natural-order sort key: every digit run zero-padded to 12
+    chars, so lexicographic order of keys == natural order of strings
+    ("doc2" < "doc10").  String-typed so it sorts inside Arrow blocks
+    (O4; the reference uses natsort.natsorted on its result list)."""
+    return _DIGIT_RUN_RE.sub(lambda m: m.group(0).zfill(12), s)
+
+
+def repair_title_line(text: str) -> str:
+    """M10 pdf-inspector title repair: the converter prepends
+    ``title|`` to the first line; keep the SECOND ``|``-segment
+    (production-version/textProcessing.py:95-104, ``firstline[1]``).
+    Quirk-exact: with three or more segments the kept segment carries
+    no newline, so the original second line concatenates onto it —
+    exactly what the reference's readlines/write round-trip does."""
+    lines = text.splitlines(keepends=True)
+    if not lines:
+        return text
+    first = lines[0].split("|")
+    if len(first) > 1:
+        lines[0] = first[1]
+    return "".join(lines)

@@ -61,38 +61,77 @@ def _author(rng: np.random.Generator) -> str:
 
 
 def gen_citation(rng: np.random.Generator) -> Citation:
-    """One deterministic citation; template mix T1/T1/T2/T3."""
-    t = int(rng.integers(0, 4))
+    """One deterministic citation; template mix (M12 shape coverage):
+
+      0,1  T1 journal article (1-2 authors, "A. and B.")
+      2    T2 book
+      3    T3 surname-style
+      4    T4 journal article, 3-author comma list ("A., B., and C.")
+      5    T5 editor book ("Last, A. (ed.) ..."): the TEI mapper reads
+           <author> tags only, so ground-truth authors are EMPTY
+      6    T6 journal article, from-only page (biblScope unit="page")
+      7    T7 journal article, volume but no issue
+    """
+    t = int(rng.integers(0, 8))
     year = str(int(rng.integers(1970, 2024)))
     title = _title(rng)
     f = dict(EMPTY_FIELDS)
     f["title"] = title
     f["date"] = year
-    if t <= 1:  # journal article
+
+    def journal_bits():
+        return (_pick(rng, JOURNALS), str(int(rng.integers(1, 60))),
+                str(int(rng.integers(1, 13))), int(rng.integers(1, 400)))
+
+    if t <= 1:  # T1 journal article
         authors = [_author(rng) for _ in range(int(rng.integers(1, 3)))]
-        journal = _pick(rng, JOURNALS)
-        vol = str(int(rng.integers(1, 60)))
-        iss = str(int(rng.integers(1, 13)))
-        p1 = int(rng.integers(1, 400))
+        journal, vol, iss, p1 = journal_bits()
         p2 = p1 + int(rng.integers(2, 40))
         raw = (f"{' and '.join(authors)} ({year}). {title}. {journal}, "
                f"{vol}({iss}), {p1}-{p2}.")
         f.update(authors=authors, journal=journal, volume=vol, issue=iss,
                  pages=f"{p1}-{p2}")
-    elif t == 2:  # book
+    elif t == 2:  # T2 book
         authors = [_author(rng)]
         publisher = _pick(rng, PUBLISHERS)
         city = _pick(rng, CITIES)
         raw = f"{authors[0]} ({year}). {title}. {publisher}, {city}."
         f.update(authors=authors, publisher=publisher, location=city)
-    else:  # surname-style
+    elif t == 3:  # T3 surname-style
         authors = [_pick(rng, SURNAMES) for _ in range(int(rng.integers(1, 3)))]
-        journal = _pick(rng, JOURNALS)
-        vol = str(int(rng.integers(1, 60)))
-        p1 = int(rng.integers(1, 400))
+        journal, vol, _, p1 = journal_bits()
         p2 = p1 + int(rng.integers(2, 40))
         raw = (f"{' and '.join(authors)}. {title}. {journal} "
                f"{vol}:{p1}-{p2}, {year}.")
+        f.update(authors=authors, journal=journal, volume=vol,
+                 pages=f"{p1}-{p2}")
+    elif t == 4:  # T4 three-author comma list
+        authors = [_author(rng) for _ in range(3)]
+        journal, vol, iss, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f"{authors[0]}, {authors[1]}, and {authors[2]} ({year}). "
+               f"{title}. {journal}, {vol}({iss}), {p1}-{p2}.")
+        f.update(authors=authors, journal=journal, volume=vol, issue=iss,
+                 pages=f"{p1}-{p2}")
+    elif t == 5:  # T5 editor book — editors are NOT authors (TEI mapper)
+        editor = _author(rng)
+        publisher = _pick(rng, PUBLISHERS)
+        city = _pick(rng, CITIES)
+        raw = f"{editor} (ed.) ({year}). {title}. {publisher}, {city}."
+        f.update(publisher=publisher, location=city)     # authors stay []
+    elif t == 6:  # T6 from-only page
+        authors = [_author(rng)]
+        journal, vol, iss, p1 = journal_bits()
+        raw = (f"{authors[0]} ({year}). {title}. {journal}, "
+               f"{vol}({iss}), {p1}.")
+        f.update(authors=authors, journal=journal, volume=vol, issue=iss,
+                 pages=str(p1))
+    else:  # T7 no-issue journal
+        authors = [_author(rng) for _ in range(int(rng.integers(1, 3)))]
+        journal, vol, _, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f"{' and '.join(authors)} ({year}). {title}. {journal}, "
+               f"{vol}, {p1}-{p2}.")
         f.update(authors=authors, journal=journal, volume=vol,
                  pages=f"{p1}-{p2}")
     return Citation(raw=raw, fields=f)

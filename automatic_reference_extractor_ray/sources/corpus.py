@@ -18,7 +18,7 @@ import zlib
 
 import numpy as np
 
-from ..functions.fields import EMPTY_FIELDS, parse_fields
+from ..functions.fields import EMPTY_FIELDS
 from ..functions.textkit import collapse_ws
 from .citegen import Citation, gen_body_sentence, gen_citation
 from .pagegen import page_plan
@@ -136,6 +136,25 @@ def _txt_doc_span(rng, cits, style) -> str:
 
 # ------------------------------------------------------------- HTML docs
 
+def _cite_fallback_fields(pieces: list[str], date: str) -> dict:
+    """Analytic expectation for the ParsCit twin of a <cite>: the raw
+    string is the space-joined span values, whose ONLY ". " boundary is
+    the lead author's initial (titles/journals/pools carry no periods —
+    a generator invariant).  A year/sentence heuristic therefore
+    recovers: authors = the head before that boundary, title = the
+    tail, date = the (unique) year.  Derived here from the construction
+    — NOT by calling the pipeline's parse_fields (round-1 circularity
+    fix); tests assert parse_fields agrees."""
+    f = dict(EMPTY_FIELDS)
+    f["date"] = date
+    joined = collapse_ws(" ".join(p for p in pieces if p))
+    head, sep, tail = joined.partition(". ")
+    if sep:
+        f["authors"] = [head]
+        f["title"] = tail
+    return f
+
+
 def _html_cite_doc(rng, cits):
     """Old format: <cite> with span.cit-* fields → ParsCit records (raw
     text) + Mapping records (mapped fields) appended after
@@ -144,15 +163,18 @@ def _html_cite_doc(rng, cits):
     pars_recs, map_recs = [], []
     for c in cits:
         f = c.fields
-        spans = [f'<span class="cit-auth"><span>{f["authors"][0]}</span></span>']
+        lead_author = f["authors"][0] if f["authors"] else ""
+        spans = []
+        if lead_author:
+            spans.append(f'<span class="cit-auth"><span>{lead_author}</span></span>')
         spans.append(f'<span class="cit-pub-date">{f["date"]}</span>')
         spans.append(f'<span class="cit-article-title">{f["title"]}</span>')
         if f["journal"]:
             spans.append(f'<span class="cit-jnl-abbrev">{f["journal"]}</span>')
         if f["volume"]:
             spans.append(f'<span class="cit-vol">{f["volume"]}</span>')
+        p1, _, p2 = f["pages"].partition("-") if f["pages"] else ("", "", "")
         if f["pages"]:
-            p1, _, p2 = f["pages"].partition("-")
             spans.append(f'<span class="cit-fpage">{p1}</span>')
             spans.append(f'<span class="cit-lpage">{p2}</span>')
         if f["publisher"]:
@@ -160,18 +182,23 @@ def _html_cite_doc(rng, cits):
         if f["location"]:
             spans.append(f'<span class="cit-publ-loc">{f["location"]}</span>')
         markup.append("<cite>" + " ".join(spans) + "</cite>")
-        raw = collapse_ws(" ".join(
-            [f["authors"][0], str(f["date"]), str(f["title"])]
-            + ([str(f["journal"])] if f["journal"] else [])
-            + ([str(f["volume"])] if f["volume"] else [])
-            + ([f["pages"].partition("-")[0], f["pages"].partition("-")[2]]
-               if f["pages"] else [])
-            + ([str(f["publisher"])] if f["publisher"] else [])
-            + ([str(f["location"])] if f["location"] else [])))
-        pars_recs.append(_mk_record(raw, "ParsCit", "ParsCit", parse_fields(raw)))
+        pieces = ([lead_author] if lead_author else []) \
+            + [str(f["date"]), str(f["title"])] \
+            + ([str(f["journal"])] if f["journal"] else []) \
+            + ([str(f["volume"])] if f["volume"] else []) \
+            + ([p1, p2] if f["pages"] else []) \
+            + ([str(f["publisher"])] if f["publisher"] else []) \
+            + ([str(f["location"])] if f["location"] else [])
+        raw = collapse_ws(" ".join(pieces))
+        pars_recs.append(_mk_record(raw, "ParsCit", "ParsCit",
+                                    _cite_fallback_fields(pieces, f["date"])))
         mf = dict(f)
-        mf["authors"] = [f["authors"][0]]
+        mf["authors"] = [lead_author] if lead_author else []
         mf["issue"] = ""   # mapHTML has no cit-issue class
+        # mapHTML joins pages only when BOTH fpage and lpage are
+        # non-empty (xmlProcessing.py:389-395) — a from-only page
+        # (T6) yields an empty lpage span and therefore NO pages
+        mf["pages"] = f["pages"] if (p1 and p2) else ""
         map_recs.append(_mk_record(raw, "Mapping", "Mapping", mf))
     markup.append("</body></html>")
     return "\n".join(markup), pars_recs + map_recs
@@ -186,7 +213,9 @@ def _html_dl_doc(rng, cits):
         markup.append(f'<dd><span>{content}</span>'
                       f'<span class="ReferenceLinks">Google Scholar</span></dd>')
         golden = content + "."          # family adds the trailing dot
-        recs.append(_mk_record(golden, "ParsCit", "ParsCit", parse_fields(golden)))
+        # golden text == c.raw (templates end with "."), so the
+        # generator-truth fields apply — no parse_fields circularity
+        recs.append(_mk_record(golden, "ParsCit", "ParsCit", c.fields))
     markup.append("</dl></body></html>")
     return "\n".join(markup), recs
 
@@ -202,7 +231,8 @@ def _html_pll_doc(rng, cits):
             inner = c.raw[:-1]              # missing trailing dot
             golden = c.raw[:-1] + "."
         markup.append(f'<div class="media-body mls plxl reference-contains">{inner}</div>')
-        recs.append(_mk_record(golden, "ParsCit", "ParsCit", parse_fields(golden)))
+        # golden text == c.raw → generator-truth fields (see _html_dl_doc)
+        recs.append(_mk_record(golden, "ParsCit", "ParsCit", c.fields))
     markup.append("</div></body></html>")
     return "\n".join(markup), recs
 

@@ -19,6 +19,11 @@ from .interleave import doc_keys_for_ids
 
 ORACLE_ROOT = "/tmp/arx_oracle"
 
+# bump when corpus.py / citegen.py / pagegen.py / this file change what
+# the golden tables contain — the cache marker carries it, so stale
+# goldens regenerate instead of silently mismatching
+GOLDEN_VERSION = "2"
+
 
 def golden_rows(doc_keys: list[str]) -> list[dict]:
     rows: list[dict] = []
@@ -112,7 +117,11 @@ def write_oracle_tables(sf_dir: str, out_root: str = ORACLE_ROOT) -> str:
     out_dir = os.path.join(out_root, name)
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
-        return out_dir
+        with open(done) as f:
+            if f.read().strip() == GOLDEN_VERSION:
+                return out_dir
+        import shutil
+        shutil.rmtree(out_dir)               # stale generator version
     os.makedirs(out_dir, exist_ok=True)
     keys = sf_doc_keys(sf_dir)
     pq.write_table(golden_table(keys), os.path.join(out_dir, "golden_refs.parquet"))
@@ -122,5 +131,5 @@ def write_oracle_tables(sf_dir: str, out_root: str = ORACLE_ROOT) -> str:
     pq.write_table(meta_t, os.path.join(out_dir, "media_meta.parquet"))
     pq.write_table(lines_t, os.path.join(out_dir, "media_lines.parquet"))
     with open(done, "w") as f:
-        f.write("ok")
+        f.write(GOLDEN_VERSION)
     return out_dir

@@ -7,6 +7,13 @@ Layout under ``out_dir``:
 
     part-<p>/*.parquet          completed partition data (atomic rename)
     _lineage/partition-<p>.json lineage + metrics, written after data
+    _input_layout/p=<p>/*.parquet   partition-keyed INPUT copy (one
+                                pass), so processing partition p reads
+                                only its shard — a resumed run's input
+                                scan is proportional to the PENDING
+                                partitions, not the whole input (the
+                                round-1 ×P scan-amplification fix)
+    _input_layout/_META.json    fingerprint + num_partitions guard
 
 A partition is the resume unit: ``partition_id = crc32(doc_id) % P``.
 ``run_resumable_extract`` skips partitions whose lineage record exists,
@@ -56,6 +63,81 @@ def _filter_partition(batch: pa.Table, p: int, num_partitions: int) -> pa.Table:
     return batch.filter(mask)
 
 
+LAYOUT_DIR = "_input_layout"
+
+
+def ensure_partitioned_layout(docs_factory, out_dir: str,
+                              num_partitions: int,
+                              input_fingerprint: str = "") -> str:
+    """One full pass re-keys the input by partition id into
+    ``out_dir/_input_layout/p=<p>/`` parquet; subsequent per-partition
+    processing reads ONLY its shard.  Idempotent: an existing layout
+    with matching fingerprint + partition count is reused (this is what
+    makes a resumed run's input scan proportional to pending work); a
+    mismatched one is rebuilt."""
+    layout = os.path.join(out_dir, LAYOUT_DIR)
+    meta_path = os.path.join(layout, "_META.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if (meta.get("num_partitions") == num_partitions
+                and meta.get("input_fingerprint") == input_fingerprint):
+            return layout
+        shutil.rmtree(layout)
+
+    tmp = layout + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        parts = pa.array([partition_of(d, num_partitions) for d in ids],
+                         pa.int32())
+        return batch.append_column("p", parts)
+
+    (docs_factory()
+     .map_batches(add_part, batch_format="pyarrow")
+     .write_parquet(tmp, partition_cols=["p"]))
+    # hive partitioning only writes dirs for non-empty partitions —
+    # materialize empties so per-partition reads are uniform
+    for p in range(num_partitions):
+        os.makedirs(os.path.join(tmp, f"p={p}"), exist_ok=True)
+    os.rename(tmp, layout)
+    with open(meta_path, "w") as f:
+        json.dump({"num_partitions": num_partitions,
+                   "input_fingerprint": input_fingerprint}, f)
+    return layout
+
+
+def read_layout_partition(layout: str, p: int):
+    """Pruned read of one input partition (drops the layout's ``p``
+    key column)."""
+    import ray.data as rd
+
+    from ..schema import DOCUMENTS_SCHEMA
+    pdir = os.path.join(layout, f"p={p}")
+    if not any(f.endswith(".parquet") for f in os.listdir(pdir)):
+        return rd.from_arrow(DOCUMENTS_SCHEMA.empty_table())
+    return rd.read_parquet(pdir).select_columns(DOCUMENTS_SCHEMA.names)
+
+
+def sort_refs_natural(refs):
+    """O4 sort-at-write: order a partition's refs by natural doc_id
+    order ("doc2" < "doc10") then span_idx — the reference natsorts its
+    result list before assembly (fileProcessor.py:121,187-193).  A
+    partition-local sort (bounded data), not a whole-job shuffle."""
+    from ..functions.textkit import natsort_key
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return t.append_column("__natkey",
+                               pa.array([natsort_key(d) for d in ids],
+                                        pa.string()))
+
+    return (refs.map_batches(add_key, batch_format="pyarrow")
+            .sort(["__natkey", "span_idx"])
+            .drop_columns(["__natkey"]))
+
+
 def completed_partitions(out_dir: str) -> set[int]:
     lin = os.path.join(out_dir, "_lineage")
     if not os.path.isdir(lin):
@@ -71,14 +153,20 @@ def run_resumable_extract(docs_factory, out_dir: str,
                           num_partitions: int = 16,
                           cfg: ExtractConfig | None = None,
                           input_fingerprint: str = "",
+                          use_layout: bool = True,
+                          sort_output: bool = True,
                           **extract_kw) -> dict:
     """Run extraction partition-by-partition, skipping completed ones.
 
     ``docs_factory()`` must return a fresh documents Dataset (cheap:
-    lazy reads).  Scale note: the per-partition loop re-reads only the
-    pruned id column; partitions are coarse resume units (16-256), each
-    internally fully parallel — the job-level equivalent of the
-    reference's per-file idempotence, without per-file bookkeeping.
+    lazy reads).  With ``use_layout`` (default) the input is re-keyed
+    once into a partition-keyed parquet layout and each partition reads
+    ONLY its shard — a resume scans input proportional to the pending
+    partitions.  ``use_layout=False`` keeps the layout-free shape (full
+    scan + filter per partition) for inputs that are already pruned.
+    ``sort_output`` natural-orders each partition's refs by doc_id at
+    write (O4; the reference natsorts its file list before assembling
+    results, LOCDB-V3/fileProcessor.py:121,187-193).
     """
     cfg = cfg or ExtractConfig()
     os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
@@ -103,15 +191,27 @@ def run_resumable_extract(docs_factory, out_dir: str,
                     f"--partitions {prior_np} or use a fresh out_dir")
     run_metrics = {"partitions_total": num_partitions,
                    "partitions_skipped": len(done), "partitions_run": 0,
-                   "refs_written": 0}
+                   "refs_written": 0, "docs_scanned": 0}
+    layout = None
+    if use_layout and len(done) < num_partitions:
+        layout = ensure_partitioned_layout(
+            docs_factory, out_dir, num_partitions, input_fingerprint)
     for p in range(num_partitions):
         if p in done:
             continue
         t0 = time.perf_counter()
-        docs_p = docs_factory().map_batches(
-            lambda b, p=p: _filter_partition(b, p, num_partitions),
-            batch_format="pyarrow")
+        if layout is not None:
+            import pyarrow.dataset as pads
+            docs_p = read_layout_partition(layout, p)
+            run_metrics["docs_scanned"] += pads.dataset(
+                os.path.join(layout, f"p={p}")).count_rows()
+        else:
+            docs_p = docs_factory().map_batches(
+                lambda b, p=p: _filter_partition(b, p, num_partitions),
+                batch_format="pyarrow")
         refs = extract_refs(docs_p, cfg, **extract_kw)
+        if sort_output:
+            refs = sort_refs_natural(refs)
         tmp = os.path.join(out_dir, f"part-{p}.tmp")
         final = os.path.join(out_dir, f"part-{p}")
         shutil.rmtree(tmp, ignore_errors=True)

@@ -52,3 +52,47 @@ def test_t2_hand_case():
 def test_fallback_keeps_year():
     f = parse_fields("Some unparseable thing from 2004. With stuff.")
     assert f["date"] == "2004"
+
+
+def test_cite_fallback_golden_agrees_with_parser():
+    """The <cite> ParsCit twin's golden fields are derived analytically
+    in the generator (corpus._cite_fallback_fields) — parse_fields must
+    independently produce the same result for every template's span
+    join (the round-1 circularity fix's agreement check)."""
+    from automatic_reference_extractor_ray.sources.corpus import (
+        _cite_fallback_fields)
+    for seed in range(200):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        f = gen_citation(rng).fields
+        lead = f["authors"][0] if f["authors"] else ""
+        p1, _, p2 = f["pages"].partition("-") if f["pages"] else ("", "", "")
+        pieces = ([lead] if lead else []) \
+            + [str(f["date"]), str(f["title"])] \
+            + ([str(f["journal"])] if f["journal"] else []) \
+            + ([str(f["volume"])] if f["volume"] else []) \
+            + ([p1, p2] if f["pages"] else []) \
+            + ([str(f["publisher"])] if f["publisher"] else []) \
+            + ([str(f["location"])] if f["location"] else [])
+        raw = " ".join(p for p in pieces if p)
+        assert parse_fields(raw) == _cite_fallback_fields(pieces, f["date"]), raw
+
+
+def test_new_template_hand_cases():
+    # T4 three-author comma list
+    f = parse_fields("Miller, A., Kim, B., and Novak, C. (2001). "
+                     "Robust segmentation. Data Engineering Bulletin, "
+                     "7(2), 10-19.")
+    assert f["authors"] == ["Miller, A.", "Kim, B.", "Novak, C."]
+    # T5 editor book: editors ignored by the TEI mapper -> no authors
+    f = parse_fields("Larsen, P. (ed.) (1988). Historical records. "
+                     "MIT Press, Boston.")
+    assert f["authors"] == [] and f["publisher"] == "MIT Press"
+    assert f["location"] == "Boston" and f["date"] == "1988"
+    # T6 from-only page (biblScope unit="page" fallback)
+    f = parse_fields("Silva, D. (2010). Streaming analysis. "
+                     "Archive Science Quarterly, 3(1), 77.")
+    assert f["pages"] == "77" and f["issue"] == "1"
+    # T7 volume without issue
+    f = parse_fields("Weber, E. (1995). Neural retrieval. "
+                     "Information Processing Letters, 44, 5-9.")
+    assert f["volume"] == "44" and f["issue"] == "" and f["pages"] == "5-9"

@@ -95,3 +95,42 @@ def test_resume_rejects_changed_partition_layout(ray_session, tmp_path):
     run_resumable_extract(_docs_factory(), out, num_partitions=2)
     with pytest.raises(ValueError, match="layout mismatch"):
         run_resumable_extract(_docs_factory(), out, num_partitions=4)
+
+
+def test_layout_resume_scans_only_pending_partitions(ray_session, tmp_path):
+    """With the partition-keyed input layout, a resumed run's input
+    scan is proportional to the pending partitions — not the whole
+    input (round-1 scan-amplification fix)."""
+    import shutil
+
+    from automatic_reference_extractor_ray.state.lineage import (
+        run_resumable_extract)
+    out = str(tmp_path / "outlay")
+    m1 = run_resumable_extract(_docs_factory(), out, num_partitions=4)
+    total = m1["docs_scanned"]
+    assert total > 0 and m1["partitions_run"] == 4
+    full = _read_all(out)
+
+    shutil.rmtree(os.path.join(out, "part-1"))
+    os.remove(os.path.join(out, "_lineage", "partition-1.json"))
+    m2 = run_resumable_extract(_docs_factory(), out, num_partitions=4)
+    assert m2["partitions_run"] == 1
+    assert 0 < m2["docs_scanned"] < total / 2   # one shard only
+    pd.testing.assert_frame_equal(_read_all(out), full)
+
+
+def test_output_is_natural_sorted_within_partition(ray_session, tmp_path):
+    """O4: each written partition is ordered by natural doc_id order
+    then span_idx."""
+    from automatic_reference_extractor_ray.functions.textkit import natsort_key
+    from automatic_reference_extractor_ray.state.lineage import (
+        run_resumable_extract)
+    out = str(tmp_path / "outsort")
+    run_resumable_extract(_docs_factory(), out, num_partitions=2)
+    for d in os.listdir(out):
+        if not d.startswith("part-") or d.endswith(".tmp"):
+            continue
+        df = pads.dataset(os.path.join(out, d)).to_table(
+            columns=["doc_id", "span_idx"]).to_pandas()
+        keys = list(zip(df["doc_id"].map(natsort_key), df["span_idx"]))
+        assert keys == sorted(keys), d

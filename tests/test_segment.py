@@ -58,3 +58,16 @@ def test_segment_region_joins_with_hyphen_repair():
     segs = segment_region([1, 2, 3], lines)
     assert [raw for _, raw in segs] == ["Alpha spectral beta.",
                                        "Gamma delta epsilon."]
+
+
+def test_title_pipe_repair_flows_through_text_route():
+    """M10: a converted doc whose first line is 'title|real' extracts
+    the same references as the clean text."""
+    from automatic_reference_extractor_ray.functions.dockit import (
+        extract_text_unit)
+    clean = ("Intro line\n\nReferences\n\n"
+             "[1] Miller, A. (1999). Adaptive methods. "
+             "Journal of Document Analysis, 12(3), 45-67.")
+    piped = "Bogus Extracted Title|" + clean
+    assert [r["text"] for r in extract_text_unit(piped)] == \
+        [r["text"] for r in extract_text_unit(clean)]

@@ -91,3 +91,24 @@ def test_join_repaired_equals_concat(lines):
     # space(s) — the two implementations must never drift
     text, _ = concat_lines_with_index(lines)
     assert join_lines_repaired(lines) == text.rstrip(" ")
+
+
+def test_natsort_key_orders_naturally():
+    from automatic_reference_extractor_ray.functions.textkit import natsort_key
+    names = ["doc10", "doc2", "doc1", "doc2-r3", "doc2-r10"]
+    assert sorted(names, key=natsort_key) == \
+        ["doc1", "doc2", "doc2-r3", "doc2-r10", "doc10"]
+
+
+def test_repair_title_line_m10():
+    from automatic_reference_extractor_ray.functions.textkit import (
+        repair_title_line)
+    # pdf-inspector "title|first line" → keep the second segment
+    assert repair_title_line("Wrong Title|Real first line\nbody\n") == \
+        "Real first line\nbody\n"
+    # no pipe → untouched
+    assert repair_title_line("Plain first\nbody") == "Plain first\nbody"
+    # quirk: >2 segments keep segment [1] WITHOUT its newline, so the
+    # next line concatenates (readlines/write round-trip parity)
+    assert repair_title_line("a|b|c\nnext\n") == "bnext\n"
+    assert repair_title_line("") == ""
