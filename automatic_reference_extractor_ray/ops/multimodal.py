@@ -19,12 +19,29 @@ from ..sources.media_store import make_store
 
 
 class RealImageDecoder:
-    """Placeholder for a real codec-backed decoder (PIL/ffmpeg).  Not
-    available in this environment — the interface is the contract."""
+    """PIL-backed decoder (the reference's imgProcessing entry: real
+    scans, LOCDB-V3/imgProcessing.py:24-28,453-455).  Import-gated: the
+    test container has no codecs, so construction raises a precise
+    ImportError there and the interface test skips; with Pillow
+    installed the same feature dict gains width/height/mode."""
 
-    def decode(self, payload: bytes) -> dict:
-        raise NotImplementedError("image/audio codecs not available; "
-                                  "plug a real decoder here")
+    def __init__(self):
+        try:
+            from PIL import Image
+        except ImportError as e:                       # pragma: no cover
+            raise ImportError(
+                "RealImageDecoder needs Pillow (pip install pillow); "
+                "use decoder='fake' in codec-less environments") from e
+        self._image_mod = Image
+
+    def decode(self, payload: bytes) -> dict:          # pragma: no cover
+        import io
+        with self._image_mod.open(io.BytesIO(payload)) as im:
+            return {
+                "n_bytes": len(payload),
+                "payload_md5": hashlib.md5(payload).hexdigest(),
+                "width": im.width, "height": im.height, "mode": im.mode,
+            }
 
 
 class FakeDecoder:
@@ -35,6 +52,35 @@ class FakeDecoder:
             "n_bytes": len(payload),
             "payload_md5": hashlib.md5(payload).hexdigest(),
         }
+
+
+def tesseract_available() -> bool:
+    import shutil as _sh
+    return _sh.which("tesseract") is not None
+
+
+def ocr_image_to_hocr(payload: bytes) -> str:
+    """Real OCR engine seam: image bytes → hOCR markup via the
+    tesseract CLI (the reference shells out the same way,
+    LOCDB-V3/imgProcessing.py:453-455) — feed the result to
+    ``functions.hocr.parse_hocr`` for the standard PageObservation.
+    Binary-gated: raises RuntimeError where tesseract isn't installed
+    (this container); the synthetic store covers tests."""
+    if not tesseract_available():                      # pragma: no cover
+        raise RuntimeError(
+            "tesseract binary not found; use store_spec='synth' or "
+            "install tesseract-ocr for real scans")
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:          # pragma: no cover
+        src = f"{td}/page"
+        with open(src, "wb") as f:
+            f.write(payload)
+        subprocess.run(["tesseract", src, f"{td}/out", "hocr"],
+                       check=True, capture_output=True)
+        with open(f"{td}/out.hocr", encoding="utf-8") as f:
+            return f.read()
 
 
 class MediaFeaturize:
@@ -82,11 +128,28 @@ class MediaResize:
     ``_transform`` for a PIL/libvips call — schema, actor signature and
     small-batch sizing are the contract."""
 
-    def __init__(self, store_spec: str = "synth", max_bytes: int = 1 << 20):
+    def __init__(self, store_spec: str = "synth", max_bytes: int = 1 << 20,
+                 codec: str = "bytes", max_dim: int = 3500):
         self.store = make_store(store_spec)
         self.max_bytes = max_bytes
+        self.max_dim = max_dim                  # convert -resize 3500x3500
+        if codec == "pil":                      # import-gated real path
+            from PIL import Image               # pragma: no cover
+            self._image_mod = Image             # pragma: no cover
+        elif codec != "bytes":
+            raise ValueError(f"unknown codec {codec!r}")
+        self.codec = codec
 
     def _transform(self, payload: bytes) -> bytes:
+        if self.codec == "pil":                 # pragma: no cover
+            import io
+            with self._image_mod.open(io.BytesIO(payload)) as im:
+                if max(im.size) <= self.max_dim:
+                    return payload
+                im.thumbnail((self.max_dim, self.max_dim))
+                buf = io.BytesIO()
+                im.save(buf, format=im.format or "PNG")
+                return buf.getvalue()
         return payload[: self.max_bytes]
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -57,9 +57,15 @@ def _stitch_bucket(g: pa.Table) -> pa.Table:
     return g.select(REFS_SCHEMA.names)
 
 
-def stitch_records(records, num_buckets: int = 64):
-    """records Dataset → final refs Dataset with dense ``span_idx``."""
-    return (records.map_batches(lambda t: _add_bucket(t, num_buckets),
+def stitch_records(records, num_buckets: int | None = None):
+    """records Dataset → final refs Dataset with dense ``span_idx``.
+    ``num_buckets=None`` scales with the cluster (ops.shuffle
+    auto_num_buckets) — per-bucket memory is ~records/buckets, so a
+    fixed count would OOM map_groups tasks at 1000x the data; output is
+    bucket-count invariant (property-tested)."""
+    from ..ops.shuffle import auto_num_buckets
+    nb = num_buckets or auto_num_buckets()
+    return (records.map_batches(lambda t: _add_bucket(t, nb),
                                 batch_format="pyarrow")
             .groupby(BUCKET_COL)
             .map_groups(_stitch_bucket, batch_format="pyarrow"))

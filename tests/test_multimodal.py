@@ -49,3 +49,56 @@ def test_text_embedder_batched_and_normalized():
     assert np.isclose(np.linalg.norm(vecs[0]), 1.0)
     assert np.linalg.norm(vecs[1]) == 0.0          # empty text → zero vec
     assert np.allclose(vecs[0], vecs[2])           # deterministic
+
+
+def _pil_available():
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def test_real_decoder_gate():
+    """Without Pillow the real decoder fails at CONSTRUCTION with a
+    precise ImportError (never mid-batch); with it, the interface
+    contract matches the fake's feature dict plus image dims."""
+    import pytest
+
+    from automatic_reference_extractor_ray.ops.multimodal import (
+        FakeDecoder, RealImageDecoder)
+    payload = b"not really an image"
+    fake = FakeDecoder().decode(payload)
+    assert set(fake) == {"n_bytes", "payload_md5"}
+    if not _pil_available():
+        with pytest.raises(ImportError, match="Pillow"):
+            RealImageDecoder()
+        pytest.skip("Pillow not installed - real decoder gated off")
+    d = RealImageDecoder()           # pragma: no cover (codec envs only)
+    import io
+
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 4)).save(buf, format="PNG")
+    feat = d.decode(buf.getvalue())
+    assert feat["width"] == 8 and feat["height"] == 4
+    assert feat["n_bytes"] == len(buf.getvalue())
+
+
+def test_tesseract_gate():
+    import pytest
+
+    from automatic_reference_extractor_ray.ops.multimodal import (
+        ocr_image_to_hocr, tesseract_available)
+    if not tesseract_available():
+        with pytest.raises(RuntimeError, match="tesseract"):
+            ocr_image_to_hocr(b"")
+        pytest.skip("tesseract not installed - real OCR gated off")
+
+
+def test_media_resize_rejects_unknown_codec():
+    import pytest
+
+    from automatic_reference_extractor_ray.ops.multimodal import MediaResize
+    with pytest.raises(ValueError, match="unknown codec"):
+        MediaResize(codec="webp")

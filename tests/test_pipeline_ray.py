@@ -167,3 +167,36 @@ def test_version_dedup_all_versioned(ray_session):
     assert len(latest) == 500
     assert "solo" not in latest
     assert all(v == 3 for v in latest.values())
+
+
+def test_stitch_bucket_count_invariance(ray_session):
+    """stitch_records output is identical at 8/64/256 buckets — bucket
+    count is purely a memory/parallelism dial (scale sizing check)."""
+    import pandas as pd
+
+    from automatic_reference_extractor_ray.pipelines.extract import extract_refs
+    from automatic_reference_extractor_ray.sources.interleave import (
+        read_interleaved_docs)
+
+    def run(nb):
+        from automatic_reference_extractor_ray.stages import stitch as st
+        docs = read_interleaved_docs("/root/testdata/sf0.001")
+        # extract_refs stitches internally with the default; re-stitch
+        # explicitly by monkey-free direct call at chosen bucket counts
+        from automatic_reference_extractor_ray.config import DEFAULT_CONFIG
+        from automatic_reference_extractor_ray.stages.explode import (
+            explode_to_units)
+        from automatic_reference_extractor_ray.stages.extract import (
+            ExtractUnits)
+        units = docs.map_batches(
+            lambda b: explode_to_units(b, DEFAULT_CONFIG),
+            batch_format="pyarrow")
+        records = units.map_batches(
+            ExtractUnits, batch_format="pyarrow", concurrency=2)
+        df = st.stitch_records(records, num_buckets=nb).to_pandas()
+        df["authors"] = df["authors"].map(tuple)
+        return df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+
+    base = run(8)
+    for nb in (64, 256):
+        pd.testing.assert_frame_equal(run(nb), base)
