@@ -11,12 +11,12 @@ Scale design: every many-key aggregate (pair dedup/counting, token
 document frequencies) goes through ``ops.shuffle.bucketed_*`` — a
 bounded-cardinality hash shuffle — never Ray's per-group aggregate.
 Shuffled rows are (token, id) / (band, id) / (a, b) pairs, never full
-texts.  Candidate verification is a distributed two-hop bucket join
-(pairs ⋈ token sets on ``a``, then on ``b``, exact Jaccard computed
-inside the second join's bucket) — nothing whole-corpus ever
-materializes on the driver.  The only remaining broadcast is the
-token→document-frequency map in ``jaccard_pairs`` (vocabulary-sized,
-bounded — not data-scaling).
+texts.  Candidate verification is the distributed GROUPED pair join
+(``grouped_pair_join``): pairs shuffle once by ``bucket(b)``, and each
+doc's payload (token set / id / embedding) travels once per
+REFERENCING BUCKET — never once per pair, never to the driver.
+The only remaining broadcast is the token→document-frequency map in
+``jaccard_pairs`` (vocabulary-sized, bounded — not data-scaling).
 """
 
 from __future__ import annotations
@@ -78,48 +78,6 @@ def _tokenize_ds(docs):
     return docs.map_batches(tokenize, batch_format="pandas")
 
 
-def _toks_ds(docs, key: str, coded: bool):
-    """Per-document token-set rows keyed for a pair join: one row per
-    doc with ``toks_<key>`` = space-joined sorted token set.  ``coded``
-    keys by the int64 doc code (minhash pairs travel as ints) and
-    carries ``doc_<key>`` for decode; otherwise the key IS the doc_id
-    string."""
-
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
-        toks = [" ".join(_token_set(t)) for t in b["text"]]
-        if coded:
-            return pd.DataFrame({
-                key: np.fromiter((_doc_code(d) for d in b["doc_id"]),
-                                 np.int64, len(b)),
-                f"doc_{key}": b["doc_id"].to_numpy(),
-                f"toks_{key}": toks})
-        return pd.DataFrame({key: b["doc_id"].to_numpy(),
-                             f"toks_{key}": toks})
-
-    return docs.map_batches(fn, batch_format="pandas")
-
-
-def _jaccard_mask(toks_a, toks_b, tau: float) -> np.ndarray:
-    """Vector of exact token-set Jaccard >= tau over two aligned string
-    columns; token strings parsed once per distinct value (pairs share
-    docs heavily inside a bucket)."""
-    cache: dict[str, frozenset] = {}
-
-    def fs(s: str) -> frozenset:
-        v = cache.get(s)
-        if v is None:
-            v = cache[s] = frozenset(s.split())
-        return v
-
-    out = np.zeros(len(toks_a), dtype=bool)
-    for i, (sa_s, sb_s) in enumerate(zip(toks_a, toks_b)):
-        sa, sb = fs(sa_s), fs(sb_s)
-        inter = len(sa & sb)
-        if inter and inter / (len(sa) + len(sb) - inter) >= tau:
-            out[i] = True
-    return out
-
-
 def _doc_key_dtype(docs) -> str:
     """Declared join dtype of the doc_id column ("int64" for integer id
     corpora like the sf testdata, else "object") — keys must keep their
@@ -133,45 +91,170 @@ def _doc_key_dtype(docs) -> str:
     return "int64" if np.issubdtype(np.dtype(t), np.integer) else "object"
 
 
+KIND_COL = "__kind"
+
+
+def _pairs_frame(lo, hi, dt: str) -> pd.DataFrame:
+    d = object if dt == "object" else dt
+    return pd.DataFrame({"a": pd.Series(lo, dtype=d),
+                         "b": pd.Series(hi, dtype=d)})
+
+
+def grouped_pair_join(cands, side, key_dtype: str, payload_cols: list[str],
+                      verify, num_buckets: int | None = None):
+    """Join candidate (a, b) pairs against a per-key payload table and
+    verify them in-bucket — WITHOUT duplicating payloads per pair.
+
+    A naive pairs⋈payload equi-join materializes one payload copy per
+    PAIR row (measured: 7.4M minhash candidates x ~200B token strings =
+    1.5GB through two sorts).  Instead, three tagged streams meet in ONE
+    bucketed shuffle keyed by ``bucket(b)``:
+
+      kind 0  the pairs themselves (key columns only);
+      kind 1  for every DISTINCT (a, bucket(b)) combination, one copy of
+              a's payload — a key's payload travels at most
+              ``num_buckets`` times, never once per pair;
+      kind 2  every key's payload at its own bucket (serves the b side).
+
+    ``verify(pairs_pdf, amap, bmap) -> pdf`` then runs per bucket with
+    complete payload maps {key: (payload, ...)}.  ``side`` must have
+    columns ``["key", *payload_cols]``, one row per key.
+    """
+    from .shuffle import BUCKET_COL, _bucket_of, auto_num_buckets
+    nb = num_buckets or auto_num_buckets()
+    kd = key_dtype
+    # cands feeds TWO branches (the pair stream and the distinct
+    # (a, bucket) routing stream); Ray re-executes lazy upstreams per
+    # consumer, so pin the candidate pairs once — they are key-only
+    # rows (16B each), safely spillable at any scale
+    cands = cands.materialize()
+    schema = {"a": kd, "b": kd, **dict.fromkeys(payload_cols, "object")}
+
+    def canon(s: pd.Series) -> pd.Series:
+        return s.astype(object) if kd == "object" else s.astype(kd)
+
+    def buckets_of(s: pd.Series) -> np.ndarray:
+        if not len(s):
+            return np.array([], dtype=np.int64)
+        return _bucket_of(pd.DataFrame({"k": canon(s)}), ["k"], nb)
+
+    def mk(df: pd.DataFrame, kind: int, bucket: np.ndarray) -> pd.DataFrame:
+        out = pd.DataFrame(index=df.index)
+        for c, dt in schema.items():
+            if c in df.columns:
+                out[c] = df[c].to_numpy() if dt != "object" else df[c]
+            elif dt == "object":
+                out[c] = ""
+            else:
+                out[c] = np.zeros(len(df), dtype=dt)
+            if dt != "object":
+                out[c] = out[c].astype(dt)
+        out[KIND_COL] = np.full(len(df), kind, dtype=np.int8)
+        out[BUCKET_COL] = bucket
+        return out
+
+    pairs_t = cands.map_batches(
+        lambda df: mk(df, 0, buckets_of(df["b"])), batch_format="pandas")
+
+    # distinct (a, target-bucket): per-batch dedupe shrinks the shuffle,
+    # the bucketed distinct makes it global
+    ab = bucketed_distinct(
+        cands.map_batches(
+            lambda df: pd.DataFrame(
+                {"a": canon(df["a"]),
+                 "bb": buckets_of(df["b"])}).drop_duplicates(),
+            batch_format="pandas"),
+        ["a", "bb"], nb)
+    # rename via map_batches: Dataset.rename_columns assumes Arrow
+    # blocks and breaks on the pandas blocks this path produces
+    side_a = side.map_batches(lambda df: df.rename(columns={"key": "a"}),
+                              batch_format="pandas")
+    routed = bucketed_join(
+        ab, side_a, "a",
+        {"a": kd, "bb": "int64"},
+        {"a": kd, **dict.fromkeys(payload_cols, "object")}, nb)
+    routed_t = routed.map_batches(
+        lambda df: mk(df, 1, df["bb"].to_numpy().astype(np.int64)
+                      if len(df) else np.array([], dtype=np.int64)),
+        batch_format="pandas")
+
+    def tag_side_b(df: pd.DataFrame) -> pd.DataFrame:
+        buckets = buckets_of(df["key"])
+        return mk(df.rename(columns={"key": "b"}), 2, buckets)
+
+    side_b_t = side.map_batches(tag_side_b, batch_format="pandas")
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=[BUCKET_COL])
+        kinds = g[KIND_COL].to_numpy()
+        pairs = g[kinds == 0][["a", "b"]]
+        ar = g[kinds == 1]
+        br = g[kinds == 2]
+        amap = dict(zip(ar["a"].to_numpy(),
+                        zip(*(ar[c].to_numpy() for c in payload_cols))))
+        bmap = dict(zip(br["b"].to_numpy(),
+                        zip(*(br[c].to_numpy() for c in payload_cols))))
+        return verify(pairs, amap, bmap)
+
+    return (pairs_t.union(routed_t, side_b_t)
+            .groupby(BUCKET_COL)
+            .map_groups(verify_bucket, batch_format="pandas"))
+
+
+def _toks_side(docs, coded: bool):
+    """Per-document payload table for Jaccard verification:
+    (key, [doc,] toks) — key is the int64 doc code when ``coded``."""
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        toks = [" ".join(_token_set(t)) for t in b["text"]]
+        if coded:
+            return pd.DataFrame({
+                "key": np.fromiter((_doc_code(d) for d in b["doc_id"]),
+                                   np.int64, len(b)),
+                "doc": b["doc_id"].to_numpy(),
+                "toks": toks})
+        return pd.DataFrame({"key": b["doc_id"].to_numpy(), "toks": toks})
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
 def _verify_pairs_join(cands, docs, tau: float, coded: bool,
                        num_buckets: int | None = None):
-    """Exact-Jaccard verification of candidate (a, b) pairs as a
-    distributed two-hop bucket join (the round-1 driver-broadcast
-    verifier's scale fix): pairs ⋈ token sets on ``a``, the result
-    ⋈ token sets on ``b``, with the Jaccard filter applied INSIDE the
-    second join's bucket so token strings never re-enter the object
-    store.  Emits (a, b) doc ids, a < b."""
-    kt = "int64" if coded else _doc_key_dtype(docs)
+    """Exact-Jaccard verification of candidate (a, b) pairs via the
+    grouped pair join (no driver broadcast, no per-pair payload
+    duplication).  Emits (a, b) doc ids, a < b."""
     dt = _doc_key_dtype(docs)
-    extra_a = {"doc_a": dt} if coded else {}
-    extra_b = {"doc_b": dt} if coded else {}
+    kd = "int64" if coded else dt
+    payload = ["doc", "toks"] if coded else ["toks"]
 
-    j1 = bucketed_join(
-        cands, _toks_ds(docs, "a", coded), "a",
-        {"a": kt, "b": kt},
-        {"a": kt, **extra_a, "toks_a": "object"},
-        num_buckets)
+    def verify(pairs: pd.DataFrame, amap: dict, bmap: dict) -> pd.DataFrame:
+        if not len(pairs):
+            return _pairs_frame([], [], dt)
+        cache: dict[str, frozenset] = {}
 
-    def verify(m: pd.DataFrame) -> pd.DataFrame:
-        if not len(m):
-            return EMPTY_PAIRS
-        keep = m[_jaccard_mask(m["toks_a"].to_numpy(),
-                               m["toks_b"].to_numpy(), tau)]
-        if not len(keep):
-            return EMPTY_PAIRS
-        if coded:
-            da = keep["doc_a"].to_numpy()
-            db = keep["doc_b"].to_numpy()
-            lo = np.minimum(da, db)
-            hi = np.maximum(da, db)
-            return pd.DataFrame({"a": lo, "b": hi})
-        return keep[["a", "b"]].reset_index(drop=True)
+        def fs(s: str) -> frozenset:
+            v = cache.get(s)
+            if v is None:
+                v = cache[s] = frozenset(s.split())
+            return v
 
-    return bucketed_join(
-        j1, _toks_ds(docs, "b", coded), "b",
-        {"b": kt, "a": kt, **extra_a, "toks_a": "object"},
-        {"b": kt, **extra_b, "toks_b": "object"},
-        num_buckets, post=verify)
+        keep_a, keep_b = [], []
+        for a, b in zip(pairs["a"].to_numpy(), pairs["b"].to_numpy()):
+            pa_, pb_ = amap[a], bmap[b]
+            sa, sb = fs(pa_[-1]), fs(pb_[-1])
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= tau:
+                if coded:
+                    da, db = pa_[0], pb_[0]
+                    if db < da:
+                        da, db = db, da
+                    keep_a.append(da); keep_b.append(db)
+                else:
+                    keep_a.append(a); keep_b.append(b)
+        return _pairs_frame(keep_a, keep_b, dt)
+
+    return grouped_pair_join(cands, _toks_side(docs, coded), kd, payload,
+                             verify, num_buckets)
 
 
 # --------------------------------------------- exact jaccard (prefix filter)
@@ -407,39 +490,31 @@ def simhash_pairs(docs, max_hamming: int = 8):
     return _decode_pairs_join(cands, docs)
 
 
-def _ids_ds(docs, key: str):
-    """(code, doc_<key>) rows — the join-side id decode table."""
+def _decode_pairs_join(cands, docs, num_buckets: int | None = None):
+    """Translate int-coded (a, b) pairs back to doc ids via the grouped
+    pair join on the (code, doc_id) table — no driver-side corpus map;
+    emits doc-id pairs ordered a < b."""
+    dt = _doc_key_dtype(docs)
 
     def fn(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            key: np.fromiter((_doc_code(d) for d in b["doc_id"]),
-                             np.int64, len(b)),
-            f"doc_{key}": b["doc_id"].to_numpy()})
+            "key": np.fromiter((_doc_code(d) for d in b["doc_id"]),
+                               np.int64, len(b)),
+            "doc": b["doc_id"].to_numpy()})
 
-    return docs.map_batches(fn, batch_format="pandas")
+    ids = docs.map_batches(fn, batch_format="pandas")
 
+    def decode(pairs: pd.DataFrame, amap: dict, bmap: dict) -> pd.DataFrame:
+        lo, hi = [], []
+        for a, b in zip(pairs["a"].to_numpy(), pairs["b"].to_numpy()):
+            da, db = amap[a][0], bmap[b][0]
+            if db < da:
+                da, db = db, da
+            lo.append(da); hi.append(db)
+        return _pairs_frame(lo, hi, dt)
 
-def _decode_pairs_join(cands, docs, num_buckets: int | None = None):
-    """Translate int-coded (a, b) pairs back to doc ids with two
-    bucketed joins on the id table — no driver-side corpus map; emits
-    doc-id pairs ordered a < b."""
-    dt = _doc_key_dtype(docs)
-    j1 = bucketed_join(cands, _ids_ds(docs, "a"), "a",
-                       {"a": "int64", "b": "int64"},
-                       {"a": "int64", "doc_a": dt}, num_buckets)
-
-    def decode(m: pd.DataFrame) -> pd.DataFrame:
-        if not len(m):
-            return EMPTY_PAIRS
-        da = m["doc_a"].to_numpy()
-        db = m["doc_b"].to_numpy()
-        return pd.DataFrame({"a": np.minimum(da, db),
-                             "b": np.maximum(da, db)})
-
-    return bucketed_join(j1, _ids_ds(docs, "b"), "b",
-                         {"b": "int64", "a": "int64", "doc_a": dt},
-                         {"b": "int64", "doc_b": dt},
-                         num_buckets, post=decode)
+    return grouped_pair_join(cands, ids, "int64", ["doc"], decode,
+                             num_buckets)
 
 
 # ----------------------------------------------------- embedding near-dup
@@ -496,16 +571,6 @@ def _emb_planes(table: int, dim: int) -> np.ndarray:
     return _emb_plane_cache[key]
 
 
-def _emb_side(embeddings, key: str):
-    """(key=vec_id, emb_<key>=embedding) join side."""
-
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({key: b["vec_id"].astype("int64").to_numpy(),
-                             f"emb_{key}": b["embedding"]})
-
-    return embeddings.map_batches(fn, batch_format="pandas")
-
-
 def embedding_dup_pairs_lsh(embeddings, tau: float = 0.4,
                             n_tables: int = EMB_LSH_TABLES,
                             num_buckets: int | None = None):
@@ -519,10 +584,9 @@ def embedding_dup_pairs_lsh(embeddings, tau: float = 0.4,
       2. per (table, signature) bucket: numpy upper-triangle candidate
          pairs of the bucket's vec_ids (int64 only through the shuffle);
       3. global pair DISTINCT (bounded-bucket shuffle);
-      4. exact-cosine verification as a two-hop bucketed join of pairs
-         against the embedding column — same join shape as the token-set
-         verifiers above; vectors move through the shuffle once per hop,
-         never to the driver.
+      4. exact-cosine verification via the grouped pair join — vectors
+         travel once per referencing bucket (never per pair, never to
+         the driver), same shape as the token-set verifiers above.
 
     Recall < 1 by design (pairs missed by every table are lost) —
     rows-only checked; recall vs ``embedding_dup_pairs`` measured in
@@ -549,27 +613,23 @@ def embedding_dup_pairs_lsh(embeddings, tau: float = 0.4,
                          lambda p: _int_pairs_of_groups(p, ["table", "sig"])),
         ["a", "b"], num_buckets)
 
-    j1 = bucketed_join(cands, _emb_side(embeddings, "a"), "a",
-                       {"a": "int64", "b": "int64"},
-                       {"a": "int64", "emb_a": "object"}, num_buckets)
+    def emb_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": b["vec_id"].astype("int64").to_numpy(),
+                             "emb": b["embedding"]})
 
-    def verify(m: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                              "b": pd.Series([], dtype="int64")})
-        if not len(m):
-            return empty
-        ea = np.stack(m["emb_a"].to_numpy()).astype(np.float64)
-        eb = np.stack(m["emb_b"].to_numpy()).astype(np.float64)
+    side = embeddings.map_batches(emb_side, batch_format="pandas")
+
+    def verify(pairs: pd.DataFrame, amap: dict, bmap: dict) -> pd.DataFrame:
+        if not len(pairs):
+            return _pairs_frame([], [], "int64")
+        av = pairs["a"].to_numpy()
+        bv = pairs["b"].to_numpy()
+        ea = np.stack([amap[a][0] for a in av]).astype(np.float64)
+        eb = np.stack([bmap[b][0] for b in bv]).astype(np.float64)
         ea /= np.linalg.norm(ea, axis=1, keepdims=True)
         eb /= np.linalg.norm(eb, axis=1, keepdims=True)
-        cos = np.einsum("ij,ij->i", ea, eb)
-        keep = m[cos >= tau]
-        if not len(keep):
-            return empty
-        return pd.DataFrame({"a": keep["a"].astype("int64").to_numpy(),
-                             "b": keep["b"].astype("int64").to_numpy()})
+        keep = np.einsum("ij,ij->i", ea, eb) >= tau
+        return _pairs_frame(av[keep], bv[keep], "int64")
 
-    return bucketed_join(j1, _emb_side(embeddings, "b"), "b",
-                         {"b": "int64", "a": "int64", "emb_a": "object"},
-                         {"b": "int64", "emb_b": "object"},
-                         num_buckets, post=verify)
+    return grouped_pair_join(cands, side, "int64", ["emb"], verify,
+                             num_buckets)

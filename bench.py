@@ -73,7 +73,8 @@ def run_bench() -> dict:
 
     from automatic_reference_extractor_ray.ops.ann import brute_force_topk
     from automatic_reference_extractor_ray.ops.dedup import (
-        exact_dedup, minhash_lsh_pairs, simhash_pairs)
+        embedding_dup_pairs_lsh, exact_dedup, minhash_lsh_pairs,
+        simhash_pairs)
     from automatic_reference_extractor_ray.ops.relational import (
         events_hourly, events_sessions, q1_pricing_summary,
         top_customers_by_revenue)
@@ -112,6 +113,8 @@ def run_bench() -> dict:
         read("documents", ["doc_id", "text"])).count())
     timed("dedup_simhash", lambda: simhash_pairs(
         read("documents", ["doc_id", "text"])).count())
+    timed("dedup_emb_lsh", lambda: embedding_dup_pairs_lsh(
+        read("embeddings")).count())
     timed("ann_topk", lambda: brute_force_topk(
         read("embeddings"), [0, 1, 2, 3, 4, 5, 6, 7]).count())
 
