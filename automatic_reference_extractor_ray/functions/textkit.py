@@ -116,6 +116,10 @@ def repair_title_line(text: str) -> str:
     Quirk-exact: with three or more segments the kept segment carries
     no newline, so the original second line concatenates onto it —
     exactly what the reference's readlines/write round-trip does."""
+    nl = text.find("\n")
+    first_line = text if nl < 0 else text[:nl]
+    if "|" not in first_line:               # hot path: no repair needed
+        return text
     lines = text.splitlines(keepends=True)
     if not lines:
         return text

@@ -30,10 +30,20 @@ from ..ops.shuffle import bucketed_groupby
 
 
 def _base_ver(batch: pa.Table) -> pa.Table:
-    ids = batch.column("doc_id").to_pylist()
-    bases, vers = zip(*(split_versioned_doc_id(d) for d in ids)) if ids else ((), ())
-    return pa.table({"base_id": pa.array(bases, pa.string()),
-                     "version": pa.array(vers, pa.int64())})
+    """Vectorized ``split_versioned_doc_id`` over a batch (pandas str
+    kernels; the per-row python variant costs ~2s per million ids)."""
+    import pandas as pd
+    s = pd.Series(batch.column("doc_id").to_pandas(), dtype="object")
+    if not len(s):
+        return pa.table({"base_id": pa.array([], pa.string()),
+                         "version": pa.array([], pa.int64())})
+    parts = s.str.rpartition("~")
+    ver = pd.to_numeric(parts[2], errors="coerce")
+    plain = (parts[1] == "") | ver.isna()     # no "~" or non-integer tail
+    base = np.where(plain, s, parts[0])
+    version = np.where(plain, 0, ver.fillna(0)).astype(np.int64)
+    return pa.table({"base_id": pa.array(base, pa.string()),
+                     "version": pa.array(version, pa.int64())})
 
 
 def _distinct_bv(batch: pa.Table) -> pa.Table:

@@ -141,7 +141,7 @@ def run_scaling() -> dict:
     here) so steady-state throughput, not fixed startup (ray.init,
     actor-pool spawn), is what's measured — on a real cluster those
     costs amortize over hours, not seconds."""
-    repeat = os.environ.get("ARX_BENCH_REPEAT", "8")
+    repeat = os.environ.get("ARX_BENCH_REPEAT", "24")
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
