@@ -297,6 +297,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return events_sessions(_read(sf, "events",
                                      ["user_id", "ts", "event_id"]))
 
+    def events_asof_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import (
+            events_asof_orders)
+        return events_asof_orders(
+            _read(sf, "events", ["user_id", "ts", "event_id"]),
+            _read(sf, "orders", ["o_custkey", "o_orderdate", "o_orderkey"]))
+
+    def events_sliding_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import (
+            events_sliding)
+        return events_sliding(_read(sf, "events",
+                                    ["event_type", "ts", "value"]))
+
+    def dup_passages_q(sf):
+        from automatic_reference_extractor_ray.ops.textstats import (
+            duplicated_passages)
+        return duplicated_passages(_docs_table(sf), n=8)
+
     return {
         "extract_refs": extract_refs_q,
         "extract_fields": extract_fields_q,
@@ -332,6 +350,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": top_customers_q,
         "events_hourly": events_hourly_q,
         "events_sessions": events_sessions_q,
+        "events_asof": events_asof_q,
+        "events_sliding": events_sliding_q,
+        "dup_passages": dup_passages_q,
     }
 
 
@@ -600,6 +621,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM m GROUP BY user_id""",
+        "events_asof": """
+            WITH j AS (
+              SELECT e.event_id, o.o_orderkey,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e JOIN orders o
+                ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+            SELECT event_id, o_orderkey AS asof_orderkey FROM j WHERE rn = 1""",
+        "events_sliding": """
+            WITH k AS (SELECT unnest([0, 1, 2]) AS i),
+            w AS (
+              SELECT event_type,
+                     make_timestamp(((CAST(floor(epoch(ts) / 600) AS BIGINT)
+                                      * 600 - k.i * 600) * 1000000)) AS window_start,
+                     CAST(ROUND(value * 100) AS BIGINT) AS value_c
+              FROM events CROSS JOIN k)
+            SELECT event_type, window_start, COUNT(*) AS n,
+                   CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+            FROM w GROUP BY event_type, window_start""",
+        "dup_passages": f"""
+            WITH toks AS (
+              SELECT doc_id, {TOK} AS t FROM documents),
+            pos AS (
+              SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2)) AS i
+              FROM toks WHERE len(t) >= 8),
+            grams AS (
+              SELECT doc_id, array_to_string(t[i : i + 7], ' ') AS gram
+              FROM pos)
+            SELECT gram, COUNT(*) AS n_occurrences,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM grams GROUP BY gram HAVING COUNT(*) > 1""",
         # dedup_minhash / dedup_simhash / dedup_embedding_lsh / ann_lsh /
         # ann_ivf are approximate by design → rows-only checks (no SQL
         # equivalent claimed); recall vs the exact baselines is asserted

@@ -131,3 +131,90 @@ def events_sessions(events, gap_minutes: int = 30):
     return bucketed_groupby(
         events.select_columns(["user_id", "ts", "event_id"]),
         "user_id", sessionize)
+
+
+def events_asof_orders(events, orders):
+    """As-of join (the time-series join Ray Data has no primitive for):
+    each event is matched to its user's LATEST order with
+    ``o_orderdate <= ts``; ties on the date break toward the larger
+    ``o_orderkey``; events with no prior order drop out (inner as-of).
+
+    Scale shape: both sides stream into ONE bounded-bucket shuffle
+    keyed by the user — per bucket, a pandas ``merge_asof`` over the
+    ts-sorted slices does the backward search vectorized.  No side is
+    broadcast, no per-event probe; the partitioning assumption is only
+    that one user's events+orders fit a bucket (salt hot users if not).
+
+    → (event_id, asof_orderkey), both int64.
+    """
+
+    def tag_events(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame({"u": df["user_id"].astype("int64"),
+                             "ts": df["ts"],
+                             "id": df["event_id"].astype("int64"),
+                             "side": np.zeros(len(df), dtype=np.int8)})
+
+    def tag_orders(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return pd.DataFrame({"u": df["o_custkey"].astype("int64"),
+                             "ts": df["o_orderdate"],
+                             "id": df["o_orderkey"].astype("int64"),
+                             "side": np.ones(len(df), dtype=np.int8)})
+
+    ev = events.select_columns(["user_id", "ts", "event_id"]).map_batches(
+        tag_events, batch_format="pyarrow")
+    od = orders.select_columns(["o_custkey", "o_orderdate", "o_orderkey"]) \
+        .map_batches(tag_orders, batch_format="pyarrow")
+
+    EMPTY = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                          "asof_orderkey": pd.Series([], dtype="int64")})
+
+    def asof(pdf: pd.DataFrame) -> pd.DataFrame:
+        sides = pdf["side"].to_numpy()
+        e = pdf[sides == 0].sort_values("ts", kind="mergesort")
+        o = pdf[sides == 1].sort_values(["ts", "id"], kind="mergesort")
+        if e.empty or o.empty:
+            return EMPTY
+        m = pd.merge_asof(e, o, on="ts", by="u", direction="backward",
+                          suffixes=("", "_o"))
+        m = m.dropna(subset=["id_o"])
+        if m.empty:
+            return EMPTY
+        return pd.DataFrame({"event_id": m["id"].astype("int64"),
+                             "asof_orderkey": m["id_o"].astype("int64")})
+
+    from .shuffle import bucketed_groupby
+    return bucketed_groupby(ev.union(od), "u", asof)
+
+
+def events_sliding(events, win_minutes: int = 30, slide_minutes: int = 10):
+    """Sliding-window aggregate: overlapping ``win``-minute windows
+    every ``slide`` minutes → (event_type, window_start, n,
+    sum_value_c).  Each event fans out to ``win/slide`` windows inside
+    the batch combiner (vectorized repeat, no row explosion through the
+    shuffle beyond the pre-aggregated partials)."""
+    assert win_minutes % slide_minutes == 0, "win must be a slide multiple"
+    k = win_minutes // slide_minutes
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        base = df["ts"].dt.floor(f"{slide_minutes}min")
+        frames = []
+        for i in range(k):
+            frames.append(pd.DataFrame({
+                "event_type": df["event_type"],
+                "window_start": base - pd.Timedelta(minutes=slide_minutes * i),
+                "value_c": np.round(df["value"] * 100).astype("int64")}))
+        g = (pd.concat(frames)
+             .groupby(["event_type", "window_start"])
+             .agg(n=("value_c", "size"), sum_value_c=("value_c", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from .shuffle import bucketed_agg
+    return bucketed_agg(
+        events.select_columns(["event_type", "ts", "value"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "window_start"],
+        {"n": ("n", "sum"), "sum_value_c": ("sum_value_c", "sum")})

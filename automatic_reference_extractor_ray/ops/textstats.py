@@ -63,3 +63,41 @@ def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
         "doc_id": batch["doc_id"],
         "fp": norm.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()),
     })
+
+
+def duplicated_passages(docs, n: int = 8):
+    """Exact duplicated-passage detection (the training-data dedup of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2021, at token-n-gram granularity): every ordered ``n``-token
+    passage that occurs more than once in the corpus, with its
+    occurrence and document counts.
+
+    → (gram, n_occurrences, n_docs) for passages with n_occurrences>1.
+
+    Scale shape: (gram, doc_id) rows through the bounded-bucket shuffle
+    (gram cardinality ≈ total token positions — exactly what
+    ``bucketed_agg`` exists for); the >1 filter runs inside the bucket
+    so singleton grams never leave it.  At 100 TB, hash the gram to a
+    16-byte digest before the shuffle and join digests back to one
+    exemplar string per digest if the text is needed.
+    """
+    from .shuffle import bucketed_groupby
+
+    def grams(batch: pd.DataFrame) -> pd.DataFrame:
+        gs, ds = [], []
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            toks = _tokens(t)
+            for i in range(len(toks) - n + 1):
+                gs.append(" ".join(toks[i:i + n]))
+                ds.append(d)
+        return pd.DataFrame({"gram": gs, "doc_id": ds})
+
+    def dup_only(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("gram")["doc_id"].agg(["size", "nunique"])
+        g = g[g["size"] > 1]
+        return pd.DataFrame({"gram": g.index,
+                             "n_occurrences": g["size"].astype("int64"),
+                             "n_docs": g["nunique"].astype("int64")})
+
+    return bucketed_groupby(docs.map_batches(grams, batch_format="pandas"),
+                            "gram", dup_only)

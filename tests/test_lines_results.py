@@ -107,3 +107,65 @@ def test_doc_xml_orders_by_span_idx(ray_session):
     assert len(out) == 1 and out["n_refs"].iloc[0] == 2
     xml = out["xml"].iloc[0]
     assert xml.index(">first<") < xml.index(">second<")
+
+
+def test_events_asof_orders_semantics(ray_session):
+    """Hand-built as-of case: latest order at-or-before each event,
+    date ties -> larger orderkey, no prior order -> dropped."""
+    import pandas as pd
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.relational import (
+        events_asof_orders)
+    ts = pd.Timestamp
+    events = rd.from_pandas(pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [7, 7, 7, 9],
+        "ts": [ts("2024-01-10"), ts("2024-01-20"), ts("2024-01-01"),
+               ts("2024-01-10")]}))
+    orders = rd.from_pandas(pd.DataFrame({
+        "o_orderkey": [100, 101, 102, 200],
+        "o_custkey": [7, 7, 7, 8],
+        "o_orderdate": [ts("2024-01-05"), ts("2024-01-10"),
+                        ts("2024-01-10"), ts("2024-01-01")]}))
+    got = {r["event_id"]: r["asof_orderkey"]
+           for r in events_asof_orders(events, orders).take_all()}
+    # event 1 @01-10: orders 100(01-05),101/102(01-10) -> tie -> 102
+    # event 2 @01-20: latest is 102; event 3 @01-01: none; user 9: none
+    assert got == {1: 102, 2: 102}
+
+
+def test_events_sliding_fanout(ray_session):
+    """Every event lands in exactly win/slide windows."""
+    import pandas as pd
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.relational import events_sliding
+    events = rd.from_pandas(pd.DataFrame({
+        "event_type": ["x"],
+        "ts": [pd.Timestamp("2024-01-01 00:25:00")],
+        "value": [1.0]}))
+    got = events_sliding(events).to_pandas().sort_values("window_start")
+    assert list(got["window_start"]) == [
+        pd.Timestamp("2024-01-01 00:00:00"),
+        pd.Timestamp("2024-01-01 00:10:00"),
+        pd.Timestamp("2024-01-01 00:20:00")]
+    assert list(got["n"]) == [1, 1, 1]
+
+
+def test_duplicated_passages(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.textstats import (
+        duplicated_passages)
+    passage = "the quick brown fox jumps over the lazy dog"   # 9 tokens
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [f"intro words here {passage}",
+                 f"{passage} trailing bits",
+                 "completely different text with no repeats at all ok"]}))
+    got = duplicated_passages(docs, n=9).to_pandas()
+    assert list(got["gram"]) == [passage]
+    assert list(got["n_occurrences"]) == [2]
+    assert list(got["n_docs"]) == [2]
