@@ -174,6 +174,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from automatic_reference_extractor_ray.ops.multimodal import frame_sample
         return frame_sample(_media_refs(sf))
 
+    def page_overlays_q(sf):
+        from automatic_reference_extractor_ray.ops.multimodal import page_overlays
+        return page_overlays(_media_refs(sf))
+
     def embed_texts_q(sf):
         from automatic_reference_extractor_ray.ops.multimodal import embed_texts
         out = embed_texts(_docs_table(sf)).to_pandas()
@@ -330,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_lookup": segment_lookup_q,
         "media_resize": media_resize_q,
         "frame_sample": frame_sample_q,
+        "page_overlays": page_overlays_q,
         "embed_texts": embed_texts_q,
         "result_view": result_view_q,
         "doc_xml": doc_xml_q,
@@ -481,6 +486,23 @@ def oracle_sql() -> dict[str, str]:
                    MIN(x1) AS x1, MIN(y1) AS y1,
                    MAX(x2) AS x2, MAX(y2) AS y2
             FROM rep GROUP BY media_ref""",
+        "page_overlays": f"""
+            WITH r AS (
+              SELECT media_ref, kind, ord,
+                     '<rect class="' ||
+                     CASE kind WHEN 0 THEN 'ocr-line'
+                               WHEN 1 THEN 'det-box'
+                               ELSE 'col-box' END ||
+                     '" x="' || x1 || '" y="' || y1 ||
+                     '" width="' || (x2 - x1) ||
+                     '" height="' || (y2 - y1) || '"/>' AS rect
+              FROM read_parquet('{ORACLE_DIR}/media_boxes.parquet'))
+            SELECT media_ref,
+                   md5('<svg xmlns="http://www.w3.org/2000/svg" '
+                       || 'width="2480" height="3500">'
+                       || string_agg(rect, '' ORDER BY kind, ord)
+                       || '</svg>') AS svg_md5
+            FROM r GROUP BY media_ref""",
         "media_resize": f"""
             SELECT media_ref,
                    CAST(LEAST(length(payload), 1048576) AS BIGINT) AS n_bytes_out,

@@ -1,10 +1,13 @@
 """Multimodal column plumbing: media payloads as opaque binary with
 typed metadata, processed by actor-pool stages.
 
-The container has no image/audio codecs, so the *decode* step is
-stubbed (``RealImageDecoder`` raises NotImplementedError; the
-deterministic ``FakeDecoder`` extracts byte-level features) — but the
-Ray-side plumbing is real and tested: actor signature, small batch
+The test container has no image/audio codecs, so the *decode* steps
+default to deterministic byte-level stand-ins (``FakeDecoder``,
+byte-cap resize, byte-stride frames); the REAL paths exist behind
+import/binary gates — ``RealImageDecoder`` (Pillow),
+``MediaResize(codec="pil")`` and ``ocr_image_to_hocr`` (tesseract) —
+and activate where the codecs are installed.  The Ray-side plumbing is
+identical either way and fully tested: actor signature, small batch
 sizes for wide binary rows, schema of the feature output, and the rule
 that payload bytes are fetched inside the actor and never shuffled.
 """
@@ -263,5 +266,35 @@ def media_features(media_refs_ds, store_spec: str = "synth",
     return media_refs_ds.map_batches(
         MediaFeaturize,
         fn_constructor_kwargs=dict(store_spec=store_spec),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+class PageOverlay:
+    """Actor-pool stage: (media_ref) → (media_ref, svg_md5) QA overlay
+    (functions/overlay.py; the reference's box-painting QA images,
+    LOCDB-V3/imgProcessing.py:1127-1247, as codec-free SVG).  Payload
+    fetched and parsed inside the actor; only the fingerprint leaves."""
+
+    def __init__(self, store_spec: str = "synth"):
+        from ..functions.hocr import parse_hocr
+        from ..functions.overlay import page_overlay_svg
+        self.parse = parse_hocr
+        self.render = page_overlay_svg
+        self.store = make_store(store_spec)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        digests = [hashlib.md5(
+            self.render(self.parse(self.store.fetch(r).decode("utf-8")))
+            .encode("utf-8")).hexdigest() for r in refs]
+        return pa.table({"media_ref": pa.array(refs, pa.string()),
+                         "svg_md5": pa.array(digests, pa.string())})
+
+
+def page_overlays(media_refs_ds, store_spec: str = "synth",
+                  concurrency=(1, 4), batch_size: int = 16):
+    return media_refs_ds.map_batches(
+        PageOverlay, fn_constructor_kwargs=dict(store_spec=store_spec),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)

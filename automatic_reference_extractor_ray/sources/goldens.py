@@ -22,7 +22,7 @@ ORACLE_ROOT = "/tmp/arx_oracle"
 # bump when corpus.py / citegen.py / pagegen.py / this file change what
 # the golden tables contain — the cache marker carries it, so stale
 # goldens regenerate instead of silently mismatching
-GOLDEN_VERSION = "2"
+GOLDEN_VERSION = "3"
 
 
 def golden_rows(doc_keys: list[str]) -> list[dict]:
@@ -61,10 +61,13 @@ def corpus_spans_table(doc_keys: list[str]) -> pa.Table:
                      "media_ref": pa.array(cols["media_ref"], pa.string())})
 
 
-def media_tables(doc_keys: list[str]) -> tuple[pa.Table, pa.Table, pa.Table]:
-    """(media_payloads, media_meta, media_lines): payload text (hOCR is
-    utf-8, stored as string so DuckDB md5() applies), analytic per-page
-    line counts, and the analytic per-page OCR-line table — all from the
+def media_tables(doc_keys: list[str]) -> tuple[pa.Table, pa.Table,
+                                               pa.Table, pa.Table]:
+    """(media_payloads, media_meta, media_lines, media_boxes): payload
+    text (hOCR is utf-8, stored as string so DuckDB md5() applies),
+    analytic per-page line counts, the analytic per-page OCR-line
+    table, and every page box (kind 0=ocr-line, 1=det, 2=col, in
+    observation order) for the QA-overlay oracle — all from the
     generator's layout knowledge, never from parsing."""
     from ..sources.media_store import SynthMediaStore
     from .corpus import parse_media_ref
@@ -72,6 +75,7 @@ def media_tables(doc_keys: list[str]) -> tuple[pa.Table, pa.Table, pa.Table]:
     store = SynthMediaStore()
     refs, payloads, n_lines = [], [], []
     lrefs, lnos, ltexts, lboxes = [], [], [], []
+    brefs, bkinds, bords, bboxes = [], [], [], []
     seen = set()
     for key in doc_keys:
         in_rows, _ = build_doc(key)
@@ -89,6 +93,12 @@ def media_tables(doc_keys: list[str]) -> tuple[pa.Table, pa.Table, pa.Table]:
                 for i, (text, box) in enumerate(plan.lines):
                     lrefs.append(r); lnos.append(i); ltexts.append(text)
                     lboxes.append(box)
+                for kind, items in ((0, [b for _, b in plan.lines]),
+                                    (1, [b for b, _ in plan.dets]),
+                                    (2, [b for b, _ in plan.cols])):
+                    for i, box in enumerate(items):
+                        brefs.append(r); bkinds.append(kind)
+                        bords.append(i); bboxes.append(box)
     payload_t = pa.table({"media_ref": pa.array(refs, pa.string()),
                           "payload": pa.array(payloads, pa.string())})
     meta_t = pa.table({"media_ref": pa.array(refs, pa.string()),
@@ -102,7 +112,16 @@ def media_tables(doc_keys: list[str]) -> tuple[pa.Table, pa.Table, pa.Table]:
         "x2": pa.array([b[2] for b in lboxes], pa.int32()),
         "y2": pa.array([b[3] for b in lboxes], pa.int32()),
     })
-    return payload_t, meta_t, lines_t
+    boxes_t = pa.table({
+        "media_ref": pa.array(brefs, pa.string()),
+        "kind": pa.array(bkinds, pa.int32()),
+        "ord": pa.array(bords, pa.int32()),
+        "x1": pa.array([int(b[0]) for b in bboxes], pa.int32()),
+        "y1": pa.array([int(b[1]) for b in bboxes], pa.int32()),
+        "x2": pa.array([int(b[2]) for b in bboxes], pa.int32()),
+        "y2": pa.array([int(b[3]) for b in bboxes], pa.int32()),
+    })
+    return payload_t, meta_t, lines_t, boxes_t
 
 
 def sf_doc_keys(sf_dir: str, repeat: int = 1) -> list[str]:
@@ -126,10 +145,11 @@ def write_oracle_tables(sf_dir: str, out_root: str = ORACLE_ROOT) -> str:
     keys = sf_doc_keys(sf_dir)
     pq.write_table(golden_table(keys), os.path.join(out_dir, "golden_refs.parquet"))
     pq.write_table(corpus_spans_table(keys), os.path.join(out_dir, "corpus_spans.parquet"))
-    payload_t, meta_t, lines_t = media_tables(keys)
+    payload_t, meta_t, lines_t, boxes_t = media_tables(keys)
     pq.write_table(payload_t, os.path.join(out_dir, "media_payloads.parquet"))
     pq.write_table(meta_t, os.path.join(out_dir, "media_meta.parquet"))
     pq.write_table(lines_t, os.path.join(out_dir, "media_lines.parquet"))
+    pq.write_table(boxes_t, os.path.join(out_dir, "media_boxes.parquet"))
     with open(done, "w") as f:
         f.write(GOLDEN_VERSION)
     return out_dir
