@@ -387,18 +387,22 @@ def minhash_lsh_pairs(docs, tau: float = 0.9):
       unique codes) → global pair DISTINCT (bucketed shuffle over two
       int64 columns) → exact-Jaccard verification.
 
-    Returns verified pairs (a, b) as doc_id strings.  Recall is the
-    banding curve's — candidates missed by every band are lost, so
-    this is rows-only checked (compared against ``jaccard_pairs`` in
-    tests, not an SQL oracle).
+    Int-keyed corpora (the sf testdata) use the raw doc_id AS the code
+    — no hash indirection, no decode payload in the verify join.
+
+    Returns verified pairs (a, b) as doc ids.  Recall is the banding
+    curve's — candidates missed by every band are lost, so this is
+    rows-only checked (compared against ``jaccard_pairs`` in tests,
+    not an SQL oracle).
     """
     rows_per_band = MINHASH_K // LSH_BANDS
+    raw_int_ids = _doc_key_dtype(docs) == "int64"
 
     def signatures(batch: pd.DataFrame) -> pd.DataFrame:
         bands, hashes, codes = [], [], []
         for d, t in zip(batch["doc_id"], batch["text"]):
             sig = minhash_signature(_token_set(t))
-            code = _doc_code(d)
+            code = int(d) if raw_int_ids else _doc_code(d)
             for band in range(LSH_BANDS):
                 chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
                 bands.append(band)
@@ -414,7 +418,10 @@ def minhash_lsh_pairs(docs, tau: float = 0.9):
         bucketed_groupby(bands, ["band", "band_hash"],
                          lambda p: _int_pairs_of_groups(p, ["band", "band_hash"])),
         ["a", "b"])
-    return _verify_pairs_join(cands, docs, tau, coded=True)
+    # raw int ids: keys ARE doc ids → the non-coded verifier (token
+    # payload only, pairs emitted as-is); else verify + decode via the
+    # doc payload riding the coded join
+    return _verify_pairs_join(cands, docs, tau, coded=not raw_int_ids)
 
 
 # --------------------------------------------------------------- SimHash
@@ -442,13 +449,17 @@ def simhash_pairs(docs, max_hamming: int = 8):
     chunks (pigeonhole: the 4-band scheme guarantees recall for
     hamming <= 3; wider radii may miss spread bit-flips — banding
     parameters are explicit).  Exact Hamming verified per candidate;
-    final pair set deduped through the bounded-bucket shuffle."""
+    final pair set deduped through the bounded-bucket shuffle.
+
+    Int-keyed corpora skip the id-decode join entirely: pairs travel
+    and emit as the raw int64 doc ids (sorted, so a < b holds)."""
+    raw_int_ids = _doc_key_dtype(docs) == "int64"
 
     def sigs(batch: pd.DataFrame) -> pd.DataFrame:
         bands, chunks, shs, codes = [], [], [], []
         for d, t in zip(batch["doc_id"], batch["text"]):
             sh = simhash64(_token_set(t))
-            code = _doc_code(d)
+            code = int(d) if raw_int_ids else _doc_code(d)
             for band in range(4):
                 bands.append(band)
                 chunks.append((sh >> (16 * band)) & 0xFFFF)
@@ -487,6 +498,8 @@ def simhash_pairs(docs, max_hamming: int = 8):
     cands = bucketed_distinct(
         bucketed_groupby(bands, ["band", "chunk"], pairs_of_bucket),
         ["a", "b"])
+    if raw_int_ids:
+        return cands
     return _decode_pairs_join(cands, docs)
 
 
