@@ -263,6 +263,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             embedding_dup_pairs_lsh)
         return embedding_dup_pairs_lsh(_read(sf, "embeddings"), tau=EMB_TAU)
 
+    def dedup_components_q(sf):
+        from automatic_reference_extractor_ray.ops.dedup import (
+            dedup_components, jaccard_pairs)
+        docs = _docs_table(sf)
+        return dedup_components(docs, jaccard_pairs(docs, tau=JACCARD_TAU))
+
     # ---- similarity search ----
     def ann_topk_q(sf):
         from automatic_reference_extractor_ray.ops.ann import brute_force_topk
@@ -348,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup_simhash_q,
         "dedup_embedding": dedup_embedding_q,
         "dedup_embedding_lsh": dedup_embedding_lsh_q,
+        "dedup_components": dedup_components_q,
         "ann_topk": ann_topk_q,
         "ann_lsh": ann_lsh_q,
         "ann_ivf": ann_ivf_q,
@@ -584,6 +591,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_TAU}""",
+        "dedup_components": f"""
+            WITH RECURSIVE tok AS (
+              SELECT doc_id, unnest(list_distinct({TOK})) AS token FROM documents),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+              SELECT t1.doc_id AS a, t2.doc_id AS b, COUNT(*) AS i
+              FROM tok t1 JOIN tok t2
+                ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_TAU}),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+            walk(node, label) AS (
+                SELECT doc_id, doc_id FROM documents
+              UNION
+                SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node),
+            comp AS (
+              SELECT node AS doc_id, MIN(label) AS component_id
+              FROM walk GROUP BY node)
+            SELECT doc_id, component_id,
+                   doc_id = component_id AS is_keeper
+            FROM comp""",
         "dedup_embedding": f"""
             SELECT e1.vec_id AS a, e2.vec_id AS b
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id

@@ -646,3 +646,119 @@ def embedding_dup_pairs_lsh(embeddings, tau: float = 0.4,
 
     return grouped_pair_join(cands, side, "int64", ["emb"], verify,
                              num_buckets)
+
+
+# ------------------------------------------------- dedup components
+
+def dedup_components(docs, pairs, max_rounds: int = 25):
+    """Connected components of the near-dup pair graph → per-doc
+    cluster assignment and survivor flag:
+
+        (doc_id, component_id, is_keeper)
+
+    ``component_id`` is the smallest doc id reachable through the pair
+    graph (singletons are their own component); ``is_keeper`` marks the
+    one row per component a dedup job retains.
+
+    Distributed min-label propagation, TWO flat bucketed shuffles per
+    round (never nested joins — Ray pipelines built on a prior round's
+    many-small-block output degrade superlinearly when the round graph
+    deepens; measured 19s → 151s round-over-round with a join-based
+    round, flat rounds stay constant):
+
+      1. labels + both edge directions co-shuffle by the SOURCE node;
+         each bucket emits (target, source_label) messages plus the
+         label rows themselves;
+      2. messages + old labels co-shuffle by the TARGET node; each
+         bucket folds min and flags whether the label changed.
+
+    The loop stops when no label changed (a cheap flag-sum over the
+    materialized round output).  Rounds = graph diameter; near-dup
+    components are dense cliques in practice, converging in 2-3 rounds
+    — pointer jumping is the long-chain optimization if a corpus ever
+    needs it.  Labels are materialized per round (one small row per
+    doc — spillable at any scale).
+    """
+    from .shuffle import BUCKET_COL, _bucket_of, auto_num_buckets
+    dt = _doc_key_dtype(docs)
+    nb = auto_num_buckets()
+
+    def canon(s: pd.Series) -> pd.Series:
+        return s.astype(object) if dt == "object" else s.astype(dt)
+
+    def buckets_of(s: pd.Series) -> np.ndarray:
+        if not len(s):
+            return np.array([], dtype=np.int64)
+        return _bucket_of(pd.DataFrame({"k": canon(s)}), ["k"], nb)
+
+    def tagged(key, other, kind: int, changed=None) -> pd.DataFrame:
+        n = len(key)
+        out = pd.DataFrame({
+            "key": canon(key), "other": canon(other),
+            KIND_COL: np.full(n, kind, dtype=np.int8)})
+        out["changed"] = (np.zeros(n, dtype=bool) if changed is None
+                          else np.asarray(changed, dtype=bool))
+        out[BUCKET_COL] = buckets_of(out["key"])
+        return out
+
+    def ids_frame(b: pd.DataFrame) -> pd.DataFrame:
+        # kind 0 label row: key=node, other=label
+        return tagged(b["doc_id"], b["doc_id"], 0)
+
+    labels = docs.map_batches(ids_frame, batch_format="pandas").materialize()
+
+    def edge_frames(b: pd.DataFrame) -> pd.DataFrame:
+        # kind 1 edge rows, both directions: key=source, other=target
+        return pd.concat([tagged(b["a"], b["b"], 1),
+                          tagged(b["b"], b["a"], 1)], ignore_index=True)
+
+    edges = pairs.map_batches(edge_frames, batch_format="pandas").materialize()
+
+    def emit_messages(pdf: pd.DataFrame) -> pd.DataFrame:
+        kinds = pdf[KIND_COL].to_numpy()
+        lab = pdf[kinds == 0]
+        edg = pdf[kinds == 1]
+        lmap = dict(zip(lab["key"], lab["other"]))
+        # pass the label rows through unchanged; edges become messages
+        # (target, source_label) tagged kind 2
+        msgs = tagged(edg["other"],
+                      edg["key"].map(lmap), 2) if len(edg) else None
+        out = [lab]
+        if msgs is not None:
+            out.append(msgs)
+        return pd.concat(out, ignore_index=True)
+
+    def fold_min(pdf: pd.DataFrame) -> pd.DataFrame:
+        kinds = pdf[KIND_COL].to_numpy()
+        old = pdf[kinds == 0]
+        new = pdf.groupby("key", sort=False)["other"].min()
+        old_map = dict(zip(old["key"], old["other"]))
+        keys = new.index
+        changed = np.fromiter((old_map[k] != v for k, v in new.items()),
+                              dtype=bool, count=len(new))
+        return tagged(pd.Series(list(keys)), pd.Series(new.to_numpy()),
+                      0, changed=changed)
+
+    for _ in range(max_rounds):
+        round_in = labels.union(edges)
+        msgs = (round_in.groupby(BUCKET_COL)
+                .map_groups(lambda g: emit_messages(g), batch_format="pandas"))
+        new_labels = (msgs.groupby(BUCKET_COL)
+                      .map_groups(lambda g: fold_min(g),
+                                  batch_format="pandas")).materialize()
+        n_changed = new_labels.map_batches(
+            lambda df: pd.DataFrame(
+                {"n": [int(df["changed"].sum())]}),
+            batch_format="pandas").sum("n")
+        labels = new_labels
+        if not n_changed:
+            break
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        # the converged label IS the component's min id, so the keeper
+        # test is a pure per-row map — no extra shuffle
+        return pd.DataFrame({"doc_id": pdf["key"],
+                             "component_id": pdf["other"],
+                             "is_keeper": pdf["key"] == pdf["other"]})
+
+    return labels.map_batches(finalize, batch_format="pandas")

@@ -114,3 +114,19 @@ def test_embedding_lsh_recall_vs_brute_force(ray_session):
     assert lsh <= exact                       # precision 1
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.95, f"recall {recall:.3f} ({len(lsh)}/{len(exact)})"
+
+
+def test_dedup_components_chain_and_singleton(ray_session):
+    """Chain 1-2-3 collapses to one component (multi-round propagation),
+    4-5 to another, 6 stays a singleton keeper."""
+    import pandas as pd
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.dedup import dedup_components
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["x"] * 6}))
+    pairs = rd.from_pandas(pd.DataFrame({"a": [2, 1, 4], "b": [3, 2, 5]}))
+    out = dedup_components(docs, pairs).to_pandas().sort_values("doc_id")
+    assert list(out["component_id"]) == [1, 1, 1, 4, 4, 6]
+    assert list(out["is_keeper"]) == [True, False, False, True, False, True]
