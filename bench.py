@@ -105,6 +105,17 @@ def run_bench() -> dict:
         read("events", ["event_type", "ts", "value"])).to_pandas())
     timed("events_sessions", lambda: events_sessions(
         read("events", ["user_id", "ts", "event_id"])).count())
+    from automatic_reference_extractor_ray.ops.relational import (
+        events_asof_orders, events_sliding)
+    timed("events_asof", lambda: events_asof_orders(
+        read("events", ["user_id", "ts", "event_id"]),
+        read("orders", ["o_custkey", "o_orderdate", "o_orderkey"])).count())
+    timed("events_sliding", lambda: events_sliding(
+        read("events", ["event_type", "ts", "value"])).count())
+    from automatic_reference_extractor_ray.ops.textstats import (
+        duplicated_passages)
+    timed("dup_passages", lambda: duplicated_passages(
+        read("documents", ["doc_id", "text"])).count())
     timed("token_quality", lambda: read("documents", ["doc_id", "text"])
           .map_batches(quality_metrics, batch_format="pandas").count())
     timed("dedup_exact", lambda: exact_dedup(

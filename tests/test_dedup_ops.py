@@ -130,3 +130,28 @@ def test_dedup_components_chain_and_singleton(ray_session):
     out = dedup_components(docs, pairs).to_pandas().sort_values("doc_id")
     assert list(out["component_id"]) == [1, 1, 1, 4, 4, 6]
     assert list(out["is_keeper"]) == [True, False, False, True, False, True]
+
+
+def test_minhash_simhash_string_ids(ray_session):
+    """String-keyed corpora exercise the coded path (doc-id hashing +
+    decode through the verification join) — int corpora bypass it."""
+    import pandas as pd
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.dedup import (
+        jaccard_pairs, minhash_lsh_pairs, simhash_pairs)
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": ["doc-a", "doc-b", "doc-c", "doc-d"],
+        "text": [base, base + " extra", base + " extra",
+                 "completely different words describing unrelated topics "
+                 "with zero overlap whatsoever here now"]}))
+    mh = {(r["a"], r["b"]) for r in minhash_lsh_pairs(docs, tau=0.8).take_all()}
+    jc = {(r["a"], r["b"]) for r in jaccard_pairs(docs, tau=0.8).take_all()}
+    assert ("doc-b", "doc-c") in jc and jc <= {
+        ("doc-a", "doc-b"), ("doc-a", "doc-c"), ("doc-b", "doc-c")}
+    assert mh == jc                      # banding recall 1.0 on near-dups
+    sh = {(r["a"], r["b"]) for r in simhash_pairs(docs).take_all()}
+    assert ("doc-b", "doc-c") in sh
+    assert all(a < b for a, b in sh)
