@@ -88,25 +88,32 @@ def split_versioned_doc_id(doc_id: str) -> tuple[str, int]:
     """Split ``"<base>~<version>"`` → ``(base, version)``; version 0 when
     absent.  Models the reference's ``YYYYMMDDHHMMSS_<name>`` timestamp
     prefix whose max wins (``findLatest``,
-    LOCDB-V3/fileProcessor.py:223-265)."""
+    LOCDB-V3/fileProcessor.py:223-265).
+
+    A suffix counts as a version ONLY if it is plain digits — not the
+    looser ``int()`` grammar ("+3", " 3", "3_0") and not floats.  The
+    vectorized batch parser (stages/dedup_version._base_ver) implements
+    the SAME digits-only rule; the two MUST agree or the version filter
+    can drop documents the pre-pass never counted."""
     base, sep, ver = doc_id.rpartition("~")
-    if not sep:
+    if not sep or not ver.isascii() or not ver.isdigit():
         return doc_id, 0
-    try:
-        return base, int(ver)
-    except ValueError:
-        return doc_id, 0
+    return base, int(ver)
 
 
 _DIGIT_RUN_RE = re.compile(r"\d+")
 
 
 def natsort_key(s: str) -> str:
-    """Flat natural-order sort key: every digit run zero-padded to 12
-    chars, so lexicographic order of keys == natural order of strings
-    ("doc2" < "doc10").  String-typed so it sorts inside Arrow blocks
-    (O4; the reference uses natsort.natsorted on its result list)."""
-    return _DIGIT_RUN_RE.sub(lambda m: m.group(0).zfill(12), s)
+    """Flat natural-order sort key: every digit run is replaced by
+    ``<2-digit length><run>`` so lexicographic order of keys == natural
+    order for runs of ANY length up to 99 digits (fixed-width
+    zero-padding alone breaks once a run outgrows the pad — e.g.
+    13-digit ids vs 12-digit ids, or the reference's 14-digit
+    YYYYMMDDHHMMSS prefixes).  String-typed so it sorts inside Arrow
+    blocks (O4; the reference uses natsort.natsorted)."""
+    return _DIGIT_RUN_RE.sub(
+        lambda m: f"{min(len(m.group(0)), 99):02d}{m.group(0)}", s)
 
 
 def repair_title_line(text: str) -> str:

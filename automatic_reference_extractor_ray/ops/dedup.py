@@ -120,35 +120,29 @@ def grouped_pair_join(cands, side, key_dtype: str, payload_cols: list[str],
     complete payload maps {key: (payload, ...)}.  ``side`` must have
     columns ``["key", *payload_cols]``, one row per key.
     """
-    from .shuffle import BUCKET_COL, _bucket_of, auto_num_buckets
+    from .shuffle import (BUCKET_COL, auto_num_buckets, buckets_for_values,
+                          canon_series, pad_frame)
     nb = num_buckets or auto_num_buckets()
     kd = key_dtype
     # cands feeds TWO branches (the pair stream and the distinct
-    # (a, bucket) routing stream); Ray re-executes lazy upstreams per
-    # consumer, so pin the candidate pairs once — they are key-only
-    # rows (16B each), safely spillable at any scale
+    # (a, bucket) routing stream) and side feeds two as well (the
+    # a-routing join and the b-side stream); Ray re-executes lazy
+    # upstreams per consumer, so pin both once — cands are key-only
+    # rows (16B each), side is one payload row per key; both spill
+    # cleanly at any scale, and without this the corpus would be read
+    # and tokenized/embedded twice
     cands = cands.materialize()
+    side = side.materialize()
     schema = {"a": kd, "b": kd, **dict.fromkeys(payload_cols, "object")}
 
     def canon(s: pd.Series) -> pd.Series:
-        return s.astype(object) if kd == "object" else s.astype(kd)
+        return canon_series(s, kd)
 
     def buckets_of(s: pd.Series) -> np.ndarray:
-        if not len(s):
-            return np.array([], dtype=np.int64)
-        return _bucket_of(pd.DataFrame({"k": canon(s)}), ["k"], nb)
+        return buckets_for_values(s, kd, nb)
 
     def mk(df: pd.DataFrame, kind: int, bucket: np.ndarray) -> pd.DataFrame:
-        out = pd.DataFrame(index=df.index)
-        for c, dt in schema.items():
-            if c in df.columns:
-                out[c] = df[c].to_numpy() if dt != "object" else df[c]
-            elif dt == "object":
-                out[c] = ""
-            else:
-                out[c] = np.zeros(len(df), dtype=dt)
-            if dt != "object":
-                out[c] = out[c].astype(dt)
+        out = pad_frame(df, schema)
         out[KIND_COL] = np.full(len(df), kind, dtype=np.int8)
         out[BUCKET_COL] = bucket
         return out
@@ -679,17 +673,16 @@ def dedup_components(docs, pairs, max_rounds: int = 25):
     needs it.  Labels are materialized per round (one small row per
     doc — spillable at any scale).
     """
-    from .shuffle import BUCKET_COL, _bucket_of, auto_num_buckets
+    from .shuffle import (BUCKET_COL, auto_num_buckets, buckets_for_values,
+                          canon_series)
     dt = _doc_key_dtype(docs)
     nb = auto_num_buckets()
 
     def canon(s: pd.Series) -> pd.Series:
-        return s.astype(object) if dt == "object" else s.astype(dt)
+        return canon_series(s, dt)
 
     def buckets_of(s: pd.Series) -> np.ndarray:
-        if not len(s):
-            return np.array([], dtype=np.int64)
-        return _bucket_of(pd.DataFrame({"k": canon(s)}), ["k"], nb)
+        return buckets_for_values(s, dt, nb)
 
     def tagged(key, other, kind: int, changed=None) -> pd.DataFrame:
         n = len(key)
@@ -739,6 +732,7 @@ def dedup_components(docs, pairs, max_rounds: int = 25):
         return tagged(pd.Series(list(keys)), pd.Series(new.to_numpy()),
                       0, changed=changed)
 
+    converged = False
     for _ in range(max_rounds):
         round_in = labels.union(edges)
         msgs = (round_in.groupby(BUCKET_COL)
@@ -752,7 +746,16 @@ def dedup_components(docs, pairs, max_rounds: int = 25):
             batch_format="pandas").sum("n")
         labels = new_labels
         if not n_changed:
+            converged = True
             break
+    if not converged:
+        # unconverged labels look valid but split components — refuse
+        # to return them (a chain-shaped graph with diameter >
+        # max_rounds needs more rounds, or pointer jumping)
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_rounds} rounds; "
+            "the pair graph has a longer path than expected — raise "
+            "max_rounds")
 
     def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
         # the converged label IS the component's min id, so the keeper

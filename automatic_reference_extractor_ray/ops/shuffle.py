@@ -114,12 +114,13 @@ def bucketed_distinct(ds, keys: list[str] | str,
         ds, keys, lambda pdf: pdf.drop_duplicates(keys)[keys], num_buckets)
 
 
-def _pad_to_schema(df: pd.DataFrame, schema: dict[str, str],
-                   side: int) -> pd.DataFrame:
-    """Project ``df`` onto the unified join schema: missing columns are
-    filled with a dtype-appropriate default (0 / "" / NaN) so every
-    block has identical names AND dtypes — mixed-type object columns
-    would break Arrow block conversion mid-shuffle."""
+def pad_frame(df: pd.DataFrame, schema: dict[str, str]) -> pd.DataFrame:
+    """Project ``df`` onto a unified {col: dtype-str} schema: missing
+    columns are filled with a dtype-appropriate default (0 / "") so
+    every block has identical names AND dtypes — mixed-type object
+    columns would break Arrow block conversion mid-shuffle.  The single
+    source of truth for this rule (the join and the grouped pair join
+    both build their tagged streams with it)."""
     out = pd.DataFrame(index=df.index)
     for col, dtype in schema.items():
         if col in df.columns:
@@ -130,6 +131,29 @@ def _pad_to_schema(df: pd.DataFrame, schema: dict[str, str],
             out[col] = np.zeros(len(df), dtype=dtype)
         if dtype != "object":
             out[col] = out[col].astype(dtype)
+    return out
+
+
+def canon_series(s: pd.Series, dtype: str) -> pd.Series:
+    """Dtype-canonical view of a key column — equal key VALUES must
+    hash equally even when blocks round-trip Arrow/pandas and flip
+    between int64 and object."""
+    return s.astype(object) if dtype == "object" else s.astype(dtype)
+
+
+def buckets_for_values(s: pd.Series, dtype: str,
+                       num_buckets: int) -> np.ndarray:
+    """Bucket assignment for one key column's VALUES under the declared
+    dtype (see ``canon_series``)."""
+    if not len(s):
+        return np.array([], dtype=np.int64)
+    return _bucket_of(pd.DataFrame({"k": canon_series(s, dtype)}),
+                      ["k"], num_buckets)
+
+
+def _pad_to_schema(df: pd.DataFrame, schema: dict[str, str],
+                   side: int) -> pd.DataFrame:
+    out = pad_frame(df, schema)
     out[SIDE_COL] = np.full(len(df), side, dtype=np.int8)
     return out
 
@@ -172,15 +196,7 @@ def bucketed_join(left, right, on: str,
     def tag(side: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             out = _pad_to_schema(df, schema, side)
-            # hash a dtype-CANONICAL view of the key: blocks round-trip
-            # through Arrow/pandas between stages, and hash_pandas_object
-            # hashes int64 and object(int) columns differently — without
-            # this, equal keys land in different buckets per side
-            kv = df[[on]].copy()
-            kv[on] = (kv[on].astype(object) if schema[on] == "object"
-                      else kv[on].astype(schema[on]))
-            out[BUCKET_COL] = (_bucket_of(kv, [on], nb)
-                               if len(df) else np.array([], dtype=np.int64))
+            out[BUCKET_COL] = buckets_for_values(df[on], schema[on], nb)
             return out
         return fn
 

@@ -9,7 +9,11 @@ payload rows; the external converters are BINARY-GATED (the test
 container ships neither LibreOffice nor a PDF extractor), so:
 
   txt                 passthrough (utf-8 decode), always available
-  pdf/doc/docx/odt    ``soffice --headless --convert-to txt:Text`` via
+  pdf                 ``pdftotext`` (poppler — the pdf-inspector
+                      analogue; LibreOffice's Writer txt filter cannot
+                      convert PDFs) when the binary exists, a precise
+                      RuntimeError otherwise
+  doc/docx/odt        ``soffice --headless --convert-to txt:Text`` via
                       subprocess when the binary exists, a precise
                       RuntimeError otherwise
   anything else       ValueError — the whitelist
@@ -29,11 +33,16 @@ import tempfile
 import pyarrow as pa
 
 ALLOWED_EXTENSIONS = ("txt", "pdf", "doc", "docx", "odt")
-_CONVERTER_BINARIES = ("soffice", "libreoffice")
+_OFFICE_BINARIES = ("soffice", "libreoffice")
+_PDF_BINARY = "pdftotext"
 
 
 def converter_available() -> bool:
-    return any(shutil.which(b) for b in _CONVERTER_BINARIES)
+    return any(shutil.which(b) for b in _OFFICE_BINARIES)
+
+
+def pdf_converter_available() -> bool:
+    return shutil.which(_PDF_BINARY) is not None
 
 
 def convert_payload_to_text(payload: bytes, ext: str) -> str:
@@ -45,11 +54,29 @@ def convert_payload_to_text(payload: bytes, ext: str) -> str:
             "(fileProcessor.py:24-25)")
     if ext == "txt":
         return payload.decode("utf-8", errors="replace")
-    binary = next((b for b in _CONVERTER_BINARIES if shutil.which(b)), None)
+    if ext == "pdf":
+        # LibreOffice imports PDFs into Draw, which has no text filter
+        # — PDFs need a dedicated extractor, like the reference's
+        # docears-pdf-inspector (textProcessing.py:88-92)
+        if not pdf_converter_available():
+            raise RuntimeError(
+                "converting .pdf needs pdftotext (poppler-utils) on "
+                "PATH; this environment has no PDF extractor — ingest "
+                "pre-extracted text spans instead")
+        with tempfile.TemporaryDirectory() as td:      # pragma: no cover
+            src = os.path.join(td, "doc.pdf")
+            with open(src, "wb") as f:
+                f.write(payload)
+            subprocess.run([_PDF_BINARY, src, os.path.join(td, "doc.txt")],
+                           check=True, capture_output=True)
+            with open(os.path.join(td, "doc.txt"), encoding="utf-8",
+                      errors="replace") as f:
+                return f.read()
+    binary = next((b for b in _OFFICE_BINARIES if shutil.which(b)), None)
     if binary is None:
         raise RuntimeError(
             f"converting .{ext} needs LibreOffice (soffice) on PATH; "
-            "this environment has no office/PDF converters — ingest "
+            "this environment has no office converters — ingest "
             "pre-extracted text spans instead")
     with tempfile.TemporaryDirectory() as td:          # pragma: no cover
         src = os.path.join(td, f"doc.{ext}")

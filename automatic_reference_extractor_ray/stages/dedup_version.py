@@ -31,19 +31,25 @@ from ..ops.shuffle import bucketed_groupby
 
 def _base_ver(batch: pa.Table) -> pa.Table:
     """Vectorized ``split_versioned_doc_id`` over a batch (pandas str
-    kernels; the per-row python variant costs ~2s per million ids)."""
+    kernels; the per-row python variant costs ~2s per million ids).
+    MUST implement the same digits-only suffix rule as the scalar
+    (textkit.split_versioned_doc_id) — a looser parse here (e.g.
+    ``to_numeric`` accepting "3.5"/"+3") would count versions the
+    per-row filter later refuses, silently dropping documents."""
     import pandas as pd
     s = pd.Series(batch.column("doc_id").to_pandas(), dtype="object")
     if not len(s):
         return pa.table({"base_id": pa.array([], pa.string()),
                          "version": pa.array([], pa.int64())})
     parts = s.str.rpartition("~")
-    ver = pd.to_numeric(parts[2], errors="coerce")
-    plain = (parts[1] == "") | ver.isna()     # no "~" or non-integer tail
+    is_ver = (parts[1] == "~") & parts[2].str.fullmatch(r"[0-9]+")
+    plain = ~is_ver
     base = np.where(plain, s, parts[0])
-    version = np.where(plain, 0, ver.fillna(0)).astype(np.int64)
+    version = np.where(plain, "0", parts[2])
     return pa.table({"base_id": pa.array(base, pa.string()),
-                     "version": pa.array(version, pa.int64())})
+                     "version": pa.array(
+                         pd.to_numeric(pd.Series(version)).astype(np.int64),
+                         pa.int64())})
 
 
 def _distinct_bv(batch: pa.Table) -> pa.Table:

@@ -19,7 +19,6 @@ the span-content rules.  Two modes:
 from __future__ import annotations
 
 import os
-import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -101,14 +100,24 @@ def validate_documents(docs, quarantine: bool = False,
         mask = np.ones(batch.num_rows, dtype=bool)
         mask[list(reason_by_row)] = False
         if quarantine_dir:
+            import hashlib
+
             import pyarrow.parquet as pq
             bad = batch.filter(pa.array(~mask))
             bad = bad.append_column(
                 INVALID_REASON_COL,
                 pa.array([reason_by_row[i] for i in sorted(reason_by_row)],
                          pa.string()))
+            # content-addressed file name: this map_batches is LAZY and
+            # Ray may re-execute it (second consumer, task retry) — a
+            # random name would append duplicate offender rows; the
+            # deterministic name makes re-execution overwrite instead
+            digest = hashlib.md5("\x1f".join(
+                f"{bad.column('doc_id')[i].as_py()}|{reason_by_row[k]}"
+                for i, k in enumerate(sorted(reason_by_row))
+            ).encode("utf-8")).hexdigest()
             pq.write_table(bad, os.path.join(
-                quarantine_dir, f"bad-{uuid.uuid4().hex}.parquet"))
+                quarantine_dir, f"bad-{digest}.parquet"))
         return batch.filter(pa.array(mask))
 
     return docs.map_batches(check, batch_format="pyarrow")

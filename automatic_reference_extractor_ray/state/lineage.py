@@ -84,6 +84,11 @@ def ensure_partitioned_layout(docs_factory, out_dir: str,
                 and meta.get("input_fingerprint") == input_fingerprint):
             return layout
         shutil.rmtree(layout)
+    elif os.path.isdir(layout):
+        # data dir without meta = a half-state that should be
+        # impossible (meta is written inside tmp before the atomic
+        # rename) — clear it rather than failing every rebuild
+        shutil.rmtree(layout)
 
     tmp = layout + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -101,10 +106,13 @@ def ensure_partitioned_layout(docs_factory, out_dir: str,
     # materialize empties so per-partition reads are uniform
     for p in range(num_partitions):
         os.makedirs(os.path.join(tmp, f"p={p}"), exist_ok=True)
-    os.rename(tmp, layout)
-    with open(meta_path, "w") as f:
+    # meta goes INTO tmp so the rename publishes data+meta atomically —
+    # a crash can leave only a .tmp (rebuilt next run), never a
+    # meta-less layout dir
+    with open(os.path.join(tmp, "_META.json"), "w") as f:
         json.dump({"num_partitions": num_partitions,
                    "input_fingerprint": input_fingerprint}, f)
+    os.rename(tmp, layout)
     return layout
 
 

@@ -19,6 +19,17 @@ def test_office_formats_gated():
     if converter_available():
         pytest.skip("LibreOffice present - gate not exercisable")
     with pytest.raises(RuntimeError, match="LibreOffice"):
+        convert_payload_to_text(b"old-word-doc", "doc")
+
+
+def test_pdf_route_gated_on_pdftotext():
+    """PDFs route to a dedicated extractor (LibreOffice cannot convert
+    them), gated on the poppler binary."""
+    from automatic_reference_extractor_ray.sources.convert import (
+        convert_payload_to_text, pdf_converter_available)
+    if pdf_converter_available():
+        pytest.skip("pdftotext present - gate not exercisable")
+    with pytest.raises(RuntimeError, match="pdftotext"):
         convert_payload_to_text(b"%PDF-1.4", "pdf")
 
 

@@ -155,3 +155,18 @@ def test_minhash_simhash_string_ids(ray_session):
     sh = {(r["a"], r["b"]) for r in simhash_pairs(docs).take_all()}
     assert ("doc-b", "doc-c") in sh
     assert all(a < b for a, b in sh)
+
+
+def test_dedup_components_raises_when_unconverged(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.dedup import dedup_components
+    n = 8
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": list(range(n)),
+                                        "text": ["x"] * n}))
+    chain = rd.from_pandas(pd.DataFrame({"a": list(range(n - 1)),
+                                         "b": list(range(1, n))}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(docs, chain, max_rounds=2)

@@ -200,3 +200,51 @@ def test_stitch_bucket_count_invariance(ray_session):
     base = run(8)
     for nb in (64, 256):
         pd.testing.assert_frame_equal(run(nb), base)
+
+
+def test_version_parse_scalar_vector_parity(ray_session):
+    """The vectorized pre-pass and the per-row filter MUST agree on
+    what counts as a version suffix (digits only) — a looser vectorized
+    parse would count versions the filter refuses and silently drop
+    docs (regression: '~3.5' used to be parsed as version 3)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.functions.textkit import (
+        split_versioned_doc_id)
+    from automatic_reference_extractor_ray.schema import SPAN_STRUCT
+    from automatic_reference_extractor_ray.stages.dedup_version import (
+        compute_latest_versions, latest_version_filter)
+    ids = ["r~2", "r~3.5", "x~+3", "y~ 4", "z~1_0", "w~07", "w~8", "plain"]
+    for d in ids:
+        base, ver = split_versioned_doc_id(d)
+        assert (ver > 0) == (d in ("r~2", "w~07", "w~8")), d
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.string()),
+        "spans": pa.array([[] for _ in ids], pa.list_(SPAN_STRUCT))}))
+    latest = compute_latest_versions(ds)
+    assert latest == {"w": 8}
+    kept = sorted(r["doc_id"] for r in latest_version_filter(ds).take_all())
+    # only w~07 (superseded by w~8) drops; odd suffixes are whole ids
+    assert kept == sorted(set(ids) - {"w~07"})
+
+
+def test_layout_survives_missing_meta(ray_session, tmp_path):
+    """A layout dir without _META.json (crash artifact) is rebuilt, not
+    a permanent rename failure."""
+    import json
+    import os
+
+    from automatic_reference_extractor_ray.sources.interleave import (
+        read_interleaved_docs)
+    from automatic_reference_extractor_ray.state.lineage import (
+        ensure_partitioned_layout)
+    out = str(tmp_path / "o")
+    os.makedirs(out)
+    factory = lambda: read_interleaved_docs("/root/testdata/sf0.001")  # noqa: E731
+    layout = ensure_partitioned_layout(factory, out, 2)
+    assert os.path.exists(os.path.join(layout, "_META.json"))
+    os.remove(os.path.join(layout, "_META.json"))     # simulate crash
+    layout2 = ensure_partitioned_layout(factory, out, 2)
+    with open(os.path.join(layout2, "_META.json")) as f:
+        assert json.load(f)["num_partitions"] == 2

@@ -98,6 +98,13 @@ def test_natsort_key_orders_naturally():
     names = ["doc10", "doc2", "doc1", "doc2-r3", "doc2-r10"]
     assert sorted(names, key=natsort_key) == \
         ["doc1", "doc2", "doc2-r3", "doc2-r10", "doc10"]
+    # runs longer than any fixed pad (13+ digits, e.g. 14-digit
+    # YYYYMMDDHHMMSS prefixes) still order numerically
+    long = ["d999999999999", "d1000000000000", "d20240101120000",
+            "d9999999999999"]
+    assert sorted(long, key=natsort_key) == [
+        "d999999999999", "d1000000000000", "d9999999999999",
+        "d20240101120000"]
 
 
 def test_repair_title_line_m10():

@@ -94,3 +94,19 @@ def test_quarantine_dir_requires_quarantine_mode(ray_session, tmp_path):
         validate_documents)
     with pytest.raises(ValueError, match="requires quarantine"):
         validate_documents(_docs([GOOD]), quarantine_dir=str(tmp_path / "q"))
+
+
+def test_quarantine_side_table_idempotent_on_reexecution(ray_session, tmp_path):
+    """The dead-letter write is a side effect inside a lazy map_batches;
+    Ray re-executes per consumer — content-addressed file names keep the
+    audit table duplicate-free."""
+    from automatic_reference_extractor_ray.stages.validate import (
+        read_quarantined, validate_documents)
+    qdir = str(tmp_path / "q")
+    bad = ("bad", [{"kind": "nope", "text": "", "media_ref": "", "offset": 0}])
+    ds = validate_documents(_docs([GOOD, bad]), quarantine=True,
+                            quarantine_dir=qdir)
+    assert ds.count() == 1          # consumer 1
+    assert len(ds.take_all()) == 1  # consumer 2 → check() re-executes
+    side = read_quarantined(qdir)
+    assert side.num_rows == 1
