@@ -237,6 +237,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from automatic_reference_extractor_ray.ops.textstats import fingerprint
         return _docs_table(sf).map_batches(fingerprint, batch_format="pandas")
 
+    def quality_filter_q(sf):
+        from automatic_reference_extractor_ray.ops.textstats import (
+            quality_filter)
+        return _docs_table(sf).map_batches(quality_filter,
+                                           batch_format="pandas")
+
     # ---- dedup family ----
     def dedup_exact_q(sf):
         from automatic_reference_extractor_ray.ops.dedup import exact_dedup
@@ -348,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_metrics": quality_metrics_q,
         "lang_guess": lang_guess_q,
         "doc_fingerprint": fingerprint_q,
+        "quality_filter": quality_filter_q,
         "dedup_exact": dedup_exact_q,
         "dedup_jaccard": dedup_jaccard_q,
         "dedup_minhash": dedup_minhash_q,
@@ -574,6 +581,32 @@ def oracle_sql() -> dict[str, str]:
             FROM h""",
         "doc_fingerprint": f"""
             SELECT doc_id, md5({NORM}) AS fp FROM documents""",
+        "quality_filter": f"""
+            WITH m AS (
+              SELECT doc_id, {TOK} AS t FROM documents),
+            s AS (
+              SELECT doc_id,
+                     CAST(len(t) AS BIGINT) AS n_tokens,
+                     CAST(len(list_filter(t, x -> x IN
+                          ('the','and','of','to','a','in','is','for',
+                           'with','on'))) AS BIGINT) AS n_stop,
+                     CAST(COALESCE(list_sum(list_transform(t,
+                          x -> length(x))), 0) AS BIGINT) AS sum_len
+              FROM m),
+            q AS (
+              SELECT doc_id, n_tokens,
+                     (100 * sum_len) // GREATEST(n_tokens, 1) AS mean_wlen_x100,
+                     (1000 * n_stop) // GREATEST(n_tokens, 1) AS stop_rate_x1000
+              FROM s)
+            SELECT doc_id, n_tokens, mean_wlen_x100, stop_rate_x1000,
+                   n_tokens < 40 AS flag_too_short,
+                   mean_wlen_x100 < 300 OR mean_wlen_x100 > 1000
+                     AS flag_bad_word_len,
+                   stop_rate_x1000 < 10 AS flag_low_stopwords,
+                   NOT (n_tokens < 40 OR mean_wlen_x100 < 300
+                        OR mean_wlen_x100 > 1000 OR stop_rate_x1000 < 10)
+                     AS keep
+            FROM q""",
         "dedup_exact": f"""
             SELECT md5({NORM}) AS content_hash,
                    MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_dups

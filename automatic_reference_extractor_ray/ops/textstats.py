@@ -101,3 +101,38 @@ def duplicated_passages(docs, n: int = 8):
 
     return bucketed_groupby(docs.map_batches(grams, batch_format="pandas"),
                             "gram", dup_only)
+
+
+def quality_filter(batch: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021 §A1.1, integerized so
+    the SQL oracle mirrors it exactly): per-doc flags plus the final
+    ``keep`` verdict a cleaning pipeline acts on.
+
+      too_short        n_tokens < 40
+      bad_word_len     mean token length x100 outside [300, 1000]
+      low_stopwords    stopword fraction x1000 < 10 (≈ Gopher's
+                       "must contain stop words" proxy)
+
+    All arithmetic is integer (floor division), no float boundaries.
+    """
+    toks = batch["text"].map(_tokens)
+    n = toks.map(len).astype("int64")
+    sum_len = toks.map(lambda ts: sum(len(t) for t in ts)).astype("int64")
+    en = frozenset(EN_STOP)
+    n_stop = toks.map(lambda ts: sum(t in en for t in ts)).astype("int64")
+    safe_n = n.where(n > 0, 1)
+    mean_wlen = (100 * sum_len) // safe_n
+    stop_rate = (1000 * n_stop) // safe_n
+    too_short = n < 40
+    bad_word_len = (mean_wlen < 300) | (mean_wlen > 1000)
+    low_stop = stop_rate < 10
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_tokens": n,
+        "mean_wlen_x100": mean_wlen.astype("int64"),
+        "stop_rate_x1000": stop_rate.astype("int64"),
+        "flag_too_short": too_short,
+        "flag_bad_word_len": bad_word_len,
+        "flag_low_stopwords": low_stop,
+        "keep": ~(too_short | bad_word_len | low_stop),
+    })

@@ -169,3 +169,26 @@ def test_duplicated_passages(ray_session):
     assert list(got["gram"]) == [passage]
     assert list(got["n_occurrences"]) == [2]
     assert list(got["n_docs"]) == [2]
+
+
+def test_quality_filter_rules(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.textstats import quality_filter
+    good = ("the quality document contains useful information and "
+            "the sections describe methods for processing with care "
+            "on relevant topics today ") * 3
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [good,
+                 "too short",
+                 "xx " * 100,                         # 2-char words, no stops
+                 ("supercalifragilisticexpialidocious " * 60)]}))
+    out = (docs.map_batches(quality_filter, batch_format="pandas")
+           .to_pandas().set_index("doc_id"))
+    assert bool(out.loc[1, "keep"])
+    assert bool(out.loc[2, "flag_too_short"]) and not out.loc[2, "keep"]
+    assert bool(out.loc[3, "flag_bad_word_len"]) or \
+        bool(out.loc[3, "flag_low_stopwords"])
+    assert bool(out.loc[4, "flag_bad_word_len"]) and not out.loc[4, "keep"]
