@@ -151,8 +151,16 @@ def run_scaling() -> dict:
     criterion.  The corpus is replicated (ARX_BENCH_REPEAT, default 8
     here) so steady-state throughput, not fixed startup (ray.init,
     actor-pool spawn), is what's measured — on a real cluster those
-    costs amortize over hours, not seconds."""
+    costs amortize over hours, not seconds.
+
+    ``ARX_BENCH_SAMPLES`` > 1 runs the two legs INTERLEAVED that many
+    times and keeps the best of each — host-level noise (shared-tenant
+    bursts, CPU-credit throttling) otherwise lands on whichever leg is
+    unlucky and corrupts the ratio; best-of-interleaved is the
+    standard mitigation.  The start/end load averages ship in the JSON
+    so a polluted run is visible."""
     repeat = os.environ.get("ARX_BENCH_REPEAT", "24")
+    samples = int(os.environ.get("ARX_BENCH_SAMPLES", "1"))
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -163,16 +171,25 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
+    load_start = os.getloadavg()[0]
+    runs_lo, runs_hi = [], []
+    for _ in range(samples):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "repeat": int(repeat),
+        "samples": samples,
         "sec_8": r_lo["value"], "sec_32": r_hi["value"],
         "docs_per_sec_8": r_lo["docs_per_sec"],
         "docs_per_sec_32": r_hi["docs_per_sec"],
+        "load_start": round(load_start, 2),
+        "load_end": round(os.getloadavg()[0], 2),
         "sf": SF_DIR,
     }
 
