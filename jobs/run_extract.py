@@ -25,7 +25,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def docs_factory(inp: str, quarantine: bool = False):
+def docs_factory(inp: str, quarantine: bool = False,
+                 quarantine_dir: str | None = None):
     from automatic_reference_extractor_ray.sources import interleave as iv
     from automatic_reference_extractor_ray.stages.validate import (
         validate_documents)
@@ -36,7 +37,8 @@ def docs_factory(inp: str, quarantine: bool = False):
         read = lambda: iv.read_interleaved_docs(inp)      # noqa: E731
     else:
         read = lambda: iv.read_docs_parquet(inp)          # noqa: E731
-    return lambda: validate_documents(read(), quarantine=quarantine)
+    return lambda: validate_documents(read(), quarantine=quarantine,
+                                      quarantine_dir=quarantine_dir)
 
 
 def main() -> int:
@@ -47,6 +49,10 @@ def main() -> int:
     ap.add_argument("--no-version-dedup", action="store_true")
     ap.add_argument("--quarantine", action="store_true",
                     help="drop invalid input rows instead of failing fast")
+    ap.add_argument("--quarantine-dir", default=None,
+                    help="with --quarantine: also write dropped rows "
+                         "(tagged with _invalid_reason) to this dir as a "
+                         "parquet dead-letter side table")
     args = ap.parse_args()
 
     import ray
@@ -57,7 +63,8 @@ def main() -> int:
         fingerprint_dir, run_resumable_extract)
     fp = fingerprint_dir(args.input) if os.path.isdir(args.input) else ""
     metrics = run_resumable_extract(
-        docs_factory(args.input, quarantine=args.quarantine), args.out,
+        docs_factory(args.input, quarantine=args.quarantine,
+                     quarantine_dir=args.quarantine_dir), args.out,
         num_partitions=args.partitions,
         input_fingerprint=fp,
         version_dedup=not args.no_version_dedup)

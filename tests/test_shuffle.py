@@ -101,3 +101,46 @@ def test_auto_num_buckets_scales():
     big = auto_num_buckets(size_bytes=100 << 30)
     assert big >= (100 << 30) // TARGET_BUCKET_BYTES
     assert auto_num_buckets(size_bytes=1) == base
+
+
+@pytest.mark.parametrize("key_dtype", ["int64", "object"])
+def test_grouped_pair_join_matches_naive(ray_session, key_dtype):
+    """Randomized equivalence: grouped_pair_join with an
+    attach-payloads verify must equal the naive pandas double-merge,
+    for int and string keys."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.dedup import grouped_pair_join
+    rng = np.random.default_rng(123)
+    keys = np.arange(30)
+    if key_dtype == "object":
+        key_vals = np.array([f"k{i:03d}" for i in keys], dtype=object)
+    else:
+        key_vals = keys
+    side = pd.DataFrame({"key": key_vals,
+                         "payload": [f"p{i}" for i in keys]})
+    a = key_vals[rng.integers(0, 30, 120)]
+    b = key_vals[rng.integers(0, 30, 120)]
+    cands = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+
+    def verify(pairs, amap, bmap):
+        if not len(pairs):
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object),
+                                 "pa": pd.Series([], dtype=object),
+                                 "pb": pd.Series([], dtype=object)})
+        return pd.DataFrame({
+            "a": pairs["a"], "b": pairs["b"],
+            "pa": [amap[x][0] for x in pairs["a"]],
+            "pb": [bmap[x][0] for x in pairs["b"]]})
+
+    got = grouped_pair_join(rd.from_pandas(cands), rd.from_pandas(side),
+                            key_dtype, ["payload"], verify,
+                            num_buckets=7).to_pandas()
+    exp = (cands.merge(side.rename(columns={"key": "a",
+                                            "payload": "pa"}), on="a")
+           .merge(side.rename(columns={"key": "b", "payload": "pb"}),
+                  on="b"))
+    key = lambda df: sorted(map(tuple, df[["a", "b", "pa", "pb"]]
+                                .to_numpy()))  # noqa: E731
+    assert key(got) == key(exp)
