@@ -209,11 +209,13 @@ def _column_golden(col: _Col) -> list[dict]:
     return recs
 
 
-def _finalize(plan: PagePlan, cols: list[_Col]) -> PagePlan:
+def _finalize(plan: PagePlan, cols: list[_Col],
+              with_records: bool = True) -> PagePlan:
     for c in cols:
         plan.lines.extend(c.lines)
         plan.dets.extend(c.dets)
-        plan.records.extend(_column_golden(c))
+        if with_records:
+            plan.records.extend(_column_golden(c))
     if len(cols) > 1:
         for c in cols:
             plan.cols.append(((c.x0 + 10, 100, c.x0 + c.cw - 20, PAGE_H - 100), 0.95))
@@ -221,8 +223,15 @@ def _finalize(plan: PagePlan, cols: list[_Col]) -> PagePlan:
 
 
 def page_plan(seed: int, page: int, cls: str | None = None,
-              n_refs: int | None = None) -> PagePlan:
-    """The deterministic page: layout + detector output + golden records."""
+              n_refs: int | None = None,
+              with_records: bool = True) -> PagePlan:
+    """The deterministic page: layout + detector output + golden records.
+
+    ``with_records=False`` skips the analytic golden-record derivation
+    (the most expensive part — it runs the near-dup snapshot math):
+    the synthetic media STORE only needs lines/dets/cols to render the
+    hOCR payload, and paying golden-generation cost inside every OCR
+    actor fetch was ~35% of benchmark extraction time."""
     if cls is None:
         cls = SCAN_CLASSES[seed % len(SCAN_CLASSES)]
     rng = np.random.Generator(np.random.PCG64([seed & 0xFFFFFFFF, page, 0xA11CE]))
@@ -235,7 +244,7 @@ def page_plan(seed: int, page: int, cls: str | None = None,
         _emit_refs(col, rng, cits)
         # low-confidence detector noise over body → filtered by M6 (0.75)
         col.dets.append((_inflate(col.lines[0][1]), 0.40))
-        return _finalize(plan, [col])
+        return _finalize(plan, [col], with_records)
 
     if cls in ("scan_multicol", "scan_3col"):
         ncols = 2 if cls == "scan_multicol" else 3
@@ -248,7 +257,7 @@ def page_plan(seed: int, page: int, cls: str | None = None,
         for extra in cols[2:]:
             for _ in range(int(rng.integers(2, 5))):
                 extra.add(gen_body_sentence(rng))
-        _finalize(plan, cols)
+        _finalize(plan, cols, with_records)
         # spurious low-confidence column box (filtered by 0.91)
         plan.cols.append(((PAGE_W // 2 - 40, 100, PAGE_W // 2 + 40, 500), 0.50))
         return plan
@@ -260,14 +269,14 @@ def page_plan(seed: int, page: int, cls: str | None = None,
             modes[1] = {"digit_hyphen": True}
         col = _Col(0, 1)
         _emit_refs(col, rng, cits, split_modes=modes)
-        return _finalize(plan, [col])
+        return _finalize(plan, [col], with_records)
 
     if cls == "scan_backfail":
         modes = [{} for _ in cits]
         modes[0] = {"double_space": True}
         col = _Col(0, 1)
         _emit_refs(col, rng, cits, split_modes=modes)
-        return _finalize(plan, [col])
+        return _finalize(plan, [col], with_records)
 
     if cls == "scan_neardup":
         col = _Col(0, 1)
@@ -277,12 +286,12 @@ def page_plan(seed: int, page: int, cls: str | None = None,
             ids = [col.add(c) for c in _split_ref(noise, 2)]
             col.dets.append((_inflate(_union(col.boxes(ids))), 0.92))
         _emit_refs(col, rng, cits)
-        return _finalize(plan, [col])
+        return _finalize(plan, [col], with_records)
 
     if cls == "scan_nohead":
         col = _Col(0, 1)
         _emit_refs(col, rng, cits, heading=False)
-        return _finalize(plan, [col])
+        return _finalize(plan, [col], with_records)
 
     if cls == "scan_noise":
         col = _Col(0, 1)
@@ -290,6 +299,6 @@ def page_plan(seed: int, page: int, cls: str | None = None,
         b2 = col.add(gen_body_sentence(rng))
         col.dets.append((_inflate(_union(col.boxes([b1, b2]))), 0.80))
         _emit_refs(col, rng, cits)
-        return _finalize(plan, [col])
+        return _finalize(plan, [col], with_records)
 
     raise ValueError(f"unknown scan class {cls!r}")
