@@ -87,3 +87,40 @@ def read_docs_lance(uri: str, **kw):
             "read_docs_lance requires the 'lance' package; in this test "
             "environment use read_docs_parquet / read_interleaved_docs") from e
     return rd.read_lance(uri, **kw)                     # pragma: no cover
+
+
+def read_interleaved_docs_cached(sf_dir: str, repeat: int = 1,
+                                 cache_root: str = "/tmp/arx_corpus",
+                                 columns: list[str] | None = None):
+    """Benchmark reader: expand the synthetic corpus ONCE into a
+    parquet cache and stream-read it thereafter.
+
+    A deployment READS its corpus (Lance/parquet); regenerating every
+    span procedurally inside the first map stage measures the corpus
+    GENERATOR, not the engine (profiled: generation cost ≈ the whole
+    rest of the pipeline at steady state).  The cache key includes the
+    generator version, so corpus-code changes invalidate it; the write
+    is atomic (tmp dir + rename), so concurrent bench processes race
+    safely."""
+    import os
+    import shutil
+
+    from .goldens import GOLDEN_VERSION
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(cache_root, f"{name}-r{repeat}-v{GOLDEN_VERSION}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        tmp = f"{out}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        read_interleaved_docs(sf_dir, repeat).write_parquet(tmp)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write(GOLDEN_VERSION)
+        try:
+            os.rename(tmp, out)
+        except OSError:                       # concurrent writer won
+            shutil.rmtree(tmp, ignore_errors=True)
+    if columns is not None:                  # pruned read (id pre-pass)
+        return rd.read_parquet(out, columns=columns,
+                               file_extensions=["parquet"])
+    return rd.read_parquet(out, schema=DOCUMENTS_SCHEMA,
+                           file_extensions=["parquet"])
