@@ -28,6 +28,11 @@ EMB_TAU = 0.4
 _pipeline_cache: dict[str, Any] = {}
 
 
+def _analytics_split_sql() -> str:
+    from automatic_reference_extractor_ray.ops.analytics import hash_split_sql
+    return hash_split_sql("documents", "doc_id")
+
+
 def _ensure_oracle_tables() -> None:
     from automatic_reference_extractor_ray.sources.goldens import write_oracle_tables
     for sf in ("/root/testdata/sf0.01", SF001):
@@ -331,6 +336,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
             duplicated_passages)
         return duplicated_passages(_docs_table(sf), n=8)
 
+    # ---- analytics family ----
+    def distinct_users_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            grouped_distinct_count)
+        return grouped_distinct_count(
+            _read(sf, "events", ["event_type", "user_id"]),
+            "event_type", "user_id")
+
+    def value_quantiles_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            grouped_quantiles)
+        return grouped_quantiles(
+            _read(sf, "events", ["event_type", "value"]),
+            "event_type", "value")
+
+    def hash_split_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import hash_split
+        return hash_split(_read(sf, "documents", ["doc_id"]), "doc_id")
+
+    def topk_tokens_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import topk_tokens
+        return topk_tokens(_docs_table(sf), k=50)
+
+    def approx_distinct_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            approx_distinct)
+        est = approx_distinct(_read(sf, "events", ["user_id"]), "user_id")
+        return pd.DataFrame({"column_name": ["user_id"],
+                             "n_distinct_est": np.array([est], dtype="int64")})
+
+    def kmeans_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import kmeans
+        return kmeans(_read(sf, "embeddings", ["vec_id", "embedding"]),
+                      k=8, n_iter=10)
+
+    def events_range_join_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            events_range_join_counts)
+        return events_range_join_counts(
+            _read(sf, "events", ["event_id", "user_id", "ts"]))
+
     return {
         "extract_refs": extract_refs_q,
         "extract_fields": extract_fields_q,
@@ -372,6 +418,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": events_asof_q,
         "events_sliding": events_sliding_q,
         "dup_passages": dup_passages_q,
+        "distinct_users": distinct_users_q,
+        "value_quantiles": value_quantiles_q,
+        "hash_split": hash_split_q,
+        "topk_tokens": topk_tokens_q,
+        "approx_distinct": approx_distinct_q,
+        "kmeans_clusters": kmeans_q,
+        "events_range_join": events_range_join_q,
     }
 
 
@@ -740,8 +793,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT gram, COUNT(*) AS n_occurrences,
                    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
             FROM grams GROUP BY gram HAVING COUNT(*) > 1""",
+        "distinct_users": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY event_type""",
+        "value_quantiles": """
+            WITH qs(q) AS (VALUES (0.5), (0.9), (0.99)),
+            ranked AS (
+              SELECT event_type, value,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY value) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events)
+            SELECT event_type, q, value AS q_value
+            FROM ranked JOIN qs ON rn = CAST(CEIL(q * n) AS BIGINT)""",
+        "hash_split": _analytics_split_sql(),
+        "topk_tokens": f"""
+            SELECT token, COUNT(*) AS n
+            FROM (SELECT unnest({TOK}) AS token FROM documents)
+            GROUP BY token ORDER BY n DESC, token LIMIT 50""",
+        "events_range_join": """
+            SELECT a.event_id, CAST(COUNT(b.event_id) AS BIGINT) AS n_prior
+            FROM events a LEFT JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts >= a.ts - INTERVAL 10 MINUTE AND b.ts < a.ts
+            GROUP BY a.event_id""",
         # dedup_minhash / dedup_simhash / dedup_embedding_lsh / ann_lsh /
         # ann_ivf are approximate by design → rows-only checks (no SQL
         # equivalent claimed); recall vs the exact baselines is asserted
-        # in pytest instead.
+        # in pytest instead.  approx_distinct (HLL sketch) and
+        # kmeans_clusters (iterative) are likewise non-SQL: error bound /
+        # agreement with a local reference is asserted in pytest.
     }

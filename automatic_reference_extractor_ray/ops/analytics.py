@@ -1,0 +1,336 @@
+"""Distributed analytics primitives a training-data pipeline leans on
+beyond plain grouped aggregates: exact distinct counting, exact
+discrete quantiles, deterministic corpus splitting, exact heavy
+hitters, sketch-based approximate distinct, k-means clustering, and
+an interval (range) join.
+
+Scale design mirrors ops/relational.py and ops/shuffle.py:
+
+- every many-key exchange rides the bounded-bucket shuffle
+  (``ops.shuffle``), never Ray's per-group aggregate;
+- per-batch combiners shrink rows BEFORE any shuffle (local distinct,
+  local counts, local top-k candidates);
+- only fixed-size state (k centroids, 4096 HLL registers, nb*k top-k
+  candidates) ever reaches the driver — never data-proportional rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import numpy as np
+import pandas as pd
+
+from .shuffle import bucketed_agg, bucketed_distinct, bucketed_groupby, bucketed_join
+
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+# ----------------------------------------------------- distinct count
+
+def grouped_distinct_count(ds, key: str, val: str, out_col: str = "n_distinct",
+                           num_buckets: int | None = None):
+    """Exact COUNT(DISTINCT val) GROUP BY key → (key, out_col).
+
+    Two skew-safe levels: per-batch local distinct shrinks the stream,
+    the global DISTINCT buckets on (key, val) — a hot key's values
+    spread over every bucket instead of landing in one task — and the
+    final per-key count aggregates the (already tiny) distinct pairs.
+    """
+    pairs = ds.map_batches(
+        lambda b: b[[key, val]].drop_duplicates(), batch_format="pandas")
+    distinct = bucketed_distinct(pairs, [key, val], num_buckets)
+    return bucketed_agg(distinct, key, {out_col: (val, "size")}, num_buckets)
+
+
+# -------------------------------------------------- discrete quantiles
+
+def grouped_quantiles(ds, key: str, col: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                      num_buckets: int | None = None):
+    """Exact discrete quantiles per group → (key, q, q_value).
+
+    ``q_value`` is the element at 1-indexed rank ``ceil(q * n)`` of the
+    group's sorted values — an EXISTING value, bit-identical to the SQL
+    window-function oracle (no interpolation, no float synthesis).
+
+    Distributed shape: raw rows collapse to (key, value, count)
+    histograms through one bucketed aggregate keyed on BOTH columns
+    (skew-safe), then one bucketed group-by on the key folds each
+    group's histogram — per-task memory is distinct-values-per-key,
+    not rows-per-key.
+    """
+    hist = bucketed_agg(
+        ds.map_batches(lambda b: b[[key, col]], batch_format="pandas"),
+        [key, col], {"n": (col, "size")}, num_buckets)
+
+    qarr = np.asarray(qs, dtype=np.float64)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys_out, q_out, v_out = [], [], []
+        for kv, g in pdf.groupby(key, sort=False):
+            g = g.sort_values(col)
+            counts = g["n"].to_numpy()
+            values = g[col].to_numpy()
+            cum = np.cumsum(counts)
+            n = cum[-1]
+            # same double math as the SQL oracle's CEIL(q * n)
+            ranks = np.array([math.ceil(q * n) for q in qarr], dtype=np.int64)
+            idx = np.searchsorted(cum, ranks, side="left")
+            keys_out.extend([kv] * len(qarr))
+            q_out.extend(qarr)
+            v_out.extend(values[idx])
+        return pd.DataFrame({key: keys_out,
+                             "q": np.array(q_out, dtype=np.float64),
+                             "q_value": np.array(v_out)})
+
+    return bucketed_groupby(hist, key, fold, num_buckets)
+
+
+# ------------------------------------------------ deterministic split
+
+def _hex_threshold(frac: float) -> str:
+    return format(min(int(frac * (1 << 32)), (1 << 32) - 1), "08x")
+
+
+def hash_split(ds, id_col: str, ratios: tuple[float, ...] = (0.8, 0.1, 0.1),
+               names: tuple[str, ...] = ("train", "val", "test")):
+    """Deterministic train/val/test assignment → (id_col, split).
+
+    The split key is the first 8 hex chars of ``md5(str(id))`` compared
+    against cumulative-ratio thresholds — a pure per-row map (no
+    shuffle, no RNG state), reproducible across runs, languages and
+    cluster sizes, and expressible verbatim in SQL (lowercase-hex
+    string order == numeric order).
+    """
+    if len(ratios) != len(names):
+        raise ValueError("ratios and names must align")
+    cum, acc = [], 0.0
+    for r in ratios[:-1]:
+        acc += r
+        cum.append(_hex_threshold(acc))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].tolist()
+        splits = []
+        for v in ids:
+            h8 = hashlib.md5(str(v).encode("utf-8")).hexdigest()[:8]
+            s = names[-1]
+            for t, nm in zip(cum, names):
+                if h8 < t:
+                    s = nm
+                    break
+            splits.append(s)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             "split": splits})
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def hash_split_sql(table: str, id_col: str,
+                   ratios: tuple[float, ...] = (0.8, 0.1, 0.1),
+                   names: tuple[str, ...] = ("train", "val", "test")) -> str:
+    """The DuckDB oracle matching ``hash_split`` bit-for-bit."""
+    cum, acc = [], 0.0
+    for r in ratios[:-1]:
+        acc += r
+        cum.append(_hex_threshold(acc))
+    case = "CASE"
+    for t, nm in zip(cum, names):
+        case += f" WHEN h8 < '{t}' THEN '{nm}'"
+    case += f" ELSE '{names[-1]}' END"
+    return f"""
+        SELECT {id_col}, {case} AS split
+        FROM (SELECT {id_col},
+                     substr(md5(CAST({id_col} AS VARCHAR)), 1, 8) AS h8
+              FROM {table})"""
+
+
+# ------------------------------------------------- exact heavy hitters
+
+def topk_tokens(docs, k: int = 50, text_col: str = "text",
+                num_buckets: int | None = None) -> pd.DataFrame:
+    """Exact global top-k tokens by occurrence → (token, n), ordered by
+    (n DESC, token ASC) with a deterministic cut at k.
+
+    Per-batch Counters emit (token, partial-n) rows; each token's total
+    lands whole in one hash bucket, so a per-bucket top-k is a correct
+    candidate filter; the nb*k survivors (fixed-size, not
+    data-proportional) merge on the driver.
+    """
+
+    def count_batch(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in b[text_col]:
+            c.update(TOKEN_RE.findall(t.lower()))
+        return pd.DataFrame({"token": list(c.keys()),
+                             "n": np.fromiter(c.values(), np.int64, len(c))})
+
+    partials = docs.map_batches(count_batch, batch_format="pandas")
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("token", sort=False)["n"].sum().reset_index()
+        g = g.sort_values(["n", "token"], ascending=[False, True])
+        return g.head(k)
+
+    cand = bucketed_groupby(partials, "token", bucket_topk,
+                            num_buckets).to_pandas()
+    cand = cand.sort_values(["n", "token"], ascending=[False, True])
+    return cand.head(k).reset_index(drop=True)
+
+
+# --------------------------------------------- HyperLogLog distinct
+
+HLL_P = 12                               # 4096 registers, ~1.6% rel. error
+_HLL_M = 1 << HLL_P
+
+
+def _hll_register_rows(values) -> pd.DataFrame:
+    """(register, rho) rows for a batch of values — local max per
+    register so at most 4096 rows leave any batch."""
+    regs = np.zeros(_HLL_M, dtype=np.int64)
+    for v in values:
+        h = int.from_bytes(
+            hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(),
+            "little")
+        idx = h & (_HLL_M - 1)
+        rest = h >> HLL_P
+        rho = (64 - HLL_P) - rest.bit_length() + 1
+        if rho > regs[idx]:
+            regs[idx] = rho
+    nz = np.flatnonzero(regs)
+    return pd.DataFrame({"register": nz.astype(np.int64), "rho": regs[nz]})
+
+
+def hll_estimate_from_registers(regs: np.ndarray) -> float:
+    m = float(_HLL_M)
+    est = (0.7213 / (1 + 1.079 / m)) * m * m / np.sum(2.0 ** -regs)
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)          # linear counting regime
+    return est
+
+
+def approx_distinct(ds, col: str, num_buckets: int | None = None) -> int:
+    """HyperLogLog (p=12) approximate COUNT(DISTINCT col).
+
+    Per-batch register maxima → one bucketed max-merge over ≤ 4096
+    register keys → ≤ 4096 rows to the driver for the harmonic-mean
+    fold.  ~1.6% typical relative error (asserted in tests against the
+    exact count); the driver never sees data-proportional state.
+    """
+    rows = ds.map_batches(lambda b: _hll_register_rows(b[col].tolist()),
+                          batch_format="pandas")
+    merged = bucketed_agg(rows, "register", {"rho": ("rho", "max")},
+                          num_buckets).to_pandas()
+    regs = np.zeros(_HLL_M, dtype=np.int64)
+    regs[merged["register"].to_numpy()] = merged["rho"].to_numpy()
+    return int(round(hll_estimate_from_registers(regs)))
+
+
+# ------------------------------------------------------------ k-means
+
+def _kmeans_init(embeddings, k: int) -> np.ndarray:
+    """Deterministic seeds: the vectors of the k smallest vec_ids.
+    Per-batch local min-k candidates → nblocks*k rows to the driver —
+    never a full sort, never the full column."""
+
+    def local_k(b: pd.DataFrame) -> pd.DataFrame:
+        return b.nsmallest(k, "vec_id")[["vec_id", "embedding"]]
+
+    cand = embeddings.map_batches(local_k, batch_format="pandas").to_pandas()
+    cand = cand.nsmallest(k, "vec_id")
+    return np.stack(cand["embedding"].to_numpy()).astype(np.float64)
+
+
+def kmeans(embeddings, k: int = 8, n_iter: int = 10):
+    """Lloyd's k-means over the embedding column → (vec_id, cluster).
+
+    Each iteration: centroids (k x d, tiny) broadcast via ``ray.put``;
+    every batch computes assignments vectorized and emits k partial
+    (cluster, count, sum) rows; the driver folds nblocks*k partials —
+    fixed-size state, the classic scalable shape.  Distance ties take
+    the lowest cluster index (np.argmin), empty clusters keep their
+    previous centroid, so the result is deterministic for a given
+    input set (assignment is order-free; centroid sums fold in block
+    order, the one float-order caveat — documented, not observable on
+    separated clusters)."""
+    import ray
+
+    cents = _kmeans_init(embeddings, k)
+
+    for _ in range(n_iter):
+        ref = ray.put(cents)
+
+        def partial(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            c = ray.get(_ref)
+            m = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            rows = []
+            for ci in range(len(c)):
+                mask = a == ci
+                if mask.any():
+                    rows.append((ci, int(mask.sum()), m[mask].sum(axis=0)))
+            return pd.DataFrame({
+                "cluster": [r[0] for r in rows],
+                "n": np.array([r[1] for r in rows], dtype=np.int64),
+                "vec_sum": [r[2] for r in rows]})
+
+        parts = embeddings.map_batches(partial,
+                                       batch_format="pandas").to_pandas()
+        new = cents.copy()
+        for ci, g in parts.groupby("cluster"):
+            total = np.sum(np.stack(g["vec_sum"].to_numpy()), axis=0)
+            new[ci] = total / g["n"].sum()
+        cents = new
+
+    ref = ray.put(cents)
+
+    def assign(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        c = ray.get(_ref)
+        m = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pd.DataFrame({"vec_id": b["vec_id"].astype("int64").to_numpy(),
+                             "cluster": d2.argmin(axis=1).astype(np.int64)})
+
+    return embeddings.map_batches(assign, batch_format="pandas")
+
+
+# ------------------------------------------------------- range join
+
+def events_range_join_counts(events, minutes: int = 10,
+                             num_buckets: int | None = None):
+    """Temporal range (interval) self-join: for every event, the count
+    of the SAME user's events in the half-open window
+    ``[ts - minutes, ts)`` → (event_id, n_prior).
+
+    The non-equi predicate never materializes a cross product: rows
+    hash-bucket on the user key through one bounded shuffle, and each
+    bucket sorts its users' events by ts once and answers every window
+    with two ``np.searchsorted`` probes — O(n log n) per bucket, the
+    standard interval-join kernel.  A hot user costs sort time, not
+    pair-count time.
+    """
+    win = np.timedelta64(minutes, "m")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_n = [], []
+        for _, g in pdf.groupby("user_id", sort=False):
+            g = g.sort_values("ts", kind="mergesort")
+            ts = g["ts"].to_numpy()
+            lo = np.searchsorted(ts, ts - win, side="left")
+            hi = np.searchsorted(ts, ts, side="left")
+            out_id.append(g["event_id"].to_numpy())
+            out_n.append(hi - lo)
+        if not out_id:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "n_prior": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"event_id": np.concatenate(out_id),
+                             "n_prior": np.concatenate(out_n).astype(np.int64)})
+
+    ev = events.map_batches(
+        lambda b: b[["event_id", "user_id", "ts"]], batch_format="pandas")
+    return bucketed_groupby(ev, "user_id", fold, num_buckets)

@@ -1,0 +1,157 @@
+"""Analytics family: distinct counts, quantiles, splits, heavy
+hitters, HLL, k-means, range join — each against an independent local
+(pandas/numpy) reference."""
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_df():
+    import pyarrow.parquet as pq
+    return pq.read_table(f"{SF}/events.parquet").to_pandas()
+
+
+@pytest.fixture(scope="module")
+def events_ds(ray_session, events_df):
+    import ray.data as rd
+    return rd.from_pandas(events_df).materialize()
+
+
+def test_grouped_distinct_count(ray_session, events_ds, events_df):
+    from automatic_reference_extractor_ray.ops.analytics import (
+        grouped_distinct_count)
+    got = (grouped_distinct_count(events_ds, "event_type", "user_id")
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    exp = (events_df.groupby("event_type")["user_id"].nunique()
+           .reset_index(name="n_distinct").sort_values("event_type")
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype({"n_distinct": "int64"}),
+                                  exp.astype({"n_distinct": "int64"}))
+
+
+def test_grouped_quantiles_exact_rank(ray_session, events_ds, events_df):
+    from automatic_reference_extractor_ray.ops.analytics import (
+        grouped_quantiles)
+    qs = (0.25, 0.5, 0.99)
+    got = grouped_quantiles(events_ds, "event_type", "value", qs).to_pandas()
+    for et, g in events_df.groupby("event_type"):
+        vals = np.sort(g["value"].to_numpy())
+        for q in qs:
+            rank = math.ceil(q * len(vals))      # 1-indexed discrete rank
+            exp = vals[rank - 1]
+            mine = got[(got["event_type"] == et) & (got["q"] == q)]
+            assert len(mine) == 1
+            assert mine["q_value"].iloc[0] == exp  # bit-exact: an existing value
+
+
+def test_grouped_quantiles_bucket_invariant(ray_session, events_ds):
+    from automatic_reference_extractor_ray.ops.analytics import (
+        grouped_quantiles)
+    a = (grouped_quantiles(events_ds, "event_type", "value", num_buckets=4)
+         .to_pandas().sort_values(["event_type", "q"]).reset_index(drop=True))
+    b = (grouped_quantiles(events_ds, "event_type", "value", num_buckets=64)
+         .to_pandas().sort_values(["event_type", "q"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_hash_split_deterministic_and_proportional(ray_session):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.analytics import hash_split
+    ids = pd.DataFrame({"doc_id": np.arange(5000, dtype=np.int64)})
+    got = hash_split(rd.from_pandas(ids), "doc_id").to_pandas()
+    # independent reference: md5 prefix fraction of 2^32
+    for v, s in zip(got["doc_id"], got["split"]):
+        frac = int(hashlib.md5(str(int(v)).encode()).hexdigest()[:8], 16) / (1 << 32)
+        exp = "train" if frac < 0.8 else ("val" if frac < 0.9 else "test")
+        assert s == exp
+    counts = got["split"].value_counts(normalize=True)
+    assert abs(counts["train"] - 0.8) < 0.03
+    assert abs(counts["val"] - 0.1) < 0.02
+    assert abs(counts["test"] - 0.1) < 0.02
+
+
+def test_topk_tokens_exact(ray_session):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.analytics import (
+        TOKEN_RE, topk_tokens)
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(vocab, size=40,
+                                 p=np.arange(300, 0, -1) / np.arange(300, 0, -1).sum()))
+             for _ in range(400)]
+    docs = pd.DataFrame({"doc_id": np.arange(400), "text": texts})
+    got = topk_tokens(rd.from_pandas(docs), k=25)
+    from collections import Counter
+    c: Counter = Counter()
+    for t in texts:
+        c.update(TOKEN_RE.findall(t.lower()))
+    exp = (pd.DataFrame({"token": list(c.keys()),
+                         "n": np.fromiter(c.values(), np.int64, len(c))})
+           .sort_values(["n", "token"], ascending=[False, True])
+           .head(25).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_approx_distinct_error_bound(ray_session):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.analytics import approx_distinct
+    n = 20_000
+    df = pd.DataFrame({"v": np.arange(n, dtype=np.int64)})
+    est = approx_distinct(rd.from_pandas(df), "v")
+    assert abs(est - n) / n < 0.05      # p=12 → ~1.6% typical, 5% ceiling
+
+    # duplicates must not inflate the estimate
+    df2 = pd.DataFrame({"v": np.arange(n, dtype=np.int64) % 500})
+    est2 = approx_distinct(rd.from_pandas(df2), "v")
+    assert abs(est2 - 500) / 500 < 0.05
+
+
+def test_kmeans_matches_local_lloyds(ray_session):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.analytics import kmeans
+    rng = np.random.default_rng(11)
+    k, d = 4, 8
+    centers = rng.standard_normal((k, d)) * 10    # well-separated
+    vecs = np.concatenate([centers[i] + 0.1 * rng.standard_normal((50, d))
+                           for i in range(k)])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": ids,
+                                      "embedding": list(vecs)}))
+    got = (kmeans(ds, k=k, n_iter=8).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+
+    # local Lloyd's with the same deterministic init (k smallest ids)
+    c = vecs[:k].astype(np.float64).copy()
+    for _ in range(8):
+        d2 = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for ci in range(k):
+            if (a == ci).any():
+                c[ci] = vecs[a == ci].mean(axis=0)
+    d2 = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    exp = d2.argmin(axis=1)
+    assert (got["cluster"].to_numpy() == exp).all()
+
+
+def test_events_range_join_counts(ray_session, events_ds, events_df):
+    from automatic_reference_extractor_ray.ops.analytics import (
+        events_range_join_counts)
+    got = (events_range_join_counts(events_ds, minutes=10).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    win = pd.Timedelta(minutes=10)
+    rows = []
+    for _, g in events_df.groupby("user_id"):
+        for _, r in g.iterrows():
+            n = ((g["ts"] >= r["ts"] - win) & (g["ts"] < r["ts"])).sum()
+            rows.append((r["event_id"], n))
+    exp = (pd.DataFrame(rows, columns=["event_id", "n_prior"])
+           .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype({"n_prior": "int64"}),
+                                  exp.astype({"n_prior": "int64"}))
