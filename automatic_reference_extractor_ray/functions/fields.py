@@ -20,8 +20,11 @@ Field semantics follow the Grobid TEI mapper (M12):
 
 Recognized shapes (all exercised by the synthetic corpus with
 generator-truth fields): journal article with multi-author comma lists
-("A., B., and C."), no-issue and from-only-page variants, book,
-editor book, surname-style.  Anything else degrades to year/sentence
+("A., B., and C.") and middle-initial forenames ("Last, A. B."),
+no-issue and from-only-page variants, month-carrying dates
+("(1999, March)" → date = year), book, editor book, chapter in an
+edited volume ("In: Ed (ed.), Book, ..." — book title is TEI level m
+and drops), surname-style.  Anything else degrades to year/sentence
 heuristics.
 """
 
@@ -40,7 +43,13 @@ EMPTY_FIELDS: dict[str, object] = {
 MARKER_PREFIX_RE = re.compile(r"^\s*(?:\[\d+\]|\d+[.)])\s+")
 
 _AUTH = r"(?P<auth>.+?)"
-_YEAR = r"\((?P<year>(?:19|20)\d{2})\)\. "
+# date may carry a month — TEI date@when of "1999-03" renders as
+# "(1999, March)"; the mapped date field is the YEAR (the mapper's
+# output unit, imgProcessing.py:928-934)
+_MONTHS = ("January", "February", "March", "April", "May", "June", "July",
+           "August", "September", "October", "November", "December")
+_YEAR = (r"\((?P<year>(?:19|20)\d{2})(?:, (?:" + "|".join(_MONTHS)
+         + r"))?\)\. ")
 _TITLE = r"(?P<title>[^.]+)\. "
 
 # T1 journal article: "Last, A. and Last2, B. (1999). Title. Journal, 12(3), 45-67."
@@ -57,6 +66,18 @@ _T6 = re.compile(
 _T7 = re.compile(
     rf"^{_AUTH} {_YEAR}{_TITLE}(?P<journal>[^,.]+), "
     r"(?P<vol>\d+), (?P<p1>\d+)-(?P<p2>\d+)\.$")
+
+# T9 chapter in an edited volume:
+#   "Last, A. (1999). Chapter title. In: Ed, E. (ed.), Book Title,
+#    Publisher, City, 11-22."
+# TEI semantics: the chapter is title level a (wins the "a else m"
+# rule, imgProcessing.py:855-870), the BOOK title is level m and is
+# therefore dropped (journal comes only from level j); editors are
+# ignored; pages/publisher/pubPlace map as usual.
+_T9 = re.compile(
+    rf"^{_AUTH} {_YEAR}{_TITLE}"
+    r"In: (?P<eds>.+?) \(ed\.\), (?P<book>[^,]+), "
+    r"(?P<publisher>[^,]+), (?P<loc>[^,]+), (?P<p1>\d+)-(?P<p2>\d+)\.$")
 
 # T5 editor book: "Last, A. (ed.) (2001). Title. Publisher, City."
 # — MUST be tried before T2, whose lazy author group would swallow
@@ -122,6 +143,14 @@ def parse_fields(raw: str) -> dict[str, object]:
                  journal=m["journal"], date=m["year"], volume=m["vol"],
                  pages=f"{m['p1']}-{m['p2']}")
         return f
+    m = _T9.match(s)
+    if m:
+        # chapter (level a) wins title; book title (level m) dropped;
+        # editors ignored → chapter authors only
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 date=m["year"], publisher=m["publisher"],
+                 location=m["loc"], pages=f"{m['p1']}-{m['p2']}")
+        return f
     m = _T5.match(s)
     if m:
         # editors ignored (TEI mapper reads <author> only) → authors []
@@ -139,12 +168,17 @@ def parse_fields(raw: str) -> dict[str, object]:
                  journal=m["journal"], date=m["year"], volume=m["vol"],
                  pages=f"{m['p1']}-{m['p2']}")
         return f
-    # Fallback: year anywhere; first sentence = authors, second = title.
+    # Fallback: year anywhere; head before the FIRST ". " = authors,
+    # the ENTIRE tail = title (partition, not split — a tail with
+    # further ". " boundaries, e.g. a middle initial, stays one title,
+    # matching the analytic <cite>-twin golden derivation,
+    # sources/corpus.py:_cite_fallback_fields).
     ym = _YEAR_RE.search(s)
     if ym:
         f["date"] = ym.group(0)
-    parts = [p.strip() for p in s.split(". ") if p.strip()]
-    if len(parts) >= 2:
-        f["authors"] = _split_authors(re.sub(r"\s*\(\d{4}\)$", "", parts[0]))
-        f["title"] = parts[1]
+    head, sep, tail = s.partition(". ")
+    head, tail = head.strip(), tail.strip()
+    if sep and head and tail:
+        f["authors"] = _split_authors(re.sub(r"\s*\(\d{4}\)$", "", head))
+        f["title"] = tail
     return f

@@ -2,10 +2,10 @@
 fields (FIXTURES.md: "templated citations … so the field tokenizer has
 deterministic ground truth").
 
-Three templates, matching the shapes ``functions.fields.parse_fields``
-recognizes exactly; the generator returns both the raw string and the
-expected BibStructured field dict, so field extraction has an analytic
-oracle.
+Eleven template shapes (T1-T10 below), matching the shapes
+``functions.fields.parse_fields`` recognizes exactly; the generator
+returns both the raw string and the expected BibStructured field dict,
+so field extraction has an analytic oracle that never calls the parser.
 """
 
 from __future__ import annotations
@@ -60,6 +60,17 @@ def _author(rng: np.random.Generator) -> str:
     return f"{_pick(rng, SURNAMES)}, {_pick(rng, INITIALS)}."
 
 
+def _author_mid(rng: np.random.Generator) -> str:
+    """Forename first + middle initial (TEI forename type=first/middle,
+    LOCDB-V3/imgProcessing.py:816-846)."""
+    return (f"{_pick(rng, SURNAMES)}, {_pick(rng, INITIALS)}. "
+            f"{_pick(rng, INITIALS)}.")
+
+
+MONTHS = ["January", "February", "March", "April", "May", "June", "July",
+          "August", "September", "October", "November", "December"]
+
+
 def gen_citation(rng: np.random.Generator) -> Citation:
     """One deterministic citation; template mix (M12 shape coverage):
 
@@ -71,8 +82,15 @@ def gen_citation(rng: np.random.Generator) -> Citation:
            <author> tags only, so ground-truth authors are EMPTY
       6    T6 journal article, from-only page (biblScope unit="page")
       7    T7 journal article, volume but no issue
+      8    T8 journal article with middle-initial forenames
+           (TEI forename type=first + type=middle)
+      9    T9 chapter in an edited volume ("In: Ed (ed.), Book, ...")
+           — chapter title is level a and wins; the book title is
+           level m and is DROPPED (journal comes only from level j)
+      10   T10 month-carrying date ("(1999, March)") — the mapped
+           date field is the year
     """
-    t = int(rng.integers(0, 8))
+    t = int(rng.integers(0, 11))
     year = str(int(rng.integers(1970, 2024)))
     title = _title(rng)
     f = dict(EMPTY_FIELDS)
@@ -126,13 +144,43 @@ def gen_citation(rng: np.random.Generator) -> Citation:
                f"{vol}({iss}), {p1}.")
         f.update(authors=authors, journal=journal, volume=vol, issue=iss,
                  pages=str(p1))
-    else:  # T7 no-issue journal
+    elif t == 7:  # T7 no-issue journal
         authors = [_author(rng) for _ in range(int(rng.integers(1, 3)))]
         journal, vol, _, p1 = journal_bits()
         p2 = p1 + int(rng.integers(2, 40))
         raw = (f"{' and '.join(authors)} ({year}). {title}. {journal}, "
                f"{vol}, {p1}-{p2}.")
         f.update(authors=authors, journal=journal, volume=vol,
+                 pages=f"{p1}-{p2}")
+    elif t == 8:  # T8 middle-initial forenames
+        authors = [_author_mid(rng) for _ in range(int(rng.integers(1, 3)))]
+        journal, vol, iss, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f"{' and '.join(authors)} ({year}). {title}. {journal}, "
+               f"{vol}({iss}), {p1}-{p2}.")
+        f.update(authors=authors, journal=journal, volume=vol, issue=iss,
+                 pages=f"{p1}-{p2}")
+    elif t == 9:  # T9 chapter in an edited volume
+        authors = [_author(rng)]
+        editor = _author(rng)
+        book = _title(rng)
+        publisher = _pick(rng, PUBLISHERS)
+        city = _pick(rng, CITIES)
+        p1 = int(rng.integers(1, 400))
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f"{authors[0]} ({year}). {title}. In: {editor} (ed.), "
+               f"{book}, {publisher}, {city}, {p1}-{p2}.")
+        # book title (level m) dropped; editors ignored
+        f.update(authors=authors, publisher=publisher, location=city,
+                 pages=f"{p1}-{p2}")
+    else:  # T10 month-carrying date — mapped date is the year
+        authors = [_author(rng)]
+        journal, vol, iss, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        month = _pick(rng, MONTHS)
+        raw = (f"{authors[0]} ({year}, {month}). {title}. {journal}, "
+               f"{vol}({iss}), {p1}-{p2}.")
+        f.update(authors=authors, journal=journal, volume=vol, issue=iss,
                  pages=f"{p1}-{p2}")
     return Citation(raw=raw, fields=f)
 

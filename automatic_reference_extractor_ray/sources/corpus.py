@@ -138,13 +138,15 @@ def _txt_doc_span(rng, cits, style) -> str:
 
 def _cite_fallback_fields(pieces: list[str], date: str) -> dict:
     """Analytic expectation for the ParsCit twin of a <cite>: the raw
-    string is the space-joined span values, whose ONLY ". " boundary is
-    the lead author's initial (titles/journals/pools carry no periods —
-    a generator invariant).  A year/sentence heuristic therefore
-    recovers: authors = the head before that boundary, title = the
-    tail, date = the (unique) year.  Derived here from the construction
-    — NOT by calling the pipeline's parse_fields (round-1 circularity
-    fix); tests assert parse_fields agrees."""
+    string is the space-joined span values, whose FIRST ". " boundary
+    is inside the lead author's initials (titles/journals/pools carry
+    no periods — a generator invariant; middle-initial authors add a
+    second boundary which stays in the tail).  A year/sentence
+    heuristic therefore recovers: authors = the head before the first
+    boundary, title = the entire tail, date = the (unique) year.
+    Derived here from the construction — NOT by calling the pipeline's
+    parse_fields (round-1 circularity fix); tests assert parse_fields
+    agrees."""
     f = dict(EMPTY_FIELDS)
     f["date"] = date
     joined = collapse_ws(" ".join(p for p in pieces if p))

@@ -124,6 +124,21 @@ def run_bench() -> dict:
         read("documents", ["doc_id", "text"])).count())
     timed("token_quality", lambda: read("documents", ["doc_id", "text"])
           .map_batches(quality_metrics, batch_format="pandas").count())
+    from automatic_reference_extractor_ray.ops.analytics import (
+        events_range_join_counts, grouped_distinct_count, grouped_quantiles,
+        hash_split, topk_tokens)
+    timed("distinct_users", lambda: grouped_distinct_count(
+        read("events", ["event_type", "user_id"]),
+        "event_type", "user_id").count())
+    timed("value_quantiles", lambda: grouped_quantiles(
+        read("events", ["event_type", "value"]),
+        "event_type", "value").count())
+    timed("hash_split", lambda: hash_split(
+        read("documents", ["doc_id"]), "doc_id").count())
+    timed("topk_tokens", lambda: topk_tokens(
+        read("documents", ["doc_id", "text"]), k=50))
+    timed("events_range_join", lambda: events_range_join_counts(
+        read("events", ["event_id", "user_id", "ts"])).count())
     timed("dedup_exact", lambda: exact_dedup(
         read("documents", ["doc_id", "text"])).count())
     timed("dedup_minhash", lambda: minhash_lsh_pairs(

@@ -49,6 +49,35 @@ def test_t2_hand_case():
     assert f["journal"] == ""
 
 
+def test_t8_middle_initials():
+    f = parse_fields("Miller, A. B. and Kim, C. D. (2001). Robust "
+                     "segmentation. Data Engineering Bulletin, 7(2), 10-20.")
+    # forename first + middle stay inside one author string; the
+    # comma-after-initial splitter must not split at " B."
+    assert f["authors"] == ["Miller, A. B.", "Kim, C. D."]
+    assert f["journal"] == "Data Engineering Bulletin"
+
+
+def test_t9_chapter_in_edited_volume():
+    f = parse_fields("Silva, R. (1998). Automated citation extraction. "
+                     "In: Weber, K. (ed.), Historical records analysis, "
+                     "MIT Press, Boston, 101-120.")
+    assert f["authors"] == ["Silva, R."]            # editor ignored
+    assert f["title"] == "Automated citation extraction"  # level a wins
+    assert f["journal"] == ""                       # book title dropped
+    assert f["publisher"] == "MIT Press"
+    assert f["location"] == "Boston"
+    assert f["pages"] == "101-120"
+
+
+def test_t10_month_date_maps_to_year():
+    f = parse_fields("Novak, P. (2015, March). Streaming analysis. "
+                     "Archive Science Quarterly, 3(1), 5-9.")
+    assert f["date"] == "2015"
+    assert f["volume"] == "3"
+    assert f["pages"] == "5-9"
+
+
 def test_fallback_keeps_year():
     f = parse_fields("Some unparseable thing from 2004. With stuff.")
     assert f["date"] == "2004"
