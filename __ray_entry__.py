@@ -33,6 +33,21 @@ def _analytics_split_sql() -> str:
     return hash_split_sql("documents", "doc_id")
 
 
+# per-language sampling rates for the mixture_sample query — en
+# down-weighted, zh up to full, everything else at the default
+_MIX_RATES = {"en": 0.5, "de": 0.25, "fr": 0.75}
+
+
+def _decontaminate_sql() -> str:
+    from automatic_reference_extractor_ray.ops.textstats import decontaminate_sql
+    return decontaminate_sql(n=4, eval_frac=0.1)
+
+
+def _mixture_sample_sql() -> str:
+    from automatic_reference_extractor_ray.ops.analytics import mixture_sample_sql
+    return mixture_sample_sql("documents", "lang", _MIX_RATES, "doc_id")
+
+
 def _ensure_oracle_tables() -> None:
     from automatic_reference_extractor_ray.sources.goldens import write_oracle_tables
     for sf in ("/root/testdata/sf0.01", SF001):
@@ -377,6 +392,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return events_range_join_counts(
             _read(sf, "events", ["event_id", "user_id", "ts"]))
 
+    def decontaminate_q(sf):
+        from automatic_reference_extractor_ray.ops.textstats import (
+            decontaminate)
+        return decontaminate(_docs_table(sf), n=4, eval_frac=0.1)
+
+    def top_per_lang_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            top_per_group)
+        return top_per_group(
+            _read(sf, "documents", ["doc_id", "lang", "n_chars"]),
+            key="lang", metric="n_chars", id_col="doc_id", k=3)
+
+    def mixture_sample_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            mixture_sample)
+        return mixture_sample(
+            _read(sf, "documents", ["doc_id", "lang"]),
+            key_col="lang", rates=_MIX_RATES, id_col="doc_id")
+
     return {
         "extract_refs": extract_refs_q,
         "extract_fields": extract_fields_q,
@@ -425,6 +459,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": approx_distinct_q,
         "kmeans_clusters": kmeans_q,
         "events_range_join": events_range_join_q,
+        "decontaminate": decontaminate_q,
+        "top_per_lang": top_per_lang_q,
+        "mixture_sample": mixture_sample_q,
     }
 
 
@@ -817,6 +854,16 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND b.ts >= a.ts - INTERVAL 10 MINUTE AND b.ts < a.ts
             GROUP BY a.event_id""",
+        "decontaminate": _decontaminate_sql(),
+        "top_per_lang": """
+            SELECT lang, rn AS rank, doc_id, n_chars
+            FROM (SELECT lang, doc_id, n_chars,
+                         ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id ASC) AS rn
+                  FROM documents)
+            WHERE rn <= 3""",
+        "mixture_sample": _mixture_sample_sql(),
         # dedup_minhash / dedup_simhash / dedup_embedding_lsh / ann_lsh /
         # ann_ivf are approximate by design → rows-only checks (no SQL
         # equivalent claimed); recall vs the exact baselines is asserted

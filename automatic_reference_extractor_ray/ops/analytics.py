@@ -334,3 +334,78 @@ def events_range_join_counts(events, minutes: int = 10,
     ev = events.map_batches(
         lambda b: b[["event_id", "user_id", "ts"]], batch_format="pandas")
     return bucketed_groupby(ev, "user_id", fold, num_buckets)
+
+# ----------------------------------------------- per-group top-k rows
+
+def top_per_group(ds, key: str, metric: str, id_col: str, k: int = 3,
+                  num_buckets: int | None = None):
+    """Per-group top-k row selection (the "keep the best k documents
+    per language" curation step): rows ranked (metric DESC, id ASC)
+    within each key value → (key, rank, id_col, metric).
+
+    Per-batch combiner keeps ≤k candidate rows per key per batch, so
+    the shuffle moves at most k·keys·blocks small rows; the global cut
+    and rank assignment run per key inside one hash bucket (a key's
+    candidates land whole in one bucket).  Output is bounded by
+    k × |keys| — never data-proportional.
+    """
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b[[key, metric, id_col]].sort_values(
+            [metric, id_col], ascending=[False, True], kind="mergesort")
+        return g.groupby(key, sort=False).head(k)
+
+    cands = ds.map_batches(partial, batch_format="pandas")
+
+    def cut(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.sort_values([metric, id_col], ascending=[False, True],
+                            kind="mergesort")
+        g = g.groupby(key, sort=False).head(k).copy()
+        g["rank"] = (g.groupby(key, sort=False).cumcount() + 1).astype("int64")
+        return g[[key, "rank", id_col, metric]]
+
+    return bucketed_groupby(cands, key, cut, num_buckets)
+
+
+# ----------------------------------------------- mixture sampling
+
+def mixture_sample(ds, key_col: str, rates: dict[str, float], id_col: str,
+                   default_rate: float = 1.0, salt: str = "mix"):
+    """Deterministic mixture sampling (data mixing: per-subset
+    up/down-weighting, e.g. per-language sampling rates when
+    assembling a training mix): keep a row iff
+    ``md5(salt + ":" + str(id))[:8] < threshold(rates[key])``.
+
+    → the kept (id_col, key_col) rows.  A pure per-row map — no
+    shuffle, no RNG state — reproducible across runs and cluster
+    sizes, and expressible verbatim in SQL.  ``salt`` decorrelates the
+    decision from ``hash_split``'s md5 of the bare id, so sampling
+    does not bias the train/val/test assignment.
+    """
+    thr = {k: _hex_threshold(v) for k, v in rates.items()}
+    dflt = _hex_threshold(default_rate)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        mask = []
+        for v, g in zip(batch[id_col], batch[key_col]):
+            h8 = hashlib.md5(f"{salt}:{v}".encode("utf-8")).hexdigest()[:8]
+            mask.append(h8 < thr.get(g, dflt))
+        return batch.loc[mask, [id_col, key_col]]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def mixture_sample_sql(table: str, key_col: str, rates: dict[str, float],
+                       id_col: str, default_rate: float = 1.0,
+                       salt: str = "mix") -> str:
+    """DuckDB oracle matching ``mixture_sample`` bit-for-bit."""
+    cases = " ".join(
+        f"WHEN {key_col} = '{k}' THEN h8 < '{_hex_threshold(v)}'"
+        for k, v in rates.items())
+    return f"""
+        SELECT {id_col}, {key_col}
+        FROM (SELECT {id_col}, {key_col},
+                     substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)),
+                            1, 8) AS h8
+              FROM {table})
+        WHERE CASE {cases} ELSE h8 < '{_hex_threshold(default_rate)}' END"""

@@ -136,3 +136,107 @@ def quality_filter(batch: pd.DataFrame) -> pd.DataFrame:
         "flag_low_stopwords": low_stop,
         "keep": ~(too_short | bad_word_len | low_stop),
     })
+
+# ------------------------------------------- benchmark decontamination
+
+def decontaminate(docs, n: int = 4, eval_frac: float = 0.1,
+                  num_buckets: int | None = None):
+    """Benchmark decontamination (the word-n-gram overlap filter of
+    Brown et al. 2020 appendix C, as run by training pipelines before
+    every release): the corpus splits deterministically into a held-out
+    eval side (md5-threshold, the ``hash_split`` convention) and a
+    train side; a train document is contaminated iff it shares at least
+    one word ``n``-gram with ANY eval document.
+
+    → (doc_id, n_shared, keep) for every TRAIN document, where
+    ``n_shared`` counts the doc's DISTINCT contaminated n-grams and
+    ``keep`` (int 0/1) is the filter verdict.
+
+    Scale shape: (gram, doc_id, side) rows ride the bounded-bucket
+    shuffle, so each gram's full posting list is bucket-local and the
+    eval∩train test never leaves its bucket; per-doc partial hit
+    counts union with a zero row per train doc and fold through a
+    second bucketed aggregate on doc_id.  Nothing data-proportional —
+    no eval-gram set, no contaminated-id list — ever reaches the
+    driver, unlike the broadcast design most pipelines start with.
+    """
+    from .analytics import _hex_threshold
+    from .shuffle import bucketed_groupby
+
+    thr = _hex_threshold(eval_frac)
+
+    def _h8(doc_id) -> str:
+        return hashlib.md5(str(doc_id).encode("utf-8")).hexdigest()[:8]
+
+    def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        gs, dids, sides = [], [], []
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            side = 0 if _h8(d) < thr else 1
+            toks = _tokens(t)
+            for i in range(len(toks) - n + 1):
+                gs.append(" ".join(toks[i:i + n]))
+                dids.append(d)
+                sides.append(side)
+        return pd.DataFrame({"gram": gs, "doc_id": dids,
+                             "side": np.array(sides, dtype=np.int64)})
+
+    def bucket_hits(pdf: pd.DataFrame) -> pd.DataFrame:
+        eval_grams = pdf.loc[pdf["side"] == 0, "gram"]
+        tr = pdf[pdf["side"] == 1]
+        hits = tr[tr["gram"].isin(set(eval_grams))]
+        part = hits.drop_duplicates(["doc_id", "gram"]).groupby("doc_id").size()
+        return pd.DataFrame({"doc_id": part.index,
+                             "n_shared": part.to_numpy(np.int64)})
+
+    partials = bucketed_groupby(
+        docs.map_batches(gram_rows, batch_format="pandas"),
+        "gram", bucket_hits, num_buckets)
+
+    # zero row per train doc (docs shorter than n grams included) so
+    # clean docs appear in the verdict table without a sentinel gram
+    # hot-spotting one bucket
+    def zero_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = [d for d in batch["doc_id"] if _h8(d) >= thr]
+        return pd.DataFrame({
+            "doc_id": pd.Series(keep, dtype=batch["doc_id"].dtype),
+            "n_shared": np.zeros(len(keep), dtype=np.int64)})
+
+    merged = partials.union(
+        docs.map_batches(zero_rows, batch_format="pandas"))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("doc_id")["n_shared"].sum()
+        ns = g.to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": g.index, "n_shared": ns,
+                             "keep": (ns == 0).astype(np.int64)})
+
+    return bucketed_groupby(merged, "doc_id", fold, num_buckets)
+
+
+def decontaminate_sql(n: int = 4, eval_frac: float = 0.1) -> str:
+    """DuckDB oracle mirroring ``decontaminate`` bit-for-bit."""
+    from .analytics import _hex_threshold
+    thr = _hex_threshold(eval_frac)
+    tok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {tok} AS t,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+          FROM documents),
+        grams AS (
+          SELECT doc_id, h8, array_to_string(t[i : i + {n - 1}], ' ') AS gram
+          FROM (SELECT doc_id, h8, t,
+                       unnest(range(1, len(t) - {n} + 2)) AS i
+                FROM toks WHERE len(t) >= {n})),
+        eval_g AS (SELECT DISTINCT gram FROM grams WHERE h8 < '{thr}'),
+        hits AS (
+          SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared
+          FROM grams g JOIN eval_g e USING (gram)
+          WHERE g.h8 >= '{thr}'
+          GROUP BY g.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+               CAST(CASE WHEN COALESCE(h.n_shared, 0) = 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM toks d LEFT JOIN hits h USING (doc_id)
+        WHERE d.h8 >= '{thr}'"""

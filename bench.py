@@ -139,6 +139,13 @@ def run_bench() -> dict:
         read("documents", ["doc_id", "text"]), k=50))
     timed("events_range_join", lambda: events_range_join_counts(
         read("events", ["event_id", "user_id", "ts"])).count())
+    from automatic_reference_extractor_ray.ops.analytics import top_per_group
+    from automatic_reference_extractor_ray.ops.textstats import decontaminate
+    timed("decontaminate", lambda: decontaminate(
+        read("documents", ["doc_id", "text"]), n=4).count())
+    timed("top_per_lang", lambda: top_per_group(
+        read("documents", ["doc_id", "lang", "n_chars"]),
+        "lang", "n_chars", "doc_id", k=3).count())
     timed("dedup_exact", lambda: exact_dedup(
         read("documents", ["doc_id", "text"])).count())
     timed("dedup_minhash", lambda: minhash_lsh_pairs(

@@ -155,3 +155,117 @@ def test_events_range_join_counts(ray_session, events_ds, events_df):
            .sort_values("event_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got.astype({"n_prior": "int64"}),
                                   exp.astype({"n_prior": "int64"}))
+
+
+def test_top_per_group_matches_window_rank(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.analytics import top_per_group
+    df = pq.read_table(f"{SF}/documents.parquet",
+                       columns=["doc_id", "lang", "n_chars"]).to_pandas()
+    got = (top_per_group(rd.from_pandas(df), "lang", "n_chars", "doc_id", k=3)
+           .to_pandas().sort_values(["lang", "rank"]).reset_index(drop=True))
+    exp = df.sort_values(["n_chars", "doc_id"],
+                         ascending=[False, True], kind="mergesort").copy()
+    exp = exp.groupby("lang", sort=False).head(3)
+    exp["rank"] = (exp.groupby("lang", sort=False).cumcount() + 1)
+    exp = (exp[["lang", "rank", "doc_id", "n_chars"]]
+           .sort_values(["lang", "rank"]).reset_index(drop=True)
+           .astype({"rank": "int64"}))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_top_per_group_block_invariant(ray_session):
+    """Partial top-k per batch must not change the global answer even
+    when blocks slice groups adversarially."""
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.analytics import top_per_group
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "doc_id": np.arange(400, dtype="int64"),
+        "lang": rng.choice(["aa", "bb", "cc"], 400),
+        "n_chars": rng.integers(0, 5, 400).astype("int64"),  # heavy ties
+    })
+    outs = []
+    for blocks in (1, 7, 64):
+        ds = rd.from_pandas(df).repartition(blocks)
+        outs.append(top_per_group(ds, "lang", "n_chars", "doc_id", k=5)
+                    .to_pandas().sort_values(["lang", "rank"])
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+def test_mixture_sample_deterministic_rates(ray_session):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.analytics import (
+        _hex_threshold, mixture_sample)
+    n = 4000
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype="int64"),
+                       "lang": np.where(np.arange(n) % 2 == 0, "en", "zz")})
+    got = (mixture_sample(rd.from_pandas(df), "lang", {"en": 0.25},
+                          "doc_id", default_rate=0.75)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # local mirror
+    keep = []
+    for v, g in zip(df["doc_id"], df["lang"]):
+        h8 = hashlib.md5(f"mix:{v}".encode()).hexdigest()[:8]
+        keep.append(h8 < _hex_threshold(0.25 if g == "en" else 0.75))
+    exp = df.loc[keep].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # observed rates near nominal
+    en = got[got["lang"] == "en"]; zz = got[got["lang"] == "zz"]
+    assert abs(len(en) / (n / 2) - 0.25) < 0.05
+    assert abs(len(zz) / (n / 2) - 0.75) < 0.05
+
+
+def test_decontaminate_matches_local_reference(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.analytics import _hex_threshold
+    from automatic_reference_extractor_ray.ops.textstats import (
+        _tokens, decontaminate)
+    df = pq.read_table(f"{SF}/documents.parquet",
+                       columns=["doc_id", "text"]).to_pandas()
+    n, frac = 3, 0.2
+    got = (decontaminate(rd.from_pandas(df), n=n, eval_frac=frac)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    thr = _hex_threshold(frac)
+
+    def h8(d):
+        return hashlib.md5(str(d).encode()).hexdigest()[:8]
+
+    def grams(t):
+        toks = _tokens(t)
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    eval_grams = set()
+    for _, r in df.iterrows():
+        if h8(r["doc_id"]) < thr:
+            eval_grams |= grams(r["text"])
+    rows = []
+    for _, r in df.iterrows():
+        if h8(r["doc_id"]) >= thr:
+            shared = len(grams(r["text"]) & eval_grams)
+            rows.append((r["doc_id"], shared, int(shared == 0)))
+    exp = (pd.DataFrame(rows, columns=["doc_id", "n_shared", "keep"])
+           .astype({"n_shared": "int64", "keep": "int64"})
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+    # non-degenerate: some contaminated, some clean
+    assert 0 < (exp["keep"] == 0).sum() < len(exp)
+
+
+def test_decontaminate_bucket_invariant(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.textstats import decontaminate
+    df = pq.read_table(f"{SF}/documents.parquet",
+                       columns=["doc_id", "text"]).to_pandas().head(200)
+    outs = []
+    for nb in (8, 64):
+        outs.append(decontaminate(rd.from_pandas(df), n=3, eval_frac=0.2,
+                                  num_buckets=nb)
+                    .to_pandas().sort_values("doc_id")
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
