@@ -48,6 +48,11 @@ def _mixture_sample_sql() -> str:
     return mixture_sample_sql("documents", "lang", _MIX_RATES, "doc_id")
 
 
+def _curate_sql() -> str:
+    from automatic_reference_extractor_ray.pipelines.curate import curate_sql
+    return curate_sql(mix_rates=_MIX_RATES)
+
+
 def _ensure_oracle_tables() -> None:
     from automatic_reference_extractor_ray.sources.goldens import write_oracle_tables
     for sf in ("/root/testdata/sf0.01", SF001):
@@ -411,6 +416,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", ["doc_id", "lang"]),
             key_col="lang", rates=_MIX_RATES, id_col="doc_id")
 
+    def curate_corpus_q(sf):
+        from automatic_reference_extractor_ray.pipelines.curate import (
+            curate_corpus)
+        return curate_corpus(
+            _read(sf, "documents", ["doc_id", "text", "lang"]),
+            mix_rates=_MIX_RATES)
+
     return {
         "extract_refs": extract_refs_q,
         "extract_fields": extract_fields_q,
@@ -462,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": decontaminate_q,
         "top_per_lang": top_per_lang_q,
         "mixture_sample": mixture_sample_q,
+        "curate_corpus": curate_corpus_q,
     }
 
 
@@ -855,6 +868,7 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts >= a.ts - INTERVAL 10 MINUTE AND b.ts < a.ts
             GROUP BY a.event_id""",
         "decontaminate": _decontaminate_sql(),
+        "curate_corpus": _curate_sql(),
         "top_per_lang": """
             SELECT lang, rn AS rank, doc_id, n_chars
             FROM (SELECT lang, doc_id, n_chars,

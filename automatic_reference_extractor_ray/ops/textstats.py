@@ -140,7 +140,7 @@ def quality_filter(batch: pd.DataFrame) -> pd.DataFrame:
 # ------------------------------------------- benchmark decontamination
 
 def decontaminate(docs, n: int = 4, eval_frac: float = 0.1,
-                  num_buckets: int | None = None):
+                  num_buckets: int | None = None, holdout: str = "low"):
     """Benchmark decontamination (the word-n-gram overlap filter of
     Brown et al. 2020 appendix C, as run by training pipelines before
     every release): the corpus splits deterministically into a held-out
@@ -159,19 +159,34 @@ def decontaminate(docs, n: int = 4, eval_frac: float = 0.1,
     second bucketed aggregate on doc_id.  Nothing data-proportional —
     no eval-gram set, no contaminated-id list — ever reaches the
     driver, unlike the broadcast design most pipelines start with.
+
+    ``holdout="low"`` (default) holds out the BOTTOM ``eval_frac`` of
+    the md5 range; ``holdout="high"`` holds out the TOP ``eval_frac``,
+    which makes the train side exactly ``hash_split``'s 'train' split
+    when ``eval_frac`` = 1 - train ratio (the curation-pipeline
+    orientation: decontaminate train against val+test).
     """
     from .analytics import _hex_threshold
     from .shuffle import bucketed_groupby
 
-    thr = _hex_threshold(eval_frac)
+    if holdout not in ("low", "high"):
+        raise ValueError(f"holdout must be 'low' or 'high', got {holdout!r}")
+    thr = (_hex_threshold(1.0 - eval_frac) if holdout == "high"
+           else _hex_threshold(eval_frac))
+    eval_is_low = holdout == "low"
 
     def _h8(doc_id) -> str:
         return hashlib.md5(str(doc_id).encode("utf-8")).hexdigest()[:8]
 
+    def _side(h8: str) -> int:
+        """0 = eval (held out), 1 = train."""
+        return (0 if h8 < thr else 1) if eval_is_low else \
+               (1 if h8 < thr else 0)
+
     def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
         gs, dids, sides = [], [], []
         for d, t in zip(batch["doc_id"], batch["text"]):
-            side = 0 if _h8(d) < thr else 1
+            side = _side(_h8(d))
             toks = _tokens(t)
             for i in range(len(toks) - n + 1):
                 gs.append(" ".join(toks[i:i + n]))
@@ -196,7 +211,7 @@ def decontaminate(docs, n: int = 4, eval_frac: float = 0.1,
     # clean docs appear in the verdict table without a sentinel gram
     # hot-spotting one bucket
     def zero_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        keep = [d for d in batch["doc_id"] if _h8(d) >= thr]
+        keep = [d for d in batch["doc_id"] if _side(_h8(d)) == 1]
         return pd.DataFrame({
             "doc_id": pd.Series(keep, dtype=batch["doc_id"].dtype),
             "n_shared": np.zeros(len(keep), dtype=np.int64)})
@@ -213,10 +228,16 @@ def decontaminate(docs, n: int = 4, eval_frac: float = 0.1,
     return bucketed_groupby(merged, "doc_id", fold, num_buckets)
 
 
-def decontaminate_sql(n: int = 4, eval_frac: float = 0.1) -> str:
+def decontaminate_sql(n: int = 4, eval_frac: float = 0.1,
+                      holdout: str = "low") -> str:
     """DuckDB oracle mirroring ``decontaminate`` bit-for-bit."""
     from .analytics import _hex_threshold
-    thr = _hex_threshold(eval_frac)
+    if holdout == "high":
+        thr = _hex_threshold(1.0 - eval_frac)
+        eval_cond, train_cond = f"h8 >= '{thr}'", f"h8 < '{thr}'"
+    else:
+        thr = _hex_threshold(eval_frac)
+        eval_cond, train_cond = f"h8 < '{thr}'", f"h8 >= '{thr}'"
     tok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     return f"""
         WITH toks AS (
@@ -228,15 +249,15 @@ def decontaminate_sql(n: int = 4, eval_frac: float = 0.1) -> str:
           FROM (SELECT doc_id, h8, t,
                        unnest(range(1, len(t) - {n} + 2)) AS i
                 FROM toks WHERE len(t) >= {n})),
-        eval_g AS (SELECT DISTINCT gram FROM grams WHERE h8 < '{thr}'),
+        eval_g AS (SELECT DISTINCT gram FROM grams WHERE {eval_cond}),
         hits AS (
           SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared
           FROM grams g JOIN eval_g e USING (gram)
-          WHERE g.h8 >= '{thr}'
+          WHERE g.{train_cond}
           GROUP BY g.doc_id)
         SELECT d.doc_id,
                CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
                CAST(CASE WHEN COALESCE(h.n_shared, 0) = 0
                          THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM toks d LEFT JOIN hits h USING (doc_id)
-        WHERE d.h8 >= '{thr}'"""
+        WHERE d.{train_cond}"""

@@ -146,6 +146,10 @@ def run_bench() -> dict:
     timed("top_per_lang", lambda: top_per_group(
         read("documents", ["doc_id", "lang", "n_chars"]),
         "lang", "n_chars", "doc_id", k=3).count())
+    from automatic_reference_extractor_ray.pipelines.curate import (
+        curate_corpus)
+    timed("curate_corpus", lambda: curate_corpus(
+        read("documents", ["doc_id", "text", "lang"])).count())
     timed("dedup_exact", lambda: exact_dedup(
         read("documents", ["doc_id", "text"])).count())
     timed("dedup_minhash", lambda: minhash_lsh_pairs(

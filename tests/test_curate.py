@@ -1,0 +1,126 @@
+"""Composed curation pipeline: verdict table vs an independent local
+(pandas) reference, plus stream/bucket invariance."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    import pyarrow.parquet as pq
+    return pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "lang"]).to_pandas()
+
+
+def _local_curate(df, *, n=3, train_frac=0.8, rates=None, default_rate=1.0):
+    from automatic_reference_extractor_ray.ops.analytics import _hex_threshold
+    from automatic_reference_extractor_ray.ops.dedup import _norm
+    from automatic_reference_extractor_ray.ops.textstats import (
+        _tokens, quality_filter)
+    rates = rates or {}
+    thr = _hex_threshold(train_frac)
+
+    def h8(d):
+        return hashlib.md5(str(d).encode()).hexdigest()[:8]
+
+    def mh8(d):
+        return hashlib.md5(f"mix:{d}".encode()).hexdigest()[:8]
+
+    def grams(t):
+        toks = _tokens(t)
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    qf = quality_filter(df).set_index("doc_id")["keep"]
+    eval_grams = set()
+    for _, r in df.iterrows():
+        if h8(r["doc_id"]) >= thr:
+            eval_grams |= grams(r["text"])
+    chash = df["text"].map(lambda s: hashlib.md5(
+        _norm(s).encode()).hexdigest())
+    keeper = df.assign(ch=chash).groupby("ch")["doc_id"].transform("min")
+    rows = []
+    for i, r in df.iterrows():
+        d = r["doc_id"]
+        if h8(d) >= thr:
+            continue
+        shared = len(grams(r["text"]) & eval_grams)
+        kq = int(bool(qf.loc[d]))
+        kdc = int(shared == 0)
+        kdd = int(d == keeper.loc[i])
+        km = int(mh8(d) < _hex_threshold(
+            rates.get(r["lang"], default_rate)))
+        rows.append((d, shared, kq, kdc, kdd, km,
+                     int(kq and kdc and kdd and km)))
+    return (pd.DataFrame(rows, columns=[
+        "doc_id", "n_shared", "keep_quality", "keep_decontam",
+        "keep_dedup", "keep_mix", "keep"])
+        .astype({c: "int64" for c in ["n_shared", "keep_quality",
+                                      "keep_decontam", "keep_dedup",
+                                      "keep_mix", "keep"]})
+        .sort_values("doc_id").reset_index(drop=True))
+
+
+def test_curate_matches_local_reference(ray_session, docs_df):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.pipelines.curate import (
+        curate_corpus)
+    rates = {"en": 0.5, "zh": 0.25}
+    # inject exact duplicates of the first docs under fresh ids so the
+    # dedup stage has something to reject (sf0.001 has no dupes)
+    dup = docs_df.head(8).copy()
+    dup["doc_id"] = docs_df["doc_id"].max() + 1 + np.arange(8)
+    df = pd.concat([docs_df, dup], ignore_index=True)
+    got = (curate_corpus(rd.from_pandas(df), decontam_n=4,
+                         mix_rates=rates)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True)
+           [["doc_id", "n_shared", "keep_quality", "keep_decontam",
+             "keep_dedup", "keep_mix", "keep"]])
+    exp = _local_curate(df, n=4, rates=rates)
+    pd.testing.assert_frame_equal(got, exp)
+    # every stage must actually reject something on this corpus, and
+    # something must survive end to end
+    assert (exp["keep_quality"] == 0).any()
+    assert (exp["keep_decontam"] == 0).any()
+    assert (exp["keep_dedup"] == 0).any()
+    assert (exp["keep_mix"] == 0).any()
+    assert exp["keep"].sum() > 0
+
+
+def test_curate_bucket_and_block_invariant(ray_session, docs_df):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.pipelines.curate import (
+        curate_corpus)
+    outs = []
+    for blocks, nb in ((2, 8), (16, 64)):
+        ds = rd.from_pandas(docs_df).repartition(blocks)
+        outs.append(curate_corpus(ds, decontam_n=3, num_buckets=nb)
+                    .to_pandas().sort_values("doc_id")
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_decontaminate_holdout_high_complements_split(ray_session, docs_df):
+    """holdout='high' with eval_frac=0.2 must emit verdicts for exactly
+    hash_split's 'train' docs."""
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.analytics import hash_split
+    from automatic_reference_extractor_ray.ops.textstats import decontaminate
+    got = (decontaminate(rd.from_pandas(docs_df), n=3, eval_frac=0.2,
+                         holdout="high")
+           .to_pandas())
+    split = hash_split(
+        rd.from_pandas(docs_df[["doc_id"]]), "doc_id").to_pandas()
+    train_ids = set(split.loc[split["split"] == "train", "doc_id"])
+    assert set(got["doc_id"]) == train_ids
+
+
+def test_decontaminate_bad_holdout_rejected(ray_session, docs_df):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.textstats import decontaminate
+    with pytest.raises(ValueError):
+        decontaminate(rd.from_pandas(docs_df), holdout="sideways")
