@@ -53,6 +53,11 @@ def _curate_sql() -> str:
     return curate_sql(mix_rates=_MIX_RATES)
 
 
+def _tfidf_sql() -> str:
+    from automatic_reference_extractor_ray.ops.analytics import tfidf_sql
+    return tfidf_sql(k=5)
+
+
 def _ensure_oracle_tables() -> None:
     from automatic_reference_extractor_ray.sources.goldens import write_oracle_tables
     for sf in ("/root/testdata/sf0.01", SF001):
@@ -423,6 +428,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", ["doc_id", "text", "lang"]),
             mix_rates=_MIX_RATES)
 
+    def tfidf_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            tfidf_top_terms)
+        return tfidf_top_terms(
+            _read(sf, "documents", ["doc_id", "text"]), k=5)
+
     return {
         "extract_refs": extract_refs_q,
         "extract_fields": extract_fields_q,
@@ -475,6 +486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_per_lang": top_per_lang_q,
         "mixture_sample": mixture_sample_q,
         "curate_corpus": curate_corpus_q,
+        "tfidf_terms": tfidf_q,
     }
 
 
@@ -869,6 +881,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.event_id""",
         "decontaminate": _decontaminate_sql(),
         "curate_corpus": _curate_sql(),
+        "tfidf_terms": _tfidf_sql(),
         "top_per_lang": """
             SELECT lang, rn AS rank, doc_id, n_chars
             FROM (SELECT lang, doc_id, n_chars,

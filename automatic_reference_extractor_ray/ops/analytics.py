@@ -409,3 +409,85 @@ def mixture_sample_sql(table: str, key_col: str, rates: dict[str, float],
                             1, 8) AS h8
               FROM {table})
         WHERE CASE {cases} ELSE h8 < '{_hex_threshold(default_rate)}' END"""
+
+
+# ----------------------------------------------- tf-idf term salience
+
+def tfidf_top_terms(docs, k: int = 5, text_col: str = "text",
+                    num_buckets: int | None = None):
+    """Per-document top-k salient terms by integerized tf-idf →
+    (doc_id, rank, token, score), rank by (score DESC, token ASC).
+
+    ``score = tf * ((1000 * n_docs) // df)`` — all-integer arithmetic
+    (floor division) so the SQL oracle matches bit-for-bit; the 1000
+    scale keeps idf resolution without floats.
+
+    Scale shape: (doc, token, tf) rows → per-token document frequency
+    via the bounded-bucket aggregate → tf ⋈ df equi-join on token via
+    the bucketed join (payload = one int per token, never a broadcast
+    vocabulary map) → per-doc top-k cut in a doc_id bucket.  Only the
+    corpus row count (one scalar) touches the driver.
+    """
+    from .dedup import _doc_key_dtype
+
+    kd = _doc_key_dtype(docs)
+    n_docs = docs.count()
+
+    def tf_rows(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        ids, toks, tfs = [], [], []
+        for d, t in zip(b["doc_id"], b[text_col]):
+            c = Counter(TOKEN_RE.findall(t.lower()))
+            ids.extend([d] * len(c))
+            toks.extend(c.keys())
+            tfs.extend(c.values())
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype=b["doc_id"].dtype),
+                             "token": toks,
+                             "tf": np.array(tfs, dtype=np.int64)})
+
+    tf = docs.map_batches(tf_rows, batch_format="pandas")
+    df = bucketed_agg(tf, "token", {"df": ("doc_id", "size")}, num_buckets)
+
+    def score(m: pd.DataFrame) -> pd.DataFrame:
+        out = m[["doc_id", "token"]].copy()
+        out["score"] = (m["tf"].to_numpy(np.int64)
+                        * ((1000 * n_docs) // m["df"].to_numpy(np.int64)))
+        return out
+
+    scored = bucketed_join(
+        tf, df, on="token",
+        left_schema={"token": "object", "doc_id": kd, "tf": "int64"},
+        right_schema={"token": "object", "df": "int64"},
+        num_buckets=num_buckets, post=score)
+
+    def cut(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.sort_values(["score", "token"], ascending=[False, True],
+                            kind="mergesort")
+        g = g.groupby("doc_id", sort=False).head(k).copy()
+        g["rank"] = (g.groupby("doc_id", sort=False).cumcount() + 1
+                     ).astype("int64")
+        return g[["doc_id", "rank", "token", "score"]]
+
+    return bucketed_groupby(scored, "doc_id", cut, num_buckets)
+
+
+def tfidf_sql(k: int = 5) -> str:
+    """DuckDB oracle matching ``tfidf_top_terms`` bit-for-bit."""
+    tok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({tok}) AS token FROM documents),
+        tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT COUNT(*) AS n FROM documents),
+        sc AS (
+          SELECT doc_id, token, tf * ((1000 * n) // df) AS score
+          FROM tf JOIN df USING (token) CROSS JOIN nd),
+        r AS (
+          SELECT doc_id, token, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, token ASC) AS rn
+          FROM sc)
+        SELECT doc_id, rn AS rank, token, CAST(score AS BIGINT) AS score
+        FROM r WHERE rn <= {k}"""

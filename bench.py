@@ -150,6 +150,10 @@ def run_bench() -> dict:
         curate_corpus)
     timed("curate_corpus", lambda: curate_corpus(
         read("documents", ["doc_id", "text", "lang"])).count())
+    from automatic_reference_extractor_ray.ops.analytics import (
+        tfidf_top_terms)
+    timed("tfidf_terms", lambda: tfidf_top_terms(
+        read("documents", ["doc_id", "text"]), k=5).count())
     timed("dedup_exact", lambda: exact_dedup(
         read("documents", ["doc_id", "text"])).count())
     timed("dedup_minhash", lambda: minhash_lsh_pairs(

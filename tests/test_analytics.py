@@ -269,3 +269,41 @@ def test_decontaminate_bucket_invariant(ray_session):
                     .to_pandas().sort_values("doc_id")
                     .reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_tfidf_top_terms_hand_case(ray_session):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.analytics import (
+        tfidf_top_terms)
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype="int64"),
+        "text": ["rare rare common", "common other", "common other"],
+    })
+    got = (tfidf_top_terms(rd.from_pandas(df), k=2)
+           .to_pandas().sort_values(["doc_id", "rank"])
+           .reset_index(drop=True))
+    # df: rare=1, common=3, other=2; idf_x1000 = (1000*3)//df
+    # doc1: rare tf2 -> 2*3000=6000; common tf1 -> 1*1000=1000
+    d1 = got[got["doc_id"] == 1]
+    assert list(d1["token"]) == ["rare", "common"]
+    assert list(d1["score"]) == [6000, 1000]
+    # docs 2/3: other 1500, common 1000
+    d2 = got[got["doc_id"] == 2]
+    assert list(d2["token"]) == ["other", "common"]
+    assert list(d2["score"]) == [1500, 1000]
+
+
+def test_tfidf_bucket_invariant(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.analytics import (
+        tfidf_top_terms)
+    df = pq.read_table(f"{SF}/documents.parquet",
+                       columns=["doc_id", "text"]).to_pandas().head(120)
+    outs = []
+    for blocks, nb in ((2, 8), (16, 64)):
+        ds = rd.from_pandas(df).repartition(blocks)
+        outs.append(tfidf_top_terms(ds, k=4, num_buckets=nb)
+                    .to_pandas().sort_values(["doc_id", "rank"])
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
