@@ -434,6 +434,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return tfidf_top_terms(
             _read(sf, "documents", ["doc_id", "text"]), k=5)
 
+    def approx_quantiles_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            approx_quantiles)
+        return approx_quantiles(
+            _read(sf, "events", ["event_type", "value"]),
+            "event_type", "value")
+
     return {
         "extract_refs": extract_refs_q,
         "extract_fields": extract_fields_q,
@@ -487,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": mixture_sample_q,
         "curate_corpus": curate_corpus_q,
         "tfidf_terms": tfidf_q,
+        "approx_quantiles": approx_quantiles_q,
     }
 
 
@@ -894,7 +902,8 @@ def oracle_sql() -> dict[str, str]:
         # dedup_minhash / dedup_simhash / dedup_embedding_lsh / ann_lsh /
         # ann_ivf are approximate by design → rows-only checks (no SQL
         # equivalent claimed); recall vs the exact baselines is asserted
-        # in pytest instead.  approx_distinct (HLL sketch) and
-        # kmeans_clusters (iterative) are likewise non-SQL: error bound /
-        # agreement with a local reference is asserted in pytest.
+        # in pytest instead.  approx_distinct (HLL sketch),
+        # approx_quantiles (histogram sketch) and kmeans_clusters
+        # (iterative) are likewise non-SQL: error bound / agreement
+        # with a local reference is asserted in pytest.
     }

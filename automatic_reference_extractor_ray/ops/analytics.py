@@ -491,3 +491,76 @@ def tfidf_sql(k: int = 5) -> str:
           FROM sc)
         SELECT doc_id, rn AS rank, token, CAST(score AS BIGINT) AS score
         FROM r WHERE rn <= {k}"""
+
+
+# ------------------------------------- approximate quantiles (sketch)
+
+def approx_quantiles(ds, key: str, col: str,
+                     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                     n_bins: int = 4096, num_buckets: int | None = None):
+    """Approximate per-group quantiles for CONTINUOUS values via a
+    fixed-size mergeable histogram sketch → (key, q, q_value).
+
+    ``grouped_quantiles`` is exact but its state is
+    distinct-values-per-key — for continuous doubles that is
+    rows-per-key, which does not scale.  This is the sketch path (the
+    HLL analogue for quantiles): two streaming passes, state bounded
+    by ``keys x n_bins`` int64 registers regardless of row count.
+
+      pass 1: per-batch (key, min, max) partials → per-key range;
+      pass 2: per-batch fixed-bin counts → per-(key, bin) sums;
+      answer: the right edge of the bin containing rank ceil(q*n) —
+      error ≤ (max-min)/n_bins in value terms (rank-exact bin).
+
+    Deterministic (no sampling); only keys x n_bins rows ever reach
+    the driver.
+    """
+    qarr = np.asarray(qs, dtype=np.float64)
+
+    def minmax(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(key, sort=False)[col].agg(["min", "max"])
+        return g.reset_index().rename(columns={"min": "lo", "max": "hi"})
+
+    ranges = bucketed_agg(
+        ds.map_batches(minmax, batch_format="pandas"), key,
+        {"lo": ("lo", "min"), "hi": ("hi", "max")}, num_buckets).to_pandas()
+    lo = dict(zip(ranges[key], ranges["lo"]))
+    hi = dict(zip(ranges[key], ranges["hi"]))
+
+    def bins(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for kv, g in b.groupby(key, sort=False):
+            l, h = lo[kv], hi[kv]
+            width = (h - l) or 1.0
+            idx = np.minimum(
+                ((g[col].to_numpy(np.float64) - l) / width * n_bins)
+                .astype(np.int64), n_bins - 1)
+            bc = np.bincount(idx, minlength=n_bins)
+            nz = np.nonzero(bc)[0]
+            outs.append(pd.DataFrame({key: [kv] * len(nz), "bin": nz,
+                                      "n": bc[nz].astype(np.int64)}))
+        return (pd.concat(outs, ignore_index=True) if outs
+                else pd.DataFrame({key: pd.Series([], dtype=b[key].dtype),
+                                   "bin": pd.Series([], dtype="int64"),
+                                   "n": pd.Series([], dtype="int64")}))
+
+    hist = bucketed_agg(ds.map_batches(bins, batch_format="pandas"),
+                        [key, "bin"], {"n": ("n", "sum")},
+                        num_buckets).to_pandas()
+
+    rows = []
+    for kv, g in hist.groupby(key, sort=False):
+        g = g.sort_values("bin")
+        cum = g["n"].cumsum().to_numpy()
+        n = cum[-1]
+        l, h = lo[kv], hi[kv]
+        width = (h - l) or 1.0
+        for q in qarr:
+            rank = math.ceil(q * n)
+            b_idx = int(g["bin"].to_numpy()[np.searchsorted(
+                cum, rank, side="left")])
+            rows.append((kv, q, l + (b_idx + 1) * width / n_bins))
+    out = pd.DataFrame(rows, columns=[key, "q", "q_value"])
+    out["q"] = out["q"].astype(np.float64)
+    out["q_value"] = out["q_value"].astype(np.float64)
+    return out.sort_values([key, "q"]).reset_index(drop=True)

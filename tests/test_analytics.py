@@ -307,3 +307,29 @@ def test_tfidf_bucket_invariant(ray_session):
                     .to_pandas().sort_values(["doc_id", "rank"])
                     .reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_approx_quantiles_error_bound(ray_session, events_ds, events_df):
+    from automatic_reference_extractor_ray.ops.analytics import (
+        approx_quantiles)
+    got = approx_quantiles(events_ds, "event_type", "value", n_bins=2048)
+    for kv, g in events_df.groupby("event_type"):
+        vals = np.sort(g["value"].to_numpy(np.float64))
+        rng = vals[-1] - vals[0]
+        for q in (0.5, 0.9, 0.99):
+            exact = vals[math.ceil(q * len(vals)) - 1]
+            approx = got.loc[(got["event_type"] == kv)
+                             & (got["q"] == q), "q_value"].iloc[0]
+            # right-edge-of-bin answer: within one bin width ABOVE the
+            # exact rank value
+            assert exact <= approx <= exact + rng / 2048 + 1e-9
+
+
+def test_approx_quantiles_constant_column(ray_session):
+    """Zero range (all values equal) must not divide by zero."""
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.analytics import (
+        approx_quantiles)
+    df = pd.DataFrame({"k": ["a"] * 50, "v": np.full(50, 3.25)})
+    got = approx_quantiles(rd.from_pandas(df), "k", "v", n_bins=64)
+    assert np.allclose(got["q_value"], 3.25 + 1 / 64)
