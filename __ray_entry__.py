@@ -434,6 +434,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return tfidf_top_terms(
             _read(sf, "documents", ["doc_id", "text"]), k=5)
 
+    def customers_without_events_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import (
+            customers_without_events)
+        return customers_without_events(
+            _read(sf, "customer", ["c_custkey", "c_name"]),
+            _read(sf, "events", ["user_id"]))
+
     def approx_quantiles_q(sf):
         from automatic_reference_extractor_ray.ops.analytics import (
             approx_quantiles)
@@ -495,6 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": curate_corpus_q,
         "tfidf_terms": tfidf_q,
         "approx_quantiles": approx_quantiles_q,
+        "customers_without_events": customers_without_events_q,
     }
 
 
@@ -890,6 +898,10 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(),
         "curate_corpus": _curate_sql(),
         "tfidf_terms": _tfidf_sql(),
+        "customers_without_events": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.user_id = c.c_custkey)""",
         "top_per_lang": """
             SELECT lang, rn AS rank, doc_id, n_chars
             FROM (SELECT lang, doc_id, n_chars,

@@ -218,3 +218,27 @@ def events_sliding(events, win_minutes: int = 30, slide_minutes: int = 10):
             partial, batch_format="pyarrow", batch_size=65536),
         ["event_type", "window_start"],
         {"n": ("n", "sum"), "sum_value_c": ("sum_value_c", "sum")})
+
+
+def customers_without_events(customer, events, num_buckets: int | None = None):
+    """Distributed NOT EXISTS → (c_custkey, c_name) for customers with
+    no event activity.  Both sides ride the bucketed shuffle (a key's
+    customer row and all its event keys land in one bucket), so no id
+    set is ever broadcast or collected — the anti-join shape J6-style
+    result reconciliation needs at corpus scale.
+
+    The event side is pre-shrunk to per-batch distinct keys, so the
+    shuffle moves at most one row per (user, block), not one per event.
+    """
+    from .shuffle import bucketed_join
+
+    keys = events.map_batches(
+        lambda b: pd.DataFrame(
+            {"c_custkey": b["user_id"].drop_duplicates()
+             .to_numpy(dtype="int64")}),
+        batch_format="pandas")
+    return bucketed_join(
+        customer, keys, on="c_custkey",
+        left_schema={"c_custkey": "int64", "c_name": "object"},
+        right_schema={"c_custkey": "int64"},
+        num_buckets=num_buckets, how="anti")

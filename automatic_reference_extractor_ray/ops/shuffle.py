@@ -160,9 +160,15 @@ def _pad_to_schema(df: pd.DataFrame, schema: dict[str, str],
 
 def bucketed_join(left, right, on: str,
                   left_schema: dict[str, str], right_schema: dict[str, str],
-                  num_buckets: int | None = None, post=None):
-    """Distributed inner equi-join on one key column present in BOTH
-    sides under the same name and dtype.
+                  num_buckets: int | None = None, post=None,
+                  how: str = "inner"):
+    """Distributed equi-join on one key column present in BOTH sides
+    under the same name and dtype.  ``how``: ``inner`` (default),
+    ``left`` (right columns padded 0/"" for unmatched keys), ``semi``
+    (left rows with a match, left columns only) or ``anti`` (left rows
+    without a match, left columns only) — the last two are the
+    distributed EXISTS / NOT EXISTS a result-reconciliation or
+    dimension-filter step needs.
 
     ``left_schema`` / ``right_schema`` declare each side's full column
     set as {col: dtype-str} (``"int64"``, ``"object"``, ...); non-key
@@ -181,6 +187,8 @@ def bucketed_join(left, right, on: str,
     (e.g. drop heavy payload columns) before they re-enter the object
     store.  It must handle empty input and return a stable schema.
     """
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
     overlap = (set(left_schema) & set(right_schema)) - {on}
     if overlap:
         raise ValueError(f"non-key columns present on both sides: {overlap}")
@@ -206,7 +214,19 @@ def bucketed_join(left, right, on: str,
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g[SIDE_COL] == 0][lcols]
         r = g[g[SIDE_COL] == 1][rcols]
-        merged = l.merge(r, on=on, how="inner")[list(schema)]
+        if how in ("semi", "anti"):
+            matched = l[on].isin(set(r[on]))
+            merged = l[matched if how == "semi" else ~matched]
+            merged = merged.reset_index(drop=True)
+        elif how == "left":
+            merged = l.merge(r, on=on, how="left")
+            # unmatched rows get the schema's 0/"" defaults, keeping
+            # every block's dtypes identical (NaN would upcast ints)
+            merged = pad_frame(merged.fillna(
+                {c: "" if schema[c] == "object" else 0
+                 for c in rcols if c != on}), schema)
+        else:
+            merged = l.merge(r, on=on, how="inner")[list(schema)]
         return post(merged) if post is not None else merged
 
     return (lt.union(rt)

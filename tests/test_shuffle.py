@@ -144,3 +144,39 @@ def test_grouped_pair_join_matches_naive(ray_session, key_dtype):
     key = lambda df: sorted(map(tuple, df[["a", "b", "pa", "pb"]]
                                 .to_numpy()))  # noqa: E731
     assert key(got) == key(exp)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_bucketed_join_modes(ray_session, how):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.shuffle import bucketed_join
+    left = pd.DataFrame({"k": np.array([1, 2, 3, 4, 5], dtype="int64"),
+                         "lv": ["a", "b", "c", "d", "e"]})
+    right = pd.DataFrame({"k": np.array([2, 4, 4, 9], dtype="int64"),
+                          "rv": np.array([20, 40, 41, 90], dtype="int64")})
+    got = bucketed_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k",
+        left_schema={"k": "int64", "lv": "object"},
+        right_schema={"k": "int64", "rv": "int64"},
+        num_buckets=5, how=how).to_pandas()
+    if how == "inner":
+        exp = left.merge(right, on="k")
+    elif how == "left":
+        exp = left.merge(right, on="k", how="left")
+        exp["rv"] = exp["rv"].fillna(0).astype("int64")
+    elif how == "semi":
+        exp = left[left["k"].isin(right["k"])]
+    else:
+        exp = left[~left["k"].isin(right["k"])]
+    skey = lambda df: sorted(map(tuple, df.to_numpy()))  # noqa: E731
+    assert skey(got[exp.columns.tolist()]) == skey(exp)
+
+
+def test_bucketed_join_bad_how(ray_session):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.shuffle import bucketed_join
+    df = pd.DataFrame({"k": np.array([1], dtype="int64")})
+    with pytest.raises(ValueError):
+        bucketed_join(rd.from_pandas(df), rd.from_pandas(df), on="k",
+                      left_schema={"k": "int64"},
+                      right_schema={"k": "int64"}, how="outer")
