@@ -101,9 +101,17 @@ def _pairs_frame(lo, hi, dt: str) -> pd.DataFrame:
 
 
 def grouped_pair_join(cands, side, key_dtype: str, payload_cols: list[str],
-                      verify, num_buckets: int | None = None):
+                      verify, num_buckets: int | None = None,
+                      dedupe_pairs: bool = False):
     """Join candidate (a, b) pairs against a per-key payload table and
     verify them in-bucket — WITHOUT duplicating payloads per pair.
+
+    ``dedupe_pairs=True`` makes each bucket drop duplicate (a, b) rows
+    before verifying.  Every copy of a pair shares its ``b`` and so its
+    bucket, so this equals a global pair DISTINCT — callers whose
+    candidate generators emit band/table duplicates can skip a whole
+    standalone distinct shuffle and ship the (16-byte) duplicates
+    straight here instead.
 
     A naive pairs⋈payload equi-join materializes one payload copy per
     PAIR row (measured: 7.4M minhash candidates x ~200B token strings =
@@ -182,6 +190,8 @@ def grouped_pair_join(cands, side, key_dtype: str, payload_cols: list[str],
         g = g.drop(columns=[BUCKET_COL])
         kinds = g[KIND_COL].to_numpy()
         pairs = g[kinds == 0][["a", "b"]]
+        if dedupe_pairs:
+            pairs = pairs.drop_duplicates()
         ar = g[kinds == 1]
         br = g[kinds == 2]
         amap = dict(zip(ar["a"].to_numpy(),
@@ -213,7 +223,8 @@ def _toks_side(docs, coded: bool):
 
 
 def _verify_pairs_join(cands, docs, tau: float, coded: bool,
-                       num_buckets: int | None = None):
+                       num_buckets: int | None = None,
+                       dedupe_pairs: bool = False):
     """Exact-Jaccard verification of candidate (a, b) pairs via the
     grouped pair join (no driver broadcast, no per-pair payload
     duplication).  Emits (a, b) doc ids, a < b."""
@@ -248,7 +259,7 @@ def _verify_pairs_join(cands, docs, tau: float, coded: bool,
         return _pairs_frame(keep_a, keep_b, dt)
 
     return grouped_pair_join(cands, _toks_side(docs, coded), kd, payload,
-                             verify, num_buckets)
+                             verify, num_buckets, dedupe_pairs=dedupe_pairs)
 
 
 # --------------------------------------------- exact jaccard (prefix filter)
@@ -310,9 +321,12 @@ def jaccard_pairs(docs, tau: float = 0.9):
             return EMPTY_PAIRS
         return pd.concat(outs).drop_duplicates()
 
-    cands = bucketed_distinct(
-        bucketed_groupby(index, "token", pairs_of_bucket), ["a", "b"])
-    return _verify_pairs_join(cands, docs, tau, coded=False)
+    # no standalone pair DISTINCT: different prefix tokens can emit the
+    # same pair, but every copy shares bucket(b) in the verify join, so
+    # the in-bucket dedupe there is a global distinct for free
+    cands = bucketed_groupby(index, "token", pairs_of_bucket)
+    return _verify_pairs_join(cands, docs, tau, coded=False,
+                              dedupe_pairs=True)
 
 
 # ------------------------------------------------------------ MinHash LSH
@@ -408,14 +422,17 @@ def minhash_lsh_pairs(docs, tau: float = 0.9):
                              "h": np.array(codes, np.int64)})
 
     bands = docs.map_batches(signatures, batch_format="pandas")
-    cands = bucketed_distinct(
-        bucketed_groupby(bands, ["band", "band_hash"],
-                         lambda p: _int_pairs_of_groups(p, ["band", "band_hash"])),
-        ["a", "b"])
+    # band duplicates of a pair all share bucket(b) in the verify join,
+    # so its in-bucket dedupe replaces a standalone global DISTINCT —
+    # one fewer all-to-all for <=12x 16-byte duplicate rows shipped
+    cands = bucketed_groupby(
+        bands, ["band", "band_hash"],
+        lambda p: _int_pairs_of_groups(p, ["band", "band_hash"]))
     # raw int ids: keys ARE doc ids → the non-coded verifier (token
     # payload only, pairs emitted as-is); else verify + decode via the
     # doc payload riding the coded join
-    return _verify_pairs_join(cands, docs, tau, coded=not raw_int_ids)
+    return _verify_pairs_join(cands, docs, tau, coded=not raw_int_ids,
+                              dedupe_pairs=True)
 
 
 # --------------------------------------------------------------- SimHash
@@ -615,10 +632,12 @@ def embedding_dup_pairs_lsh(embeddings, tau: float = 0.4,
                              "h": np.concatenate(hh)})
 
     bands = embeddings.map_batches(sigs, batch_format="pandas")
-    cands = bucketed_distinct(
-        bucketed_groupby(bands, ["table", "sig"],
-                         lambda p: _int_pairs_of_groups(p, ["table", "sig"])),
-        ["a", "b"], num_buckets)
+    # cross-table duplicate pairs dedupe inside the verify join
+    # (bucket(b)-local = global), skipping a standalone DISTINCT pass
+    cands = bucketed_groupby(
+        bands, ["table", "sig"],
+        lambda p: _int_pairs_of_groups(p, ["table", "sig"]),
+        num_buckets)
 
     def emb_side(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"key": b["vec_id"].astype("int64").to_numpy(),
@@ -639,7 +658,7 @@ def embedding_dup_pairs_lsh(embeddings, tau: float = 0.4,
         return _pairs_frame(av[keep], bv[keep], "int64")
 
     return grouped_pair_join(cands, side, "int64", ["emb"], verify,
-                             num_buckets)
+                             num_buckets, dedupe_pairs=True)
 
 
 # ------------------------------------------------- dedup components

@@ -180,3 +180,24 @@ def test_bucketed_join_bad_how(ray_session):
         bucketed_join(rd.from_pandas(df), rd.from_pandas(df), on="k",
                       left_schema={"k": "int64"},
                       right_schema={"k": "int64"}, how="outer")
+
+
+def test_bucketed_ops_survive_hot_key(ray_session):
+    """95% of rows share one key: the two-level shapes (distinct on
+    (key,val), per-batch combiners) must stay correct under skew."""
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.analytics import (
+        grouped_distinct_count)
+    rng = np.random.default_rng(3)
+    n = 20000
+    keys = np.where(rng.random(n) < 0.95, "hot", "cold")
+    vals = rng.integers(0, 500, n).astype("int64")
+    df = pd.DataFrame({"k": keys, "v": vals})
+    got = (grouped_distinct_count(rd.from_pandas(df).repartition(16),
+                                  "k", "v", num_buckets=8)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = (df.groupby("k")["v"].nunique().reset_index(name="n_distinct")
+           .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"n_distinct": "int64"}),
+        exp.astype({"n_distinct": "int64"}))
