@@ -58,6 +58,11 @@ def _tfidf_sql() -> str:
     return tfidf_sql(k=5)
 
 
+def _repetition_sql() -> str:
+    from automatic_reference_extractor_ray.ops.textstats import REPETITION_SQL
+    return REPETITION_SQL
+
+
 def _ensure_oracle_tables() -> None:
     from automatic_reference_extractor_ray.sources.goldens import write_oracle_tables
     for sf in ("/root/testdata/sf0.01", SF001):
@@ -434,6 +439,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return tfidf_top_terms(
             _read(sf, "documents", ["doc_id", "text"]), k=5)
 
+    def repetition_q(sf):
+        from automatic_reference_extractor_ray.ops.textstats import (
+            repetition_metrics)
+        return (_read(sf, "documents", ["doc_id", "text"])
+                .map_batches(repetition_metrics, batch_format="pandas"))
+
     def customers_without_events_q(sf):
         from automatic_reference_extractor_ray.ops.relational import (
             customers_without_events)
@@ -503,6 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": tfidf_q,
         "approx_quantiles": approx_quantiles_q,
         "customers_without_events": customers_without_events_q,
+        "repetition_metrics": repetition_q,
     }
 
 
@@ -902,6 +914,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e
                               WHERE e.user_id = c.c_custkey)""",
+        "repetition_metrics": _repetition_sql(),
         "top_per_lang": """
             SELECT lang, rn AS rank, doc_id, n_chars
             FROM (SELECT lang, doc_id, n_chars,

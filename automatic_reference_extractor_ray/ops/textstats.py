@@ -261,3 +261,84 @@ def decontaminate_sql(n: int = 4, eval_frac: float = 0.1,
                          THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM toks d LEFT JOIN hits h USING (doc_id)
         WHERE d.{train_cond}"""
+
+
+# --------------------------------------------- repetition metrics
+
+def repetition_metrics(batch: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style repetition rules (Rae et al. 2021 §A1.1,
+    integerized): in-document repetition is the other half of quality
+    filtering next to ``quality_filter``'s length/stopword rules.
+
+      n_lines                  text.split("\\n") count (empties kept)
+      dup_line_frac_x1000      1000*(n_lines - distinct) // n_lines
+      top_2gram_frac_x1000     1000*max 2-gram count // n_2grams
+      keep                     NOT (dup_line_frac > 300
+                                    OR (n_2grams >= 20
+                                        AND top_2gram_frac > 200))
+
+    The 2-gram rule only fires with >= 20 bigrams — on shorter texts
+    the fraction is quantized too coarsely to mean repetition (three
+    distinct bigrams already read 333).  All-integer arithmetic,
+    mirrored verbatim by the SQL oracle.  A pure per-row map —
+    trivially streaming at any scale.
+    """
+    from collections import Counter
+    n_lines, dupf, topf, n2s = [], [], [], []
+    for t in batch["text"]:
+        lines = t.split("\n")
+        nl = len(lines)
+        n_lines.append(nl)
+        dupf.append(1000 * (nl - len(set(lines))) // nl)
+        toks = _tokens(t)
+        n2 = len(toks) - 1
+        n2s.append(n2)
+        if n2 <= 0:
+            topf.append(0)
+        else:
+            c = Counter(zip(toks, toks[1:]))
+            topf.append(1000 * max(c.values()) // n2)
+    dupf = np.array(dupf, dtype=np.int64)
+    topf = np.array(topf, dtype=np.int64)
+    n2s = np.array(n2s, dtype=np.int64)
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_lines": np.array(n_lines, dtype=np.int64),
+        "dup_line_frac_x1000": dupf,
+        "top_2gram_frac_x1000": topf,
+        "keep": ~((dupf > 300) | ((n2s >= 20) & (topf > 200))),
+    })
+
+
+REPETITION_SQL = r"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, chr(10)) AS lines,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents),
+    l AS (
+      SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             (1000 * (len(lines) - len(list_distinct(lines))))
+               // len(lines) AS dup_line_frac_x1000,
+             len(t) - 1 AS n2
+      FROM base),
+    grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+      FROM (SELECT doc_id, t, unnest(range(1, len(t)))::INT AS i
+            FROM base WHERE len(t) >= 2)),
+    mx AS (
+      SELECT doc_id, MAX(c) AS mc
+      FROM (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+      GROUP BY doc_id)
+    SELECT l.doc_id, l.n_lines,
+           CAST(l.dup_line_frac_x1000 AS BIGINT) AS dup_line_frac_x1000,
+           CAST(CASE WHEN l.n2 <= 0 THEN 0
+                     ELSE (1000 * COALESCE(mx.mc, 0)) // l.n2
+                END AS BIGINT) AS top_2gram_frac_x1000,
+           NOT (l.dup_line_frac_x1000 > 300
+                OR (l.n2 >= 20
+                    AND (CASE WHEN l.n2 <= 0 THEN 0
+                              ELSE (1000 * COALESCE(mx.mc, 0)) // l.n2
+                         END) > 200))
+             AS keep
+    FROM l LEFT JOIN mx USING (doc_id)"""

@@ -124,3 +124,24 @@ def test_decontaminate_bad_holdout_rejected(ray_session, docs_df):
     from automatic_reference_extractor_ray.ops.textstats import decontaminate
     with pytest.raises(ValueError):
         decontaminate(rd.from_pandas(docs_df), holdout="sideways")
+
+
+def test_repetition_metrics_hand_cases():
+    from automatic_reference_extractor_ray.ops.textstats import (
+        repetition_metrics)
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 4], dtype="int64"),
+        "text": [
+            "a b\na b\na b\nc d",          # 4 lines, 2 distinct -> 500
+            ("x y " * 15).strip(),        # 29 bigrams, (x,y) x15 -> 517
+            "unique words only here",     # clean, too short for 2g rule
+            "",                           # degenerate: 1 empty line
+        ],
+    })
+    got = repetition_metrics(df)
+    assert list(got["n_lines"]) == [4, 1, 1, 1]
+    assert list(got["dup_line_frac_x1000"]) == [500, 0, 0, 0]
+    # doc1 tokens a,b,a,b,a,b,c,d -> 7 bigrams, (a,b) x3 -> 3000//7;
+    # doc3 has 3 distinct bigrams -> 333 but under the 20-bigram floor
+    assert list(got["top_2gram_frac_x1000"]) == [428, 517, 333, 0]
+    assert list(got["keep"]) == [False, False, True, True]
