@@ -38,11 +38,12 @@ EMPTY_PAIRS = pd.DataFrame({"a": pd.Series([], dtype=object),
 
 
 def _norm(s: str) -> str:
-    return WS_RE.sub(" ", s.lower()).strip()
+    # null-safe (see textstats._tokens): None text == empty text
+    return WS_RE.sub(" ", (s or "").lower()).strip()
 
 
 def _token_set(s: str) -> list[str]:
-    return sorted(set(TOKEN_RE.findall(s.lower())))
+    return sorted(set(TOKEN_RE.findall((s or "").lower())))
 
 
 # ----------------------------------------------------------- exact dedup

@@ -23,7 +23,9 @@ DE_STOP = ["der", "die", "das", "und", "ist", "mit", "für", "von", "ein", "nich
 
 
 def _tokens(s: str) -> list[str]:
-    return TOKEN_RE.findall(s.lower())
+    # null-safe: a flat documents table reaches these ops without the
+    # ingest validator, and a None text must read as empty, not crash
+    return TOKEN_RE.findall((s or "").lower())
 
 
 def token_counts(batch: pd.DataFrame) -> pd.DataFrame:
@@ -38,9 +40,10 @@ def quality_metrics(batch: pd.DataFrame) -> pd.DataFrame:
     en = frozenset(EN_STOP)
     return pd.DataFrame({
         "doc_id": batch["doc_id"],
-        "n_chars2": batch["text"].str.len().astype("int64"),
+        "n_chars2": batch["text"].map(lambda s: len(s or "")).astype("int64"),
         "n_tokens": toks.map(len).astype("int64"),
-        "n_punct": batch["text"].map(lambda s: len(PUNCT_RE.findall(s))).astype("int64"),
+        "n_punct": batch["text"].map(
+            lambda s: len(PUNCT_RE.findall(s or ""))).astype("int64"),
         "n_stopwords": toks.map(lambda ts: sum(t in en for t in ts)).astype("int64"),
     })
 
@@ -58,7 +61,8 @@ def lang_guess(batch: pd.DataFrame) -> pd.DataFrame:
 def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
     """Content fingerprint: md5 of the whitespace-normalized lowercase
     text (the rolling-hash analogue with an oracle-computable hash)."""
-    norm = batch["text"].map(lambda s: WS_RE.sub(" ", s.lower()).strip())
+    norm = batch["text"].map(
+        lambda s: WS_RE.sub(" ", (s or "").lower()).strip())
     return pd.DataFrame({
         "doc_id": batch["doc_id"],
         "fp": norm.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()),
@@ -286,7 +290,7 @@ def repetition_metrics(batch: pd.DataFrame) -> pd.DataFrame:
     from collections import Counter
     n_lines, dupf, topf, n2s = [], [], [], []
     for t in batch["text"]:
-        lines = t.split("\n")
+        lines = (t or "").split("\n")
         nl = len(lines)
         n_lines.append(nl)
         dupf.append(1000 * (nl - len(set(lines))) // nl)

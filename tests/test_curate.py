@@ -145,3 +145,19 @@ def test_repetition_metrics_hand_cases():
     # doc3 has 3 distinct bigrams -> 333 but under the 20-bigram floor
     assert list(got["top_2gram_frac_x1000"]) == [428, 517, 333, 0]
     assert list(got["keep"]) == [False, False, True, True]
+
+
+def test_text_ops_null_safe():
+    """None text must read as empty text in every flat-table text op,
+    not crash — real documents tables carry nulls."""
+    from automatic_reference_extractor_ray.ops.dedup import add_content_hash
+    from automatic_reference_extractor_ray.ops.textstats import (
+        fingerprint, lang_guess, quality_filter, quality_metrics,
+        repetition_metrics, token_counts)
+    df = pd.DataFrame({"doc_id": np.array([1, 2], dtype="int64"),
+                       "text": [None, "the quick fox"]})
+    for fn in (token_counts, quality_metrics, lang_guess, fingerprint,
+               quality_filter, repetition_metrics, add_content_hash):
+        out = fn(df)
+        assert len(out) == 2, fn.__name__
+    assert token_counts(df)["n_tokens"].tolist() == [0, 3]
