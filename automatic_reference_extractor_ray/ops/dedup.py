@@ -223,6 +223,12 @@ def _toks_side(docs, coded: bool):
     return docs.map_batches(fn, batch_format="pandas")
 
 
+# buckets whose interned token vocabulary fits this many distinct
+# tokens verify via packed bitsets (vocab/8 bytes per doc, popcount
+# per pair chunk); larger vocabularies use the per-pair set loop
+_VERIFY_VEC_VOCAB_CAP = 4096
+
+
 def _verify_pairs_join(cands, docs, tau: float, coded: bool,
                        num_buckets: int | None = None,
                        dedupe_pairs: bool = False):
@@ -233,31 +239,84 @@ def _verify_pairs_join(cands, docs, tau: float, coded: bool,
     kd = "int64" if coded else dt
     payload = ["doc", "toks"] if coded else ["toks"]
 
+    def emit(pairs_kept, amap, bmap) -> pd.DataFrame:
+        if not coded:
+            return _pairs_frame(pairs_kept[:, 0], pairs_kept[:, 1], dt)
+        keep_a, keep_b = [], []
+        for a, b in pairs_kept:                 # only VERIFIED pairs
+            da, db = amap[a][0], bmap[b][0]
+            if db < da:
+                da, db = db, da
+            keep_a.append(da); keep_b.append(db)
+        return _pairs_frame(keep_a, keep_b, dt)
+
     def verify(pairs: pd.DataFrame, amap: dict, bmap: dict) -> pd.DataFrame:
         if not len(pairs):
             return _pairs_frame([], [], dt)
+        av = pairs["a"].to_numpy()
+        bv = pairs["b"].to_numpy()
+        # intern the bucket's payload strings once (each doc's token
+        # set travels as one space-joined string)
+        strs: dict[str, list[str]] = {}
+        for m in (amap, bmap):
+            for v in m.values():
+                s = v[-1]
+                if s not in strs:
+                    strs[s] = s.split()
+        vocab: dict[str, int] = {}
+        for tl in strs.values():
+            for t in tl:
+                if t not in vocab:
+                    vocab[t] = len(vocab)
+            if len(vocab) > _VERIFY_VEC_VOCAB_CAP:
+                break
+        if len(vocab) <= _VERIFY_VEC_VOCAB_CAP:
+            # vectorized bitset path: pack each token set into
+            # vocab/8 bytes, popcount ANDs in pair chunks — turns the
+            # ~70 µs/pair Python set loop into array ops.  Small-vocab
+            # buckets (dedup-heavy web shards, templated corpora) hit
+            # this; diverse buckets fall back below.
+            sl = list(strs)
+            bits = np.zeros((len(sl), len(vocab)), dtype=bool)
+            for i, s in enumerate(sl):
+                bits[i, [vocab[t] for t in strs[s]]] = True
+            packed = np.packbits(bits, axis=1)
+            sizes = bits.sum(axis=1).astype(np.int64)
+            srow = {s: i for i, s in enumerate(sl)}
+            arow = {k: srow[v[-1]] for k, v in amap.items()}
+            brow = {k: srow[v[-1]] for k, v in bmap.items()}
+            ai = np.fromiter((arow[a] for a in av), np.int64, len(av))
+            bi = np.fromiter((brow[b] for b in bv), np.int64, len(bv))
+            keep = np.zeros(len(av), dtype=bool)
+            step = 16384                     # bounds the uint8 AND temp
+            for lo in range(0, len(av), step):
+                hi = lo + step
+                inter = _POPCNT8[packed[ai[lo:hi]] & packed[bi[lo:hi]]] \
+                    .sum(axis=1)
+                union = sizes[ai[lo:hi]] + sizes[bi[lo:hi]] - inter
+                # same float expression as the scalar path: inter/union
+                # >= tau (NOT inter >= tau*union, which rounds
+                # differently at exact-boundary pairs)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    j = np.where(union > 0, inter / union, 0.0)
+                keep[lo:hi] = (inter > 0) & (j >= tau)
+            return emit(np.stack([av[keep], bv[keep]], axis=1), amap, bmap)
+
         cache: dict[str, frozenset] = {}
 
         def fs(s: str) -> frozenset:
             v = cache.get(s)
             if v is None:
-                v = cache[s] = frozenset(s.split())
+                v = cache[s] = frozenset(strs.get(s) or s.split())
             return v
 
-        keep_a, keep_b = [], []
-        for a, b in zip(pairs["a"].to_numpy(), pairs["b"].to_numpy()):
-            pa_, pb_ = amap[a], bmap[b]
-            sa, sb = fs(pa_[-1]), fs(pb_[-1])
+        kept = []
+        for a, b in zip(av, bv):
+            sa, sb = fs(amap[a][-1]), fs(bmap[b][-1])
             inter = len(sa & sb)
             if inter and inter / (len(sa) + len(sb) - inter) >= tau:
-                if coded:
-                    da, db = pa_[0], pb_[0]
-                    if db < da:
-                        da, db = db, da
-                    keep_a.append(da); keep_b.append(db)
-                else:
-                    keep_a.append(a); keep_b.append(b)
-        return _pairs_frame(keep_a, keep_b, dt)
+                kept.append((a, b))
+        return emit(np.array(kept).reshape(-1, 2), amap, bmap)
 
     return grouped_pair_join(cands, _toks_side(docs, coded), kd, payload,
                              verify, num_buckets, dedupe_pairs=dedupe_pairs)

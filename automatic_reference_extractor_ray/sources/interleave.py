@@ -122,5 +122,17 @@ def read_interleaved_docs_cached(sf_dir: str, repeat: int = 1,
     if columns is not None:                  # pruned read (id pre-pass)
         return rd.read_parquet(out, columns=columns,
                                file_extensions=["parquet"])
+    # ~8 tasks per core: the downstream extraction actor pool gets one
+    # task per block, and coarse blocks quantize into waves — measured
+    # at 32 CPUs / 80 blocks the pool idled 40% on the last ragged
+    # wave (2.5 waves of ~5 s tasks), while 8 waves of sub-second
+    # tasks keep every actor busy at ANY leg size, which is exactly
+    # what the 8-vs-32 scaling comparison needs
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or 8
+    except Exception:                                      # noqa: BLE001
+        cpus = 8
     return rd.read_parquet(out, schema=DOCUMENTS_SCHEMA,
-                           file_extensions=["parquet"])
+                           file_extensions=["parquet"],
+                           override_num_blocks=8 * cpus)
