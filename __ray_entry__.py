@@ -63,6 +63,12 @@ def _repetition_sql() -> str:
     return REPETITION_SQL
 
 
+def _sample_sql() -> str:
+    from automatic_reference_extractor_ray.ops.analytics import (
+        sample_per_group_sql)
+    return sample_per_group_sql("documents", "lang", "doc_id", k=10)
+
+
 def _ensure_oracle_tables() -> None:
     from automatic_reference_extractor_ray.sources.goldens import write_oracle_tables
     for sf in ("/root/testdata/sf0.01", SF001):
@@ -439,6 +445,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return tfidf_top_terms(
             _read(sf, "documents", ["doc_id", "text"]), k=5)
 
+    def sample_per_lang_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            sample_per_group)
+        return sample_per_group(
+            _read(sf, "documents", ["doc_id", "lang"]),
+            key="lang", id_col="doc_id", k=10)
+
     def repetition_q(sf):
         from automatic_reference_extractor_ray.ops.textstats import (
             repetition_metrics)
@@ -515,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles": approx_quantiles_q,
         "customers_without_events": customers_without_events_q,
         "repetition_metrics": repetition_q,
+        "sample_per_lang": sample_per_lang_q,
     }
 
 
@@ -915,6 +929,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM events e
                               WHERE e.user_id = c.c_custkey)""",
         "repetition_metrics": _repetition_sql(),
+        "sample_per_lang": _sample_sql(),
         "top_per_lang": """
             SELECT lang, rn AS rank, doc_id, n_chars
             FROM (SELECT lang, doc_id, n_chars,

@@ -564,3 +564,51 @@ def approx_quantiles(ds, key: str, col: str,
     out["q"] = out["q"].astype(np.float64)
     out["q_value"] = out["q_value"].astype(np.float64)
     return out.sort_values([key, "q"]).reset_index(drop=True)
+
+
+# ----------------------------------------- per-group uniform sampling
+
+def sample_per_group(ds, key: str, id_col: str, k: int = 10,
+                     salt: str = "smp", num_buckets: int | None = None):
+    """Deterministic uniform sample of exactly ``k`` rows per group →
+    (key, id_col): the k smallest ``md5(salt + ":" + str(id))`` values
+    within each key (hash-rank sampling — uniform because the hash is
+    uniform, reproducible because there is no RNG state, and exact-k
+    unlike rate-based ``mixture_sample``).
+
+    Same scale shape as ``top_per_group``: a per-batch k-candidate
+    combiner bounds the shuffle at k·keys·blocks rows; the global cut
+    runs per key inside one hash bucket.
+    """
+
+    def hashed(b: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(f"{salt}:{v}".encode("utf-8")).hexdigest()[:16]
+             for v in b[id_col]]
+        out = pd.DataFrame({key: b[key].to_numpy(),
+                            id_col: b[id_col].to_numpy(), "__h": h})
+        out = out.sort_values(["__h", id_col], kind="mergesort")
+        return out.groupby(key, sort=False).head(k)
+
+    cands = ds.map_batches(hashed, batch_format="pandas")
+
+    def cut(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.sort_values(["__h", id_col], kind="mergesort")
+        g = g.groupby(key, sort=False).head(k)
+        return g[[key, id_col]]
+
+    return bucketed_groupby(cands, key, cut, num_buckets)
+
+
+def sample_per_group_sql(table: str, key: str, id_col: str, k: int = 10,
+                         salt: str = "smp") -> str:
+    """DuckDB oracle matching ``sample_per_group`` bit-for-bit."""
+    return f"""
+        SELECT {key}, {id_col}
+        FROM (SELECT {key}, {id_col},
+                     ROW_NUMBER() OVER (
+                       PARTITION BY {key}
+                       ORDER BY substr(md5('{salt}:' ||
+                                CAST({id_col} AS VARCHAR)), 1, 16),
+                                {id_col}) AS rn
+              FROM {table})
+        WHERE rn <= {k}"""

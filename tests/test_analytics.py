@@ -333,3 +333,31 @@ def test_approx_quantiles_constant_column(ray_session):
     df = pd.DataFrame({"k": ["a"] * 50, "v": np.full(50, 3.25)})
     got = approx_quantiles(rd.from_pandas(df), "k", "v", n_bins=64)
     assert np.allclose(got["q_value"], 3.25 + 1 / 64)
+
+
+def test_sample_per_group_exact_k_and_deterministic(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.analytics import (
+        sample_per_group)
+    df = pq.read_table(f"{SF}/documents.parquet",
+                       columns=["doc_id", "lang"]).to_pandas()
+    outs = []
+    for blocks in (2, 16):
+        ds = rd.from_pandas(df).repartition(blocks)
+        outs.append(sample_per_group(ds, "lang", "doc_id", k=5)
+                    .to_pandas().sort_values(["lang", "doc_id"])
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+    sizes = got.groupby("lang").size()
+    counts = df.groupby("lang").size()
+    for lang, n in counts.items():
+        assert sizes.get(lang, 0) == min(5, n)
+    # local mirror: k smallest salted hashes per lang
+    def h(v):
+        return hashlib.md5(f"smp:{v}".encode()).hexdigest()[:16]
+    exp = df.assign(__h=df["doc_id"].map(h)).sort_values(["__h", "doc_id"])
+    exp = (exp.groupby("lang", sort=False).head(5)[["lang", "doc_id"]]
+           .sort_values(["lang", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
