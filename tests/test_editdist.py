@@ -4,7 +4,7 @@ threshold boundary (LOCDB-V3/imgProcessing.py:771-798, :420)."""
 import numpy as np
 
 from automatic_reference_extractor_ray.functions.editdist import (
-    levenshtein, levenshtein_lt)
+    _banded_lt, levenshtein, levenshtein_lt)
 
 
 def _brute(a: str, b: str) -> int:
@@ -49,3 +49,18 @@ def test_threshold_boundary():
 
 def test_length_shortcut():
     assert not levenshtein_lt("a" * 5, "a" * 30, 10)
+
+
+def test_bitparallel_vs_banded_vs_exact():
+    """Property cross-check of all three implementations: the Myers
+    bit-parallel bound test, the banded scalar DP, and the exact
+    vectorized distance, over random strings straddling the bound."""
+    rng = np.random.default_rng(7)
+    alphabet = list("abcd")
+    for _ in range(400):
+        a = "".join(rng.choice(alphabet, rng.integers(0, 40)))
+        b = "".join(rng.choice(alphabet, rng.integers(0, 40)))
+        bound = int(rng.integers(1, 16))
+        want = levenshtein(a, b) < bound
+        assert levenshtein_lt(a, b, bound) == want, (a, b, bound)
+        assert _banded_lt(a, b, bound) == want, (a, b, bound)
