@@ -63,6 +63,11 @@ def _repetition_sql() -> str:
     return REPETITION_SQL
 
 
+def _scrub_sql() -> str:
+    from automatic_reference_extractor_ray.ops.textstats import scrub_sql
+    return scrub_sql()
+
+
 def _sample_sql() -> str:
     from automatic_reference_extractor_ray.ops.analytics import (
         sample_per_group_sql)
@@ -452,6 +457,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", ["doc_id", "lang"]),
             key="lang", id_col="doc_id", k=10)
 
+    def scrub_text_q(sf):
+        from automatic_reference_extractor_ray.ops.textstats import scrub_text
+        return (_read(sf, "documents", ["doc_id", "text"])
+                .map_batches(scrub_text, batch_format="pyarrow"))
+
     def repetition_q(sf):
         from automatic_reference_extractor_ray.ops.textstats import (
             repetition_metrics)
@@ -529,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_events": customers_without_events_q,
         "repetition_metrics": repetition_q,
         "sample_per_lang": sample_per_lang_q,
+        "scrub_text": scrub_text_q,
     }
 
 
@@ -930,6 +941,7 @@ def oracle_sql() -> dict[str, str]:
                               WHERE e.user_id = c.c_custkey)""",
         "repetition_metrics": _repetition_sql(),
         "sample_per_lang": _sample_sql(),
+        "scrub_text": _scrub_sql(),
         "top_per_lang": """
             SELECT lang, rn AS rank, doc_id, n_chars
             FROM (SELECT lang, doc_id, n_chars,

@@ -267,6 +267,68 @@ def decontaminate_sql(n: int = 4, eval_frac: float = 0.1,
         WHERE d.{train_cond}"""
 
 
+# --------------------------------------------- pattern scrubbing
+
+# (name, RE2 pattern, replacement) applied IN ORDER — later patterns see
+# earlier replacements, exactly like a production PII-scrub chain.  The
+# email pattern is the real-world shape; the entity pattern is the one
+# that actually fires on the synthetic corpus so the oracle check is
+# non-degenerate.  Both pyarrow.compute and DuckDB run RE2, so the Ray
+# path and the SQL oracle agree byte-for-byte.
+DEFAULT_SCRUB = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "[EMAIL]"),
+    ("entity", r"\b(customer|supplier)\b", "[ENTITY]"),
+]
+
+
+def scrub_text(batch, patterns=None):
+    """PII-style pattern scrubbing (the redaction pass every training
+    corpus runs before release): sequentially replace each pattern and
+    count its hits.  → (doc_id, text_scrubbed, n_<name>..., n_redactions).
+
+    Fully vectorized — two RE2 kernel calls per pattern on the Arrow
+    string column, no Python per-row loop — and a pure per-row map, so
+    it streams at any scale with zero shuffle.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pats = DEFAULT_SCRUB if patterns is None else patterns
+    cur = pc.fill_null(batch["text"], "")
+    cols: dict[str, object] = {"doc_id": batch["doc_id"]}
+    total = None
+    for name, pat, repl in pats:
+        n = pc.cast(pc.count_substring_regex(cur, pat), pa.int64())
+        cur = pc.replace_substring_regex(cur, pat, repl)
+        cols[f"n_{name}"] = n
+        total = n if total is None else pc.add(total, n)
+    cols["text_scrubbed"] = cur
+    cols["n_redactions"] = total
+    return pa.table(cols)
+
+
+def scrub_sql(patterns=None) -> str:
+    """DuckDB oracle mirroring ``scrub_text`` (nested regexp_replace =
+    the same sequential application)."""
+    pats = DEFAULT_SCRUB if patterns is None else patterns
+    cur = "COALESCE(text, '')"
+    counts = []
+    for name, pat, repl in pats:
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        counts.append(
+            f"CAST(len(regexp_extract_all({cur}, '{p}')) AS BIGINT)"
+            f" AS n_{name}")
+        cur = f"regexp_replace({cur}, '{p}', '{r}', 'g')"
+    total = " + ".join(f"n_{name}" for name, _, _ in pats)
+    return f"""
+        SELECT doc_id, {', '.join(f'n_{n}' for n, _, _ in pats)},
+               text_scrubbed, CAST({total} AS BIGINT) AS n_redactions
+        FROM (SELECT doc_id, {', '.join(counts)},
+                     {cur} AS text_scrubbed
+              FROM documents)"""
+
+
 # --------------------------------------------- repetition metrics
 
 def repetition_metrics(batch: pd.DataFrame) -> pd.DataFrame:

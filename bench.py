@@ -124,6 +124,9 @@ def run_bench() -> dict:
         read("documents", ["doc_id", "text"])).count())
     timed("token_quality", lambda: read("documents", ["doc_id", "text"])
           .map_batches(quality_metrics, batch_format="pandas").count())
+    from automatic_reference_extractor_ray.ops.textstats import scrub_text
+    timed("scrub_text", lambda: read("documents", ["doc_id", "text"])
+          .map_batches(scrub_text, batch_format="pyarrow").count())
     from automatic_reference_extractor_ray.ops.analytics import (
         events_range_join_counts, grouped_distinct_count, grouped_quantiles,
         hash_split, topk_tokens)

@@ -161,3 +161,53 @@ def test_text_ops_null_safe():
         out = fn(df)
         assert len(out) == 2, fn.__name__
     assert token_counts(df)["n_tokens"].tolist() == [0, 3]
+
+
+def test_scrub_text_semantics_and_oracle():
+    """Pattern scrubbing: sequential replacement, per-pattern counts,
+    null text as empty — and the SQL oracle agrees byte-for-byte on a
+    table that exercises every pattern (the synthetic corpus has no
+    emails, so the email path is proven here)."""
+    import duckdb
+    import pyarrow as pa
+
+    from automatic_reference_extractor_ray.ops.textstats import (
+        scrub_sql, scrub_text)
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": [None,
+                 "mail a.b@x.co or c@d.org customer",
+                 "supplier customer supplier",
+                 "no hits here"],
+    })
+    got = scrub_text(tbl).to_pandas()
+    assert got["n_email"].tolist() == [0, 2, 0, 0]
+    assert got["n_entity"].tolist() == [0, 1, 3, 0]
+    assert got["n_redactions"].tolist() == [0, 3, 3, 0]
+    assert got["text_scrubbed"].tolist() == [
+        "", "mail [EMAIL] or [EMAIL] [ENTITY]",
+        "[ENTITY] [ENTITY] [ENTITY]", "no hits here"]
+
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = con.sql(scrub_sql()).df()
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values("doc_id").reset_index(drop=True),
+        exp[cols].sort_values("doc_id").reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_scrub_text_custom_patterns_sequential():
+    """Later patterns see earlier replacements (the chain is ordered)."""
+    import pyarrow as pa
+
+    from automatic_reference_extractor_ray.ops.textstats import scrub_text
+
+    pats = [("ab", r"ab", "X"), ("x", r"X+", "Y")]
+    out = scrub_text(pa.table({"doc_id": [1], "text": ["abab"]}),
+                     patterns=pats).to_pandas()
+    assert out["text_scrubbed"].tolist() == ["Y"]
+    assert out["n_ab"].tolist() == [2]
+    assert out["n_x"].tolist() == [1]
