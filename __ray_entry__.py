@@ -63,6 +63,11 @@ def _repetition_sql() -> str:
     return REPETITION_SQL
 
 
+def _chunk_sql() -> str:
+    from automatic_reference_extractor_ray.ops.textstats import chunk_sql
+    return chunk_sql(chunk=64, overlap=8)
+
+
 def _scrub_sql() -> str:
     from automatic_reference_extractor_ray.ops.textstats import scrub_sql
     return scrub_sql()
@@ -462,6 +467,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (_read(sf, "documents", ["doc_id", "text"])
                 .map_batches(scrub_text, batch_format="pyarrow"))
 
+    def chunk_docs_q(sf):
+        from automatic_reference_extractor_ray.ops.textstats import (
+            chunk_documents)
+        return (_read(sf, "documents", ["doc_id", "text"])
+                .map_batches(chunk_documents, batch_format="pandas"))
+
     def repetition_q(sf):
         from automatic_reference_extractor_ray.ops.textstats import (
             repetition_metrics)
@@ -540,6 +551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_metrics": repetition_q,
         "sample_per_lang": sample_per_lang_q,
         "scrub_text": scrub_text_q,
+        "chunk_docs": chunk_docs_q,
     }
 
 
@@ -942,6 +954,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_metrics": _repetition_sql(),
         "sample_per_lang": _sample_sql(),
         "scrub_text": _scrub_sql(),
+        "chunk_docs": _chunk_sql(),
         "top_per_lang": """
             SELECT lang, rn AS rank, doc_id, n_chars
             FROM (SELECT lang, doc_id, n_chars,

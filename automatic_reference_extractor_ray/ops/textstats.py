@@ -329,6 +329,67 @@ def scrub_sql(patterns=None) -> str:
               FROM documents)"""
 
 
+# --------------------------------------------- context-window chunking
+
+def chunk_documents(batch: pd.DataFrame, chunk: int = 64,
+                    overlap: int = 8) -> pd.DataFrame:
+    """Fixed-size token-window chunking with overlap (the
+    context-window prep step of every LM training pipeline): each doc's
+    token stream splits into windows of ``chunk`` tokens starting every
+    ``chunk - overlap`` tokens.
+
+    → (doc_id, chunk_idx, n_tokens, text_chunk).  A start is emitted
+    while ``start < max(n - overlap, 1)`` so the tail window always
+    carries at least one new token (no window fully contained in its
+    predecessor); empty docs emit no rows.
+
+    A pure flat map — each input row expands independently, so it
+    streams at any scale with zero shuffle; row fan-out is ~n/stride
+    per doc, which is why the chunker belongs INSIDE map_batches and
+    not in a driver loop.
+    """
+    if overlap >= chunk:
+        raise ValueError(f"overlap ({overlap}) must be < chunk ({chunk})")
+    stride = chunk - overlap
+    dids, idxs, ns, texts = [], [], [], []
+    for d, t in zip(batch["doc_id"], batch["text"]):
+        toks = _tokens(t)
+        n = len(toks)
+        for start in range(0, max(n - overlap, 1) if n else 0, stride):
+            w = toks[start:start + chunk]
+            dids.append(d)
+            idxs.append(start // stride)
+            ns.append(len(w))
+            texts.append(" ".join(w))
+    return pd.DataFrame({
+        "doc_id": pd.Series(dids, dtype=batch["doc_id"].dtype),
+        "chunk_idx": np.array(idxs, dtype=np.int64),
+        "n_tokens": np.array(ns, dtype=np.int64),
+        "text_chunk": texts,
+    })
+
+
+def chunk_sql(chunk: int = 64, overlap: int = 8) -> str:
+    """DuckDB oracle mirroring ``chunk_documents`` (1-based inclusive
+    list slice = the python window)."""
+    stride = chunk - overlap
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          FROM documents),
+        s AS (
+          SELECT doc_id, t, len(t) AS n,
+                 unnest(range(0, greatest(len(t) - {overlap}, 1),
+                              {stride})) AS start
+          FROM toks WHERE len(t) > 0)
+        SELECT doc_id,
+               CAST(start // {stride} AS BIGINT) AS chunk_idx,
+               CAST(least(n, start + {chunk}) - start AS BIGINT) AS n_tokens,
+               array_to_string(t[start + 1 : start + {chunk}], ' ')
+                 AS text_chunk
+        FROM s"""
+
+
 # --------------------------------------------- repetition metrics
 
 def repetition_metrics(batch: pd.DataFrame) -> pd.DataFrame:

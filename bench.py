@@ -124,9 +124,12 @@ def run_bench() -> dict:
         read("documents", ["doc_id", "text"])).count())
     timed("token_quality", lambda: read("documents", ["doc_id", "text"])
           .map_batches(quality_metrics, batch_format="pandas").count())
-    from automatic_reference_extractor_ray.ops.textstats import scrub_text
+    from automatic_reference_extractor_ray.ops.textstats import (
+        chunk_documents, scrub_text)
     timed("scrub_text", lambda: read("documents", ["doc_id", "text"])
           .map_batches(scrub_text, batch_format="pyarrow").count())
+    timed("chunk_docs", lambda: read("documents", ["doc_id", "text"])
+          .map_batches(chunk_documents, batch_format="pandas").count())
     from automatic_reference_extractor_ray.ops.analytics import (
         events_range_join_counts, grouped_distinct_count, grouped_quantiles,
         hash_split, topk_tokens)

@@ -211,3 +211,42 @@ def test_scrub_text_custom_patterns_sequential():
     assert out["text_scrubbed"].tolist() == ["Y"]
     assert out["n_ab"].tolist() == [2]
     assert out["n_x"].tolist() == [1]
+
+
+def test_chunk_documents_windows_and_oracle():
+    """Window starts every chunk-overlap tokens, tail carries >=1 new
+    token, empty/null docs emit nothing — and the SQL oracle agrees."""
+    import duckdb
+    import pyarrow as pa
+
+    from automatic_reference_extractor_ray.ops.textstats import (
+        chunk_documents, chunk_sql)
+
+    long = " ".join(f"w{i}" for i in range(65))
+    df = pd.DataFrame({"doc_id": np.array([1, 2, 3, 4], dtype="int64"),
+                       "text": [None, "", "a b c", long]})
+    got = chunk_documents(df, chunk=64, overlap=8)
+    assert got.groupby("doc_id").size().to_dict() == {3: 1, 4: 2}
+    assert got[got.doc_id == 4]["n_tokens"].tolist() == [64, 9]
+    # tail window starts at 56 → its first token is w56 (8 overlap)
+    assert got[got.doc_id == 4]["text_chunk"].iloc[1].split()[0] == "w56"
+
+    con = duckdb.connect()
+    con.register("documents", pa.Table.from_pandas(df))
+    exp = con.sql(chunk_sql(chunk=64, overlap=8)).df()
+    cols = sorted(got.columns)
+    key = ["doc_id", "chunk_idx"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(key).reset_index(drop=True),
+        exp[cols].sort_values(key).reset_index(drop=True),
+        check_dtype=False)
+
+    # a fully-contained tail is never emitted: 68 tokens, starts 0 and
+    # 56 (68-8=60 > 56), NOT 112
+    df2 = pd.DataFrame({"doc_id": np.array([1], dtype="int64"),
+                        "text": [" ".join("x%d" % i for i in range(68))]})
+    assert chunk_documents(df2)["chunk_idx"].tolist() == [0, 1]
+
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk=8, overlap=8)
