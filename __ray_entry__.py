@@ -68,6 +68,11 @@ def _chunk_sql() -> str:
     return chunk_sql(chunk=64, overlap=8)
 
 
+def _pack_sql() -> str:
+    from automatic_reference_extractor_ray.ops.textstats import pack_sql
+    return pack_sql()
+
+
 def _scrub_sql() -> str:
     from automatic_reference_extractor_ray.ops.textstats import scrub_sql
     return scrub_sql()
@@ -473,6 +478,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (_read(sf, "documents", ["doc_id", "text"])
                 .map_batches(chunk_documents, batch_format="pandas"))
 
+    def pack_sequences_q(sf):
+        from automatic_reference_extractor_ray.ops.textstats import (
+            pack_sequences)
+        return pack_sequences(_read(sf, "documents", ["doc_id", "text"]))
+
     def repetition_q(sf):
         from automatic_reference_extractor_ray.ops.textstats import (
             repetition_metrics)
@@ -552,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_lang": sample_per_lang_q,
         "scrub_text": scrub_text_q,
         "chunk_docs": chunk_docs_q,
+        "pack_sequences": pack_sequences_q,
     }
 
 
@@ -955,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_per_lang": _sample_sql(),
         "scrub_text": _scrub_sql(),
         "chunk_docs": _chunk_sql(),
+        "pack_sequences": _pack_sql(),
         "top_per_lang": """
             SELECT lang, rn AS rank, doc_id, n_chars
             FROM (SELECT lang, doc_id, n_chars,

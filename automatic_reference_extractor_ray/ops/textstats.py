@@ -390,6 +390,71 @@ def chunk_sql(chunk: int = 64, overlap: int = 8) -> str:
         FROM s"""
 
 
+# --------------------------------------------- sequence packing
+
+def pack_sequences(docs, budget: int = 256, chunk: int = 64,
+                   overlap: int = 8, num_shards: int = 32,
+                   num_buckets: int | None = None):
+    """Pack chunked documents into fixed-token-budget training
+    sequences (the step after ``chunk_documents`` in an LM data
+    pipeline): within each shard, chunks ordered by (doc_id, chunk_idx)
+    fill sequences greedily — a chunk whose start offset falls in bin
+    ``k*budget..(k+1)*budget`` joins sequence ``k``, so a sequence can
+    overflow by at most chunk-1 tokens (the standard pack-then-truncate
+    semantics).
+
+    → (doc_id, chunk_idx, n_tokens, text_chunk, shard, seq_in_shard).
+
+    Scale shape: sequences NEVER cross shards (``doc_id % num_shards``),
+    the standard distributed-packing trade-off — which makes the prefix
+    sum shard-local: chunks ride one bounded-bucket shuffle on the
+    shard key and each shard's cumsum+bin runs complete inside its
+    bucket.  No global sort, no driver-side cumsum; ``num_shards`` is
+    the per-task memory dial (shard ≈ data/num_shards) and must grow
+    with the input.  Integer doc ids only — the modulo shard rule is
+    what the SQL oracle mirrors bit-for-bit.
+    """
+    from .shuffle import bucketed_groupby
+
+    def to_chunks(batch: pd.DataFrame) -> pd.DataFrame:
+        out = chunk_documents(batch, chunk=chunk, overlap=overlap)
+        out["shard"] = (out["doc_id"].to_numpy() % num_shards).astype("int64")
+        return out
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, g in pdf.groupby("shard", sort=False):
+            g = g.sort_values(["doc_id", "chunk_idx"])
+            n = g["n_tokens"].to_numpy(np.int64)
+            start = np.cumsum(n) - n
+            parts.append(g.assign(seq_in_shard=start // budget))
+        if not parts:
+            return pdf.assign(seq_in_shard=np.array([], dtype=np.int64))
+        return pd.concat(parts, ignore_index=True)
+
+    return bucketed_groupby(
+        docs.map_batches(to_chunks, batch_format="pandas"),
+        "shard", pack, num_buckets)
+
+
+def pack_sql(budget: int = 256, chunk: int = 64, overlap: int = 8,
+             num_shards: int = 32) -> str:
+    """DuckDB oracle mirroring ``pack_sequences`` (window cumsum per
+    shard = the in-bucket prefix sum)."""
+    return f"""
+        WITH chunks AS ({chunk_sql(chunk=chunk, overlap=overlap)}),
+        sh AS (SELECT *, doc_id % {num_shards} AS shard FROM chunks),
+        c AS (SELECT *,
+                SUM(n_tokens) OVER (
+                  PARTITION BY shard ORDER BY doc_id, chunk_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM sh)
+        SELECT doc_id, chunk_idx, n_tokens, text_chunk,
+               CAST(shard AS BIGINT) AS shard,
+               CAST((cum - n_tokens) // {budget} AS BIGINT) AS seq_in_shard
+        FROM c"""
+
+
 # --------------------------------------------- repetition metrics
 
 def repetition_metrics(batch: pd.DataFrame) -> pd.DataFrame:

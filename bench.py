@@ -130,6 +130,9 @@ def run_bench() -> dict:
           .map_batches(scrub_text, batch_format="pyarrow").count())
     timed("chunk_docs", lambda: read("documents", ["doc_id", "text"])
           .map_batches(chunk_documents, batch_format="pandas").count())
+    from automatic_reference_extractor_ray.ops.textstats import pack_sequences
+    timed("pack_sequences", lambda: pack_sequences(
+        read("documents", ["doc_id", "text"])).count())
     from automatic_reference_extractor_ray.ops.analytics import (
         events_range_join_counts, grouped_distinct_count, grouped_quantiles,
         hash_split, topk_tokens)

@@ -250,3 +250,36 @@ def test_chunk_documents_windows_and_oracle():
     import pytest
     with pytest.raises(ValueError):
         chunk_documents(df, chunk=8, overlap=8)
+
+
+def test_pack_sequences_shard_local_and_invariant(ray_session):
+    """Packing: shard-local prefix-sum bins, bucket-count invariance,
+    and the documented overflow bound (≤ budget + chunk - 1)."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.textstats import (
+        pack_sequences)
+
+    rng = np.random.default_rng(7)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(40, dtype="int64"),
+        "text": [" ".join(f"t{rng.integers(30)}"
+                          for _ in range(int(rng.integers(0, 150))))
+                 for _ in range(40)],
+    })
+    ds = rd.from_pandas(docs)
+    key = ["doc_id", "chunk_idx"]
+    a = (pack_sequences(ds, budget=100, chunk=32, overlap=4, num_shards=4,
+                        num_buckets=8)
+         .to_pandas().sort_values(key).reset_index(drop=True))
+    b = (pack_sequences(ds, budget=100, chunk=32, overlap=4, num_shards=4,
+                        num_buckets=64)
+         .to_pandas().sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+    assert (a["shard"] == a["doc_id"] % 4).all()
+    sums = a.groupby(["shard", "seq_in_shard"])["n_tokens"].sum()
+    assert sums.max() <= 100 + 32 - 1
+    # within a shard, sequence ids are dense from 0
+    for _, g in a.groupby("shard"):
+        ids = sorted(g["seq_in_shard"].unique())
+        assert ids == list(range(len(ids)))
