@@ -478,6 +478,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (_read(sf, "documents", ["doc_id", "text"])
                 .map_batches(chunk_documents, batch_format="pandas"))
 
+    def decontaminate_bloom_q(sf):
+        from automatic_reference_extractor_ray.ops.textstats import (
+            decontaminate_bloom)
+        return decontaminate_bloom(
+            _read(sf, "documents", ["doc_id", "text"]), n=4, eval_frac=0.1)
+
     def pack_sequences_q(sf):
         from automatic_reference_extractor_ray.ops.textstats import (
             pack_sequences)
@@ -563,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_text": scrub_text_q,
         "chunk_docs": chunk_docs_q,
         "pack_sequences": pack_sequences_q,
+        "decontaminate_bloom": decontaminate_bloom_q,
     }
 
 

@@ -143,6 +143,28 @@ def quality_filter(batch: pd.DataFrame) -> pd.DataFrame:
 
 # ------------------------------------------- benchmark decontamination
 
+def _h8(doc_id) -> str:
+    return hashlib.md5(str(doc_id).encode("utf-8")).hexdigest()[:8]
+
+
+def _side_fn(eval_frac: float, holdout: str):
+    """doc_id → side (0 = eval/held-out, 1 = train), the md5-threshold
+    split shared by the exact and Bloom decontamination paths."""
+    from .analytics import _hex_threshold
+
+    if holdout not in ("low", "high"):
+        raise ValueError(f"holdout must be 'low' or 'high', got {holdout!r}")
+    thr = (_hex_threshold(1.0 - eval_frac) if holdout == "high"
+           else _hex_threshold(eval_frac))
+    eval_is_low = holdout == "low"
+
+    def _side(doc_id) -> int:
+        h8 = _h8(doc_id)
+        return (0 if h8 < thr else 1) if eval_is_low else \
+               (1 if h8 < thr else 0)
+    return _side
+
+
 def decontaminate(docs, n: int = 4, eval_frac: float = 0.1,
                   num_buckets: int | None = None, holdout: str = "low"):
     """Benchmark decontamination (the word-n-gram overlap filter of
@@ -170,27 +192,14 @@ def decontaminate(docs, n: int = 4, eval_frac: float = 0.1,
     when ``eval_frac`` = 1 - train ratio (the curation-pipeline
     orientation: decontaminate train against val+test).
     """
-    from .analytics import _hex_threshold
     from .shuffle import bucketed_groupby
 
-    if holdout not in ("low", "high"):
-        raise ValueError(f"holdout must be 'low' or 'high', got {holdout!r}")
-    thr = (_hex_threshold(1.0 - eval_frac) if holdout == "high"
-           else _hex_threshold(eval_frac))
-    eval_is_low = holdout == "low"
-
-    def _h8(doc_id) -> str:
-        return hashlib.md5(str(doc_id).encode("utf-8")).hexdigest()[:8]
-
-    def _side(h8: str) -> int:
-        """0 = eval (held out), 1 = train."""
-        return (0 if h8 < thr else 1) if eval_is_low else \
-               (1 if h8 < thr else 0)
+    _side = _side_fn(eval_frac, holdout)
 
     def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
         gs, dids, sides = [], [], []
         for d, t in zip(batch["doc_id"], batch["text"]):
-            side = _side(_h8(d))
+            side = _side(d)
             toks = _tokens(t)
             for i in range(len(toks) - n + 1):
                 gs.append(" ".join(toks[i:i + n]))
@@ -215,7 +224,7 @@ def decontaminate(docs, n: int = 4, eval_frac: float = 0.1,
     # clean docs appear in the verdict table without a sentinel gram
     # hot-spotting one bucket
     def zero_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        keep = [d for d in batch["doc_id"] if _side(_h8(d)) == 1]
+        keep = [d for d in batch["doc_id"] if _side(d) == 1]
         return pd.DataFrame({
             "doc_id": pd.Series(keep, dtype=batch["doc_id"].dtype),
             "n_shared": np.zeros(len(keep), dtype=np.int64)})
@@ -265,6 +274,96 @@ def decontaminate_sql(n: int = 4, eval_frac: float = 0.1,
                          THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM toks d LEFT JOIN hits h USING (doc_id)
         WHERE d.{train_cond}"""
+
+
+# ------------------------------------- Bloom-filter decontamination
+
+def _bloom_bits(gram: str, m_bits: int, k: int) -> list[int]:
+    """k bit positions via double hashing (h1 + i*h2, Kirsch &
+    Mitzenmacher 2006) over the gram's md5 — deterministic across
+    processes, no PYTHONHASHSEED dependence."""
+    d = hashlib.md5(gram.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % m_bits for i in range(k)]
+
+
+def decontaminate_bloom(docs, n: int = 4, eval_frac: float = 0.1,
+                        holdout: str = "low", m_bits: int = 1 << 22,
+                        k: int = 4):
+    """Approximate decontamination — the broadcast-sketch scale path
+    next to the exact posting-list ``decontaminate`` (same pairing as
+    exact/approx quantiles): eval-side n-grams populate a Bloom filter,
+    train docs are flagged by membership test.  One-sided error: every
+    truly contaminated doc is flagged (no false negatives); a clean doc
+    is mis-flagged with probability ~(1-e^{-kn/m})^k per gram.
+
+    → (doc_id, n_flagged, keep) for every TRAIN document.
+
+    Scale shape: the build is a distributed OR-reduce — each input
+    block emits one packed ``m_bits/8``-byte partial bitmap (512 KiB at
+    the default), the driver ORs those small partials, and the filter
+    pass reads the finished sketch via one ``ray.put`` handle inside
+    ``map_batches`` — the canonical broadcast-small-side pattern.  The
+    eval gram SET never materializes anywhere, unlike the exact path's
+    per-bucket posting lists; at 100 TB the sketch stays 512 KiB while
+    the exact path shuffles every gram occurrence.
+    """
+    import ray
+
+    _side = _side_fn(eval_frac, holdout)
+    n_bytes = m_bits // 8
+
+    def partial_bitmap(batch: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m_bits, dtype=bool)
+        any_set = False
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            if _side(d) != 0:
+                continue
+            toks = _tokens(t)
+            for i in range(len(toks) - n + 1):
+                for b in _bloom_bits(" ".join(toks[i:i + n]), m_bits, k):
+                    bits[b] = True
+                any_set = True
+        if not any_set:
+            return pd.DataFrame({"bitmap": pd.Series([], dtype=object)})
+        return pd.DataFrame({"bitmap": [np.packbits(bits).tobytes()]})
+
+    partials = docs.map_batches(partial_bitmap,
+                                batch_format="pandas").take_all()
+    merged = np.zeros(n_bytes, dtype=np.uint8)
+    for row in partials:                     # one small row per block
+        merged |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    sketch_ref = ray.put(merged.tobytes())
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        bits = np.unpackbits(
+            np.frombuffer(ray.get(sketch_ref), dtype=np.uint8)
+        ).view(bool)
+        dids, hits = [], []
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            if _side(d) != 1:
+                continue
+            toks = _tokens(t)
+            seen = set()
+            nf = 0
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i:i + n])
+                if g in seen:
+                    continue
+                seen.add(g)
+                if all(bits[b] for b in _bloom_bits(g, m_bits, k)):
+                    nf += 1
+            dids.append(d)
+            hits.append(nf)
+        hits = np.array(hits, dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": pd.Series(dids, dtype=batch["doc_id"].dtype),
+            "n_flagged": hits,
+            "keep": (hits == 0).astype(np.int64),
+        })
+
+    return docs.map_batches(flag, batch_format="pandas")
 
 
 # --------------------------------------------- pattern scrubbing

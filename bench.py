@@ -152,6 +152,10 @@ def run_bench() -> dict:
     from automatic_reference_extractor_ray.ops.textstats import decontaminate
     timed("decontaminate", lambda: decontaminate(
         read("documents", ["doc_id", "text"]), n=4).count())
+    from automatic_reference_extractor_ray.ops.textstats import (
+        decontaminate_bloom)
+    timed("decontaminate_bloom", lambda: decontaminate_bloom(
+        read("documents", ["doc_id", "text"]), n=4).count())
     timed("top_per_lang", lambda: top_per_group(
         read("documents", ["doc_id", "lang", "n_chars"]),
         "lang", "n_chars", "doc_id", k=3).count())

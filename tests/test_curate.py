@@ -283,3 +283,33 @@ def test_pack_sequences_shard_local_and_invariant(ray_session):
     for _, g in a.groupby("shard"):
         ids = sorted(g["seq_in_shard"].unique())
         assert ids == list(range(len(ids)))
+
+
+def test_decontaminate_bloom_one_sided_vs_exact(ray_session):
+    """The Bloom path never misses a truly contaminated doc and never
+    under-counts per doc; with a deliberately tiny sketch it still has
+    no false negatives (the one-sided guarantee) while FPs appear."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.textstats import (
+        decontaminate, decontaminate_bloom)
+
+    rng = np.random.default_rng(3)
+    vocab = [f"v{i}" for i in range(12)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(60, dtype="int64"),
+        "text": [" ".join(rng.choice(vocab, size=30)) for _ in range(60)],
+    })
+    ds = rd.from_pandas(docs)
+    ex = decontaminate(ds, n=4, eval_frac=0.3).to_pandas() \
+        .set_index("doc_id").sort_index()
+    bl = decontaminate_bloom(ds, n=4, eval_frac=0.3) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert list(ex.index) == list(bl.index)
+    assert not ((ex["n_shared"] > 0) & (bl["n_flagged"] == 0)).any()
+    assert (bl["n_flagged"] >= ex["n_shared"]).all()
+
+    tiny = decontaminate_bloom(ds, n=4, eval_frac=0.3, m_bits=256, k=2) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert not ((ex["n_shared"] > 0) & (tiny["n_flagged"] == 0)).any()
+    assert (tiny["n_flagged"] >= bl["n_flagged"]).all()
