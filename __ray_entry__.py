@@ -478,6 +478,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (_read(sf, "documents", ["doc_id", "text"])
                 .map_batches(chunk_documents, batch_format="pandas"))
 
+    def length_clip_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            quantile_clip)
+        from automatic_reference_extractor_ray.ops.textstats import _tokens
+
+        def with_len(b):
+            import pandas as pd
+            return pd.DataFrame({
+                "doc_id": b["doc_id"], "lang": b["lang"],
+                "n_tokens": b["text"].map(
+                    lambda s: len(_tokens(s))).astype("int64")})
+
+        base = (_read(sf, "documents", ["doc_id", "lang", "text"])
+                .map_batches(with_len, batch_format="pandas"))
+        return quantile_clip(base, key="lang", col="n_tokens",
+                             lo=0.05, hi=0.95)
+
     def decontaminate_bloom_q(sf):
         from automatic_reference_extractor_ray.ops.textstats import (
             decontaminate_bloom)
@@ -570,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": chunk_docs_q,
         "pack_sequences": pack_sequences_q,
         "decontaminate_bloom": decontaminate_bloom_q,
+        "length_clip": length_clip_q,
     }
 
 
@@ -974,6 +992,28 @@ def oracle_sql() -> dict[str, str]:
         "scrub_text": _scrub_sql(),
         "chunk_docs": _chunk_sql(),
         "pack_sequences": _pack_sql(),
+        "length_clip": f"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(len({TOK}) AS BIGINT) AS n_tokens
+              FROM documents),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                           ORDER BY n_tokens) AS rn,
+                     COUNT(*) OVER (PARTITION BY lang) AS n
+              FROM t),
+            th AS (
+              SELECT lang,
+                     MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT)
+                              THEN n_tokens END) AS lo_v,
+                     MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                              THEN n_tokens END) AS hi_v
+              FROM ranked GROUP BY lang)
+            SELECT t.doc_id, t.lang, t.n_tokens,
+                   CAST(CASE WHEN t.n_tokens >= th.lo_v
+                              AND t.n_tokens <= th.hi_v
+                         THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM t JOIN th USING (lang)""",
         "top_per_lang": """
             SELECT lang, rn AS rank, doc_id, n_chars
             FROM (SELECT lang, doc_id, n_chars,

@@ -88,6 +88,37 @@ def grouped_quantiles(ds, key: str, col: str, qs: tuple[float, ...] = (0.5, 0.9,
     return bucketed_groupby(hist, key, fold, num_buckets)
 
 
+# -------------------------------------------- quantile-range filter
+
+def quantile_clip(ds, key: str, col: str, lo: float = 0.05,
+                  hi: float = 0.95, num_buckets: int | None = None):
+    """Per-group quantile-range filter (the outlier-trim every curation
+    pipeline runs on doc lengths): rows keep=1 iff ``col`` lies within
+    the group's exact [lo, hi] discrete quantiles.
+
+    → input columns + ``keep`` (int 0/1), one row per input row.
+
+    The aggregate → broadcast → filter shape: thresholds come from
+    ``grouped_quantiles`` (exact, distributed), the resulting
+    (key, lo_v, hi_v) table is tiny — rows = #groups, the caller's
+    contract for a grouped filter — so collecting and shipping it in
+    the filter closure is the broadcast-small-side pattern, not a
+    driver materialization of data; the filter pass itself streams.
+    """
+    th = grouped_quantiles(ds, key, col, qs=(lo, hi),
+                           num_buckets=num_buckets).take_all()
+    lo_map = {r[key]: r["q_value"] for r in th if r["q"] == lo}
+    hi_map = {r[key]: r["q_value"] for r in th if r["q"] == hi}
+
+    def flag(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[col].to_numpy()
+        lo_v = pdf[key].map(lo_map).to_numpy()
+        hi_v = pdf[key].map(hi_map).to_numpy()
+        return pdf.assign(keep=((v >= lo_v) & (v <= hi_v)).astype("int64"))
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
 # ------------------------------------------------ deterministic split
 
 def _hex_threshold(frac: float) -> str:

@@ -361,3 +361,31 @@ def test_sample_per_group_exact_k_and_deterministic(ray_session):
     exp = (exp.groupby("lang", sort=False).head(5)[["lang", "doc_id"]]
            .sort_values(["lang", "doc_id"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_quantile_clip_thresholds_and_invariance(ray_session):
+    """keep=1 iff value within the group's exact discrete [lo, hi]
+    quantiles (rank ceil(q*n), same rule as grouped_quantiles), and the
+    verdict is bucket-count invariant."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.analytics import (
+        quantile_clip)
+
+    df = pd.DataFrame({
+        "g": ["a"] * 10 + ["b"] * 4,
+        "v": list(range(1, 11)) + [100, 200, 300, 400],
+    })
+    ds = rd.from_pandas(df)
+    out = (quantile_clip(ds, "g", "v", lo=0.1, hi=0.9)
+           .to_pandas().sort_values(["g", "v"]).reset_index(drop=True))
+    a = out[out.g == "a"]
+    # group a: n=10 → lo rank ceil(1)=1 → 1, hi rank ceil(9)=9 → 9
+    assert a[a.keep == 1]["v"].tolist() == list(range(1, 10))
+    b = out[out.g == "b"]
+    # group b: n=4 → lo rank ceil(.4)=1 → 100, hi rank ceil(3.6)=4 → 400
+    assert b["keep"].tolist() == [1, 1, 1, 1]
+
+    out2 = (quantile_clip(ds, "g", "v", lo=0.1, hi=0.9, num_buckets=8)
+            .to_pandas().sort_values(["g", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out2)
