@@ -331,6 +331,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _docs_table(sf)
         return dedup_components(docs, jaccard_pairs(docs, tau=JACCARD_TAU))
 
+    def dedup_incremental_q(sf):
+        from automatic_reference_extractor_ray.ops.dedup import (
+            incremental_dedup)
+        docs = _docs_table(sf)
+
+        def part(is_base):
+            def f(df):
+                m = (df["doc_id"] % 10) < 7
+                return df[m if is_base else ~m]
+            return f
+
+        base = docs.map_batches(part(True), batch_format="pandas")
+        new = docs.map_batches(part(False), batch_format="pandas")
+        return incremental_dedup(base, new)
+
     # ---- similarity search ----
     def ann_topk_q(sf):
         from automatic_reference_extractor_ray.ops.ann import brute_force_topk
@@ -557,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": dedup_embedding_q,
         "dedup_embedding_lsh": dedup_embedding_lsh_q,
         "dedup_components": dedup_components_q,
+        "dedup_incremental": dedup_incremental_q,
         "ann_topk": ann_topk_q,
         "ann_lsh": ann_lsh_q,
         "ann_ivf": ann_ivf_q,
@@ -827,6 +843,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5({NORM}) AS content_hash,
                    MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_dups
             FROM documents GROUP BY 1""",
+        "dedup_incremental": f"""
+            WITH h AS (SELECT doc_id, md5({NORM}) AS content_hash
+                       FROM documents),
+            base AS (SELECT DISTINCT content_hash FROM h
+                     WHERE doc_id % 10 < 7),
+            nw AS (SELECT * FROM h WHERE doc_id % 10 >= 7)
+            SELECT nw.doc_id, nw.content_hash,
+                   CAST(CASE WHEN b.content_hash IS NULL
+                              AND nw.doc_id = MIN(nw.doc_id) OVER (
+                                    PARTITION BY nw.content_hash)
+                         THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM nw LEFT JOIN base b USING (content_hash)""",
         "dedup_jaccard": f"""
             WITH tok AS (
               SELECT doc_id, unnest(list_distinct({TOK})) AS token FROM documents),

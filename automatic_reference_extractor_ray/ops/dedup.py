@@ -66,6 +66,55 @@ def exact_dedup(docs):
                          "n_dups": ("doc_id", "size")})
 
 
+def incremental_dedup(base, new, num_buckets: int | None = None):
+    """Incremental exact dedup — the production shape at 100 TB is not
+    re-deduping the whole corpus but landing a NEW increment against an
+    existing base: a new doc survives iff its normalized-content hash
+    appears in neither the base corpus nor an earlier (min doc_id) doc
+    of the same increment.
+
+    → one verdict row per NEW doc: (doc_id, content_hash, keep).
+
+    Scale shape: only (id, hash) pairs move — the base side shrinks to
+    DISTINCT hashes through one bounded-bucket shuffle, then one
+    hash-bucketed left join co-locates each hash's base flag with all
+    its new-increment rows, so the within-increment min and the
+    base-membership test both run bucket-locally.  Nothing is
+    broadcast; the base corpus is never re-read beyond its hash column.
+    """
+    from .shuffle import bucketed_distinct, bucketed_join
+
+    key_dtype = _doc_key_dtype(new)
+    new_h = new.map_batches(add_content_hash, batch_format="pandas")
+
+    def tag_base(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["in_base"] = np.ones(len(pdf), dtype=np.int64)
+        return pdf
+
+    base_h = bucketed_distinct(
+        base.map_batches(add_content_hash, batch_format="pandas"),
+        "content_hash", num_buckets,
+    ).map_batches(tag_base, batch_format="pandas")
+
+    def verdict(m: pd.DataFrame) -> pd.DataFrame:
+        if not len(m):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=key_dtype),
+                "content_hash": pd.Series([], dtype=object),
+                "keep": pd.Series([], dtype="int64")})
+        first = m.groupby("content_hash")["doc_id"].transform("min")
+        keep = ((m["in_base"] == 0)
+                & (m["doc_id"] == first)).astype("int64")
+        return m.assign(keep=keep)[["doc_id", "content_hash", "keep"]]
+
+    return bucketed_join(
+        new_h, base_h, on="content_hash",
+        left_schema={"doc_id": key_dtype, "content_hash": "object"},
+        right_schema={"content_hash": "object", "in_base": "int64"},
+        num_buckets=num_buckets, post=verdict, how="left")
+
+
 # -------------------------------------------------- token-set utilities
 
 def _tokenize_ds(docs):

@@ -169,6 +169,16 @@ def run_bench() -> dict:
         read("documents", ["doc_id", "text"]), k=5).count())
     timed("dedup_exact", lambda: exact_dedup(
         read("documents", ["doc_id", "text"])).count())
+    from automatic_reference_extractor_ray.ops.dedup import incremental_dedup
+
+    def _inc_dedup():
+        docs = read("documents", ["doc_id", "text"])
+        base = docs.map_batches(lambda d: d[(d["doc_id"] % 10) < 7],
+                                batch_format="pandas")
+        new = docs.map_batches(lambda d: d[(d["doc_id"] % 10) >= 7],
+                               batch_format="pandas")
+        return incremental_dedup(base, new).count()
+    timed("dedup_incremental", _inc_dedup)
     timed("dedup_minhash", lambda: minhash_lsh_pairs(
         read("documents", ["doc_id", "text"])).count())
     timed("dedup_simhash", lambda: simhash_pairs(

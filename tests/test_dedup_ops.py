@@ -170,3 +170,35 @@ def test_dedup_components_raises_when_unconverged(ray_session):
                                          "b": list(range(1, n))}))
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_components(docs, chain, max_rounds=2)
+
+
+def test_incremental_dedup_verdicts(ray_session):
+    """A new doc survives iff its content hash is absent from the base
+    AND it is the min-doc_id holder within the increment; verdicts are
+    bucket-count invariant and null-safe."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.dedup import (
+        incremental_dedup)
+
+    base = pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype="int64"),
+        "text": ["alpha beta", "gamma delta"],
+    })
+    new = pd.DataFrame({
+        "doc_id": np.array([10, 11, 12, 13, 14], dtype="int64"),
+        "text": ["ALPHA   beta",      # dup of base (normalized)
+                 "epsilon zeta",      # fresh, first holder
+                 "epsilon zeta",      # dup within increment
+                 "eta theta",         # fresh
+                 None],               # null text → fresh empty doc
+    })
+    out = (incremental_dedup(rd.from_pandas(base), rd.from_pandas(new))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [10, 11, 12, 13, 14]
+    assert out["keep"].tolist() == [0, 1, 0, 1, 1]
+
+    out2 = (incremental_dedup(rd.from_pandas(base), rd.from_pandas(new),
+                              num_buckets=8)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out2)
