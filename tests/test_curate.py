@@ -313,3 +313,32 @@ def test_decontaminate_bloom_one_sided_vs_exact(ray_session):
         .to_pandas().set_index("doc_id").sort_index()
     assert not ((ex["n_shared"] > 0) & (tiny["n_flagged"] == 0)).any()
     assert (tiny["n_flagged"] >= bl["n_flagged"]).all()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 20), max_size=300),
+       st.integers(2, 40), st.integers(0, 39))
+def test_chunk_reconstruction_property(tok_ids, chunk, overlap):
+    """Concatenating chunk 0 with every later chunk's post-overlap
+    suffix reproduces the document's token stream exactly, for any
+    (chunk, overlap<chunk) pair."""
+    from automatic_reference_extractor_ray.ops.textstats import (
+        chunk_documents)
+    if overlap >= chunk:
+        overlap %= chunk
+    toks = [f"t{i}" for i in tok_ids]
+    df = pd.DataFrame({"doc_id": np.array([0], dtype="int64"),
+                       "text": [" ".join(toks)]})
+    out = chunk_documents(df, chunk=chunk, overlap=overlap)
+    rebuilt = []
+    for i, row in out.sort_values("chunk_idx").iterrows():
+        parts = row["text_chunk"].split()
+        rebuilt.extend(parts if row["chunk_idx"] == 0 else parts[overlap:])
+    assert rebuilt == toks
+    # every non-final chunk is full-size
+    sizes = out.sort_values("chunk_idx")["n_tokens"].tolist()
+    assert all(s == chunk for s in sizes[:-1])
