@@ -66,7 +66,8 @@ def exact_dedup(docs):
                          "n_dups": ("doc_id", "size")})
 
 
-def incremental_dedup(base, new, num_buckets: int | None = None):
+def incremental_dedup(base, new, num_buckets: int | None = None,
+                      base_prehashed: bool = False):
     """Incremental exact dedup — the production shape at 100 TB is not
     re-deduping the whole corpus but landing a NEW increment against an
     existing base: a new doc survives iff its normalized-content hash
@@ -81,6 +82,10 @@ def incremental_dedup(base, new, num_buckets: int | None = None):
     its new-increment rows, so the within-increment min and the
     base-membership test both run bucket-locally.  Nothing is
     broadcast; the base corpus is never re-read beyond its hash column.
+
+    ``base_prehashed=True`` takes ``base`` as an existing hash table
+    (a ``content_hash`` column, e.g. ``state/hash_index``'s pruned
+    read) instead of raw documents.
     """
     from .shuffle import bucketed_distinct, bucketed_join
 
@@ -88,13 +93,14 @@ def incremental_dedup(base, new, num_buckets: int | None = None):
     new_h = new.map_batches(add_content_hash, batch_format="pandas")
 
     def tag_base(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.copy()
+        pdf = pdf[["content_hash"]].copy()
         pdf["in_base"] = np.ones(len(pdf), dtype=np.int64)
         return pdf
 
+    base_hashed = base if base_prehashed else base.map_batches(
+        add_content_hash, batch_format="pandas")
     base_h = bucketed_distinct(
-        base.map_batches(add_content_hash, batch_format="pandas"),
-        "content_hash", num_buckets,
+        base_hashed, "content_hash", num_buckets,
     ).map_batches(tag_base, batch_format="pandas")
 
     def verdict(m: pd.DataFrame) -> pd.DataFrame:
