@@ -493,6 +493,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (_read(sf, "documents", ["doc_id", "text"])
                 .map_batches(chunk_documents, batch_format="pandas"))
 
+    def approx_distinct_grouped_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            grouped_approx_distinct)
+        return grouped_approx_distinct(
+            _read(sf, "events", ["event_type", "user_id"]),
+            "event_type", "user_id")
+
     def length_clip_q(sf):
         from automatic_reference_extractor_ray.ops.analytics import (
             quantile_clip)
@@ -604,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": pack_sequences_q,
         "decontaminate_bloom": decontaminate_bloom_q,
         "length_clip": length_clip_q,
+        "approx_distinct_grouped": approx_distinct_grouped_q,
     }
 
 

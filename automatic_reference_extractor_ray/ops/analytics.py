@@ -261,6 +261,52 @@ def approx_distinct(ds, col: str, num_buckets: int | None = None) -> int:
     return int(round(hll_estimate_from_registers(regs)))
 
 
+def grouped_approx_distinct(ds, key: str, col: str,
+                            num_buckets: int | None = None):
+    """Per-group HyperLogLog — the sketch path next to exact
+    ``grouped_distinct_count`` (the same exact/approx pairing as
+    ``grouped_quantiles``/``approx_quantiles``).
+
+    → (key, n_distinct_approx), ~1.6% typical relative error (p=12).
+
+    Scale shape: per-batch per-key register maxima (≤ 4096 rows per key
+    per batch) → one bounded-bucket max-merge on (key, register) → a
+    per-key harmonic fold that sees ≤ 4096 rows per key, bucket-local.
+    Per-group state is FIXED-size, so a group with 10^9 distinct values
+    costs the same as one with 10 — the whole point versus the exact
+    path's (key, value) distinct rows.
+    """
+
+    def rows(b: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for kv, g in b.groupby(key, sort=False):
+            r = _hll_register_rows(g[col].tolist())
+            r[key] = kv
+            parts.append(r)
+        if not parts:
+            return pd.DataFrame({
+                "register": pd.Series([], dtype="int64"),
+                "rho": pd.Series([], dtype="int64"),
+                key: pd.Series([], dtype=b[key].dtype)})
+        return pd.concat(parts, ignore_index=True)
+
+    merged = bucketed_agg(
+        ds.map_batches(rows, batch_format="pandas"),
+        [key, "register"], {"rho": ("rho", "max")}, num_buckets)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        ks, ns = [], []
+        for kv, g in pdf.groupby(key, sort=False):
+            regs = np.zeros(_HLL_M, dtype=np.int64)
+            regs[g["register"].to_numpy()] = g["rho"].to_numpy()
+            ks.append(kv)
+            ns.append(int(round(hll_estimate_from_registers(regs))))
+        return pd.DataFrame({key: ks,
+                             "n_distinct_approx": np.array(ns, np.int64)})
+
+    return bucketed_groupby(merged, key, fold, num_buckets)
+
+
 # ------------------------------------------------------------ k-means
 
 def _kmeans_init(embeddings, k: int) -> np.ndarray:

@@ -389,3 +389,33 @@ def test_quantile_clip_thresholds_and_invariance(ray_session):
     out2 = (quantile_clip(ds, "g", "v", lo=0.1, hi=0.9, num_buckets=8)
             .to_pandas().sort_values(["g", "v"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_grouped_approx_distinct_error_bound(ray_session):
+    """Per-group HLL within 5% of the exact per-group distinct count on
+    a skewed-cardinality input, and bucket-count invariant."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.analytics import (
+        grouped_approx_distinct)
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "g": np.repeat(["small", "mid", "big"], [200, 3000, 20000]),
+        "v": np.concatenate([
+            rng.integers(0, 50, 200),          # ~50 distinct
+            rng.integers(0, 1500, 3000),       # ~1.3k distinct
+            rng.integers(0, 15000, 20000),     # ~11k distinct
+        ]),
+    })
+    exact = df.groupby("g")["v"].nunique()
+    ds = rd.from_pandas(df)
+    got = (grouped_approx_distinct(ds, "g", "v")
+           .to_pandas().set_index("g")["n_distinct_approx"])
+    for g in exact.index:
+        rel = abs(got[g] - exact[g]) / exact[g]
+        assert rel < 0.05, (g, got[g], exact[g])
+
+    got2 = (grouped_approx_distinct(ds, "g", "v", num_buckets=8)
+            .to_pandas().set_index("g")["n_distinct_approx"])
+    assert got.sort_index().tolist() == got2.sort_index().tolist()
