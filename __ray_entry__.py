@@ -500,6 +500,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def topk_tokens_per_lang_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            topk_tokens_per_group)
+        return topk_tokens_per_group(
+            _read(sf, "documents", ["doc_id", "lang", "text"]),
+            group_col="lang", k=10)
+
     def length_clip_q(sf):
         from automatic_reference_extractor_ray.ops.analytics import (
             quantile_clip)
@@ -612,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_bloom": decontaminate_bloom_q,
         "length_clip": length_clip_q,
         "approx_distinct_grouped": approx_distinct_grouped_q,
+        "topk_tokens_per_lang": topk_tokens_per_lang_q,
     }
 
 
@@ -1028,6 +1036,16 @@ def oracle_sql() -> dict[str, str]:
         "scrub_text": _scrub_sql(),
         "chunk_docs": _chunk_sql(),
         "pack_sequences": _pack_sql(),
+        "topk_tokens_per_lang": f"""
+            WITH tok AS (
+              SELECT lang, unnest({TOK}) AS token FROM documents),
+            cnt AS (SELECT lang, token, COUNT(*) AS n
+                    FROM tok GROUP BY 1, 2),
+            r AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY lang ORDER BY n DESC, token ASC) AS rk
+                  FROM cnt)
+            SELECT lang, token, CAST(n AS BIGINT) AS n
+            FROM r WHERE rk <= 10""",
         "length_clip": f"""
             WITH t AS (
               SELECT doc_id, lang,

@@ -212,6 +212,46 @@ def topk_tokens(docs, k: int = 50, text_col: str = "text",
     return cand.head(k).reset_index(drop=True)
 
 
+def topk_tokens_per_group(docs, group_col: str, k: int = 10,
+                          text_col: str = "text",
+                          num_buckets: int | None = None):
+    """Exact per-group top-k tokens (the per-language vocabulary head a
+    curation report needs) → (group, token, n), deterministic
+    (n DESC, token ASC) cut at k per group.
+
+    Per-batch (group, token) Counters emit partial rows; totals land
+    whole in one hash bucket of the (group, token) shuffle, so the
+    per-bucket per-group top-k is a correct candidate filter; the
+    second tiny shuffle on the group folds ≤ nb*k candidate rows per
+    group to the final cut.  Nothing driver-side, unlike the global
+    ``topk_tokens``'s (intentionally small) nb*k driver merge.
+    """
+    def count_batch(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        c: Counter = Counter()
+        for g, t in zip(b[group_col], b[text_col]):
+            for tok in TOKEN_RE.findall((t or "").lower()):
+                c[(g, tok)] += 1
+        ks = list(c.keys())
+        return pd.DataFrame({
+            group_col: pd.Series([x[0] for x in ks],
+                                 dtype=b[group_col].dtype),
+            "token": [x[1] for x in ks],
+            "n": np.fromiter(c.values(), np.int64, len(c))})
+
+    partials = docs.map_batches(count_batch, batch_format="pandas")
+
+    def bucket_cut(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = (pdf.groupby([group_col, "token"], sort=False)["n"]
+             .sum().reset_index())
+        g = g.sort_values(["n", "token"], ascending=[False, True])
+        return g.groupby(group_col, sort=False).head(k)
+
+    cand = bucketed_groupby(partials, [group_col, "token"], bucket_cut,
+                            num_buckets)
+    return bucketed_groupby(cand, group_col, bucket_cut, num_buckets)
+
+
 # --------------------------------------------- HyperLogLog distinct
 
 HLL_P = 12                               # 4096 registers, ~1.6% rel. error

@@ -419,3 +419,42 @@ def test_grouped_approx_distinct_error_bound(ray_session):
     got2 = (grouped_approx_distinct(ds, "g", "v", num_buckets=8)
             .to_pandas().set_index("g")["n_distinct_approx"])
     assert got.sort_index().tolist() == got2.sort_index().tolist()
+
+
+def test_topk_tokens_per_group_exact(ray_session):
+    """Per-group top-k tokens match a local pandas reference with the
+    (n DESC, token ASC) tie-break, across bucket counts."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.analytics import (
+        TOKEN_RE, topk_tokens_per_group)
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(40)]
+    df = pd.DataFrame({
+        "lang": rng.choice(["en", "de", "fr"], 200),
+        "text": [" ".join(rng.choice(vocab,
+                                     size=rng.integers(0, 25),
+                                     p=None)) for _ in range(200)],
+    })
+    rows = []
+    for lang, t in zip(df["lang"], df["text"]):
+        for tok in TOKEN_RE.findall(t.lower()):
+            rows.append((lang, tok))
+    ref = (pd.DataFrame(rows, columns=["lang", "token"])
+           .groupby(["lang", "token"]).size().rename("n").reset_index()
+           .sort_values(["n", "token"], ascending=[False, True])
+           .groupby("lang").head(5))
+    ref = ref.sort_values(["lang", "n", "token"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+
+    ds = rd.from_pandas(df)
+    for nb in (8, 64):
+        got = (topk_tokens_per_group(ds, "lang", k=5, num_buckets=nb)
+               .to_pandas()
+               .sort_values(["lang", "n", "token"],
+                            ascending=[True, False, True])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[["lang", "token", "n"]],
+                                      ref[["lang", "token", "n"]],
+                                      check_dtype=False)
