@@ -507,6 +507,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", ["doc_id", "lang", "text"]),
             group_col="lang", k=10)
 
+    def doc_rank_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            global_rank)
+        return global_rank(
+            _read(sf, "documents", ["doc_id", "n_chars"]),
+            value_col="n_chars", id_col="doc_id", descending=True)
+
     def length_clip_q(sf):
         from automatic_reference_extractor_ray.ops.analytics import (
             quantile_clip)
@@ -620,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_clip": length_clip_q,
         "approx_distinct_grouped": approx_distinct_grouped_q,
         "topk_tokens_per_lang": topk_tokens_per_lang_q,
+        "doc_rank": doc_rank_q,
     }
 
 
@@ -1036,6 +1044,11 @@ def oracle_sql() -> dict[str, str]:
         "scrub_text": _scrub_sql(),
         "chunk_docs": _chunk_sql(),
         "pack_sequences": _pack_sql(),
+        "doc_rank": """
+            SELECT doc_id, n_chars,
+                   ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC)
+                     AS rank
+            FROM documents""",
         "topk_tokens_per_lang": f"""
             WITH tok AS (
               SELECT lang, unnest({TOK}) AS token FROM documents),

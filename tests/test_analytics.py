@@ -458,3 +458,30 @@ def test_topk_tokens_per_group_exact(ray_session):
         pd.testing.assert_frame_equal(got[["lang", "token", "n"]],
                                       ref[["lang", "token", "n"]],
                                       check_dtype=False)
+
+
+def test_global_rank_total_order(ray_session):
+    """Ranks are a dense permutation of 1..N matching the (value DESC,
+    id ASC) order, invariant to bucket count and sample size (boundary
+    choice is load-balance only)."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.analytics import global_rank
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "id": np.arange(500, dtype="int64"),
+        "v": rng.integers(0, 40, 500),     # heavy value ties
+    })
+    ref = df.sort_values(["v", "id"], ascending=[False, True])
+    ref = ref.assign(rank=np.arange(1, len(ref) + 1, dtype=np.int64))
+
+    ds = rd.from_pandas(df)
+    for kw in ({}, {"num_buckets": 8}, {"sample_size": 7}):
+        got = (global_rank(ds, "v", "id", descending=True, **kw)
+               .to_pandas().sort_values("rank").reset_index(drop=True))
+        assert got["rank"].tolist() == list(range(1, 501))
+        pd.testing.assert_frame_equal(
+            got[["id", "v", "rank"]].reset_index(drop=True),
+            ref[["id", "v", "rank"]].reset_index(drop=True),
+            check_dtype=False)
