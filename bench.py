@@ -146,6 +146,17 @@ def run_bench() -> dict:
         read("documents", ["doc_id"]), "doc_id").count())
     timed("topk_tokens", lambda: topk_tokens(
         read("documents", ["doc_id", "text"]), k=50))
+    from automatic_reference_extractor_ray.ops.analytics import (
+        global_rank, grouped_approx_distinct, topk_tokens_per_group)
+    timed("topk_tokens_per_lang", lambda: topk_tokens_per_group(
+        read("documents", ["doc_id", "lang", "text"]),
+        group_col="lang", k=10).count())
+    timed("approx_distinct_grouped", lambda: grouped_approx_distinct(
+        read("events", ["event_type", "user_id"]),
+        "event_type", "user_id").count())
+    timed("doc_rank", lambda: global_rank(
+        read("documents", ["doc_id", "n_chars"]),
+        value_col="n_chars", id_col="doc_id", descending=True).count())
     timed("events_range_join", lambda: events_range_join_counts(
         read("events", ["event_id", "user_id", "ts"])).count())
     from automatic_reference_extractor_ray.ops.analytics import top_per_group
