@@ -397,6 +397,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return events_sliding(_read(sf, "events",
                                     ["event_type", "ts", "value"]))
 
+    def events_funnel_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import (
+            funnel_counts)
+        return funnel_counts(_read(sf, "events",
+                                   ["user_id", "ts", "event_type",
+                                    "event_id"]))
+
     def dup_passages_q(sf):
         from automatic_reference_extractor_ray.ops.textstats import (
             duplicated_passages)
@@ -603,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": events_sessions_q,
         "events_asof": events_asof_q,
         "events_sliding": events_sliding_q,
+        "events_funnel": events_funnel_q,
         "dup_passages": dup_passages_q,
         "distinct_users": distinct_users_q,
         "value_quantiles": value_quantiles_q,
@@ -1044,6 +1052,20 @@ def oracle_sql() -> dict[str, str]:
         "scrub_text": _scrub_sql(),
         "chunk_docs": _chunk_sql(),
         "pack_sequences": _pack_sql(),
+        "events_funnel": """
+            WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+            s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                   GROUP BY 1)
+            SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+                   (SELECT COUNT(*) FROM s1) AS n_users
+            UNION ALL SELECT 1, 'click', (SELECT COUNT(*) FROM s2)
+            UNION ALL SELECT 2, 'purchase', (SELECT COUNT(*) FROM s3)""",
         "doc_rank": """
             SELECT doc_id, n_chars,
                    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC)

@@ -242,3 +242,54 @@ def customers_without_events(customer, events, num_buckets: int | None = None):
         left_schema={"c_custkey": "int64", "c_name": "object"},
         right_schema={"c_custkey": "int64"},
         num_buckets=num_buckets, how="anti")
+
+
+def funnel_counts(events, steps=("view", "click", "purchase"),
+                  num_buckets: int | None = None):
+    """Conversion funnel (ordered sequence-pattern matching, the event-
+    analytics shape windowed aggregates can't express): a user reaches
+    step k iff for every i<=k there is a step-i event STRICTLY after
+    their chosen step-(i-1) event, greedily taking each step's earliest
+    qualifying timestamp.
+
+    → (step_idx, step, n_users): users reaching at least each step —
+    n_users is non-increasing down the funnel.
+
+    Scale shape: one bounded-bucket shuffle on user_id; each user's
+    greedy walk runs inside their bucket over their ts-sorted events;
+    the per-bucket output is at most len(steps) count rows, so the
+    final fold touches buckets×steps tiny rows (returned as a pandas
+    frame, like the other fixed-size summaries).
+    """
+    from .shuffle import bucketed_groupby
+
+    step_list = list(steps)
+    n_steps = len(step_list)
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        reached = np.zeros(n_steps, dtype=np.int64)
+        for _, g in pdf.groupby("user_id", sort=False):
+            types = g["event_type"].to_numpy()
+            tss = g["ts"].to_numpy()
+            cur = None
+            for i, s in enumerate(step_list):
+                m = (types == s) if cur is None else \
+                    ((types == s) & (tss > cur))
+                idx = np.flatnonzero(m)
+                if not len(idx):
+                    break
+                cur = tss[idx[0]]
+                reached[i] += 1
+        return pd.DataFrame({
+            "step_idx": np.arange(n_steps, dtype=np.int64),
+            "n_users": reached})
+
+    partials = bucketed_groupby(
+        events.select_columns(["user_id", "ts", "event_type", "event_id"]),
+        "user_id", walk, num_buckets).to_pandas()
+    out = (partials.groupby("step_idx")["n_users"].sum().reset_index()
+           .sort_values("step_idx").reset_index(drop=True))
+    out["step"] = [step_list[i] for i in out["step_idx"]]
+    out["n_users"] = out["n_users"].astype("int64")
+    return out[["step_idx", "step", "n_users"]]

@@ -485,3 +485,42 @@ def test_global_rank_total_order(ray_session):
             got[["id", "v", "rank"]].reset_index(drop=True),
             ref[["id", "v", "rank"]].reset_index(drop=True),
             check_dtype=False)
+
+
+def test_funnel_counts_greedy_walk(ray_session):
+    """Funnel semantics: strictly-after ordering, non-increasing
+    counts, a user converting via a LATER first-step event still
+    counts (greedy-earliest == nested-MIN equivalence case)."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.relational import (
+        funnel_counts)
+
+    ts = pd.Timestamp("2026-01-01")
+
+    def ev(uid, t_off, typ, eid):
+        return {"user_id": uid, "ts": ts + pd.Timedelta(minutes=t_off),
+                "event_type": typ, "event_id": eid}
+
+    rows = [
+        # u1: full funnel in order
+        ev(1, 0, "view", 1), ev(1, 5, "click", 2), ev(1, 9, "purchase", 3),
+        # u2: click BEFORE view → stops at view
+        ev(2, 0, "click", 4), ev(2, 5, "view", 5),
+        # u3: view only
+        ev(3, 0, "view", 6),
+        # u4: equal timestamps are NOT strictly after → stops at view
+        ev(4, 0, "view", 7), ev(4, 0, "click", 8),
+        # u5: click after the earliest view, purchase after that click
+        ev(5, 0, "view", 9), ev(5, 1, "view", 10),
+        ev(5, 2, "click", 11), ev(5, 3, "purchase", 12),
+        # u6: no view at all
+        ev(6, 0, "purchase", 13),
+    ]
+    df = pd.DataFrame(rows)
+    out = funnel_counts(rd.from_pandas(df))
+    assert out["step"].tolist() == ["view", "click", "purchase"]
+    assert out["n_users"].tolist() == [5, 2, 2]
+
+    out2 = funnel_counts(rd.from_pandas(df), num_buckets=8)
+    pd.testing.assert_frame_equal(out, out2)
