@@ -397,6 +397,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return events_sliding(_read(sf, "events",
                                     ["event_type", "ts", "value"]))
 
+    def revenue_by_nation_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import (
+            revenue_by_nation)
+        return revenue_by_nation(
+            _read(sf, "orders", ["o_custkey", "o_totalprice"]),
+            _read(sf, "customer", ["c_custkey", "c_nationkey"]),
+            _read(sf, "nation", ["n_nationkey", "n_name"]))
+
     def events_funnel_q(sf):
         from automatic_reference_extractor_ray.ops.relational import (
             funnel_counts)
@@ -611,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": events_asof_q,
         "events_sliding": events_sliding_q,
         "events_funnel": events_funnel_q,
+        "revenue_by_nation": revenue_by_nation_q,
         "dup_passages": dup_passages_q,
         "distinct_users": distinct_users_q,
         "value_quantiles": value_quantiles_q,
@@ -1052,6 +1061,15 @@ def oracle_sql() -> dict[str, str]:
         "scrub_text": _scrub_sql(),
         "chunk_docs": _chunk_sql(),
         "pack_sequences": _pack_sql(),
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_c,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            GROUP BY n_name""",
         "events_funnel": """
             WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
                         WHERE event_type = 'view' GROUP BY 1),

@@ -293,3 +293,61 @@ def funnel_counts(events, steps=("view", "click", "purchase"),
     out["step"] = [step_list[i] for i in out["step_idx"]]
     out["n_users"] = out["n_users"].astype("int64")
     return out[["step_idx", "step", "n_users"]]
+
+
+def revenue_by_nation(orders, customer, nation,
+                      num_buckets: int | None = None):
+    """Star-schema aggregate (revenue per nation): the three-way shape
+    with one of each join strategy — the FACT side collapses through a
+    per-batch combiner before anything moves, the MID dimension
+    (customer: grows with the data, too big to broadcast) joins through
+    the bounded-bucket hash join, and the TINY dimension (nation: fixed
+    25 rows) is a ray.put broadcast lookup.
+
+    → (n_name, revenue_c, n_orders), integer cents.
+    """
+    import ray
+
+    from .shuffle import bucketed_agg, bucketed_join
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            total_c=np.round(df["o_totalprice"] * 100).astype("int64"))
+        return (df.groupby("o_custkey")
+                .agg(revenue_c=("total_c", "sum"),
+                     n_orders=("total_c", "size"))
+                .reset_index())
+
+    per_cust = bucketed_agg(
+        orders.map_batches(partial, batch_format="pandas"),
+        "o_custkey",
+        {"revenue_c": ("revenue_c", "sum"), "n_orders": ("n_orders", "sum")},
+        num_buckets)
+
+    cust = customer.map_batches(
+        lambda d: pd.DataFrame({
+            "o_custkey": d["c_custkey"].astype("int64"),
+            "c_nationkey": d["c_nationkey"].astype("int64")}),
+        batch_format="pandas")
+    joined = bucketed_join(
+        per_cust, cust, on="o_custkey",
+        left_schema={"o_custkey": "int64", "revenue_c": "int64",
+                     "n_orders": "int64"},
+        right_schema={"o_custkey": "int64", "c_nationkey": "int64"},
+        num_buckets=num_buckets, how="inner")
+
+    nd = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    nref = ray.put(dict(zip(nd["n_nationkey"].astype("int64"),
+                            nd["n_name"])))
+
+    def attach(d: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(nref)
+        return pd.DataFrame({"n_name": d["c_nationkey"].map(lookup),
+                             "revenue_c": d["revenue_c"],
+                             "n_orders": d["n_orders"]})
+
+    return bucketed_agg(
+        joined.map_batches(attach, batch_format="pandas"),
+        "n_name",
+        {"revenue_c": ("revenue_c", "sum"), "n_orders": ("n_orders", "sum")},
+        num_buckets)

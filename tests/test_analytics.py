@@ -524,3 +524,35 @@ def test_funnel_counts_greedy_walk(ray_session):
 
     out2 = funnel_counts(rd.from_pandas(df), num_buckets=8)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_revenue_by_nation_star_join(ray_session):
+    """Three-way star aggregate matches a local pandas reference,
+    including orders whose customer is missing (dropped) and nations
+    with no orders (absent)."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.relational import (
+        revenue_by_nation)
+
+    orders = pd.DataFrame({
+        "o_custkey": np.array([1, 1, 2, 3, 99], dtype="int64"),
+        "o_totalprice": [10.005, 20.0, 5.5, 7.25, 100.0],  # 99: orphan
+    })
+    customer = pd.DataFrame({
+        "c_custkey": np.array([1, 2, 3, 4], dtype="int64"),
+        "c_nationkey": np.array([0, 0, 1, 2], dtype="int32"),
+    })
+    nation = pd.DataFrame({
+        "n_nationkey": np.array([0, 1, 2], dtype="int32"),
+        "n_name": ["A", "B", "C"],
+    })
+    out = (revenue_by_nation(rd.from_pandas(orders),
+                             rd.from_pandas(customer),
+                             rd.from_pandas(nation))
+           .to_pandas().sort_values("n_name").reset_index(drop=True))
+    # A: cust1 (1001+2000) + cust2 (550) = 3551 cents / 3 orders
+    # B: cust3 725 cents / 1 order; C (cust4): no orders → absent
+    assert out["n_name"].tolist() == ["A", "B"]
+    assert out["revenue_c"].tolist() == [3551, 725]
+    assert out["n_orders"].tolist() == [3, 1]
