@@ -78,6 +78,12 @@ def _scrub_sql() -> str:
     return scrub_sql()
 
 
+def _weighted_sql() -> str:
+    from automatic_reference_extractor_ray.ops.analytics import (
+        weighted_sample_sql)
+    return weighted_sample_sql("documents", "doc_id", "n_chars", scale=1000)
+
+
 def _sample_sql() -> str:
     from automatic_reference_extractor_ray.ops.analytics import (
         sample_per_group_sql)
@@ -397,6 +403,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return events_sliding(_read(sf, "events",
                                     ["event_type", "ts", "value"]))
 
+    def weighted_sample_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            weighted_sample)
+        return weighted_sample(
+            _read(sf, "documents", ["doc_id", "n_chars"]),
+            "doc_id", "n_chars", scale=1000)
+
     def revenue_by_nation_q(sf):
         from automatic_reference_extractor_ray.ops.relational import (
             revenue_by_nation)
@@ -620,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": events_sliding_q,
         "events_funnel": events_funnel_q,
         "revenue_by_nation": revenue_by_nation_q,
+        "weighted_sample": weighted_sample_q,
         "dup_passages": dup_passages_q,
         "distinct_users": distinct_users_q,
         "value_quantiles": value_quantiles_q,
@@ -1061,6 +1075,7 @@ def oracle_sql() -> dict[str, str]:
         "scrub_text": _scrub_sql(),
         "chunk_docs": _chunk_sql(),
         "pack_sequences": _pack_sql(),
+        "weighted_sample": _weighted_sql(),
         "revenue_by_nation": """
             SELECT n_name,
                    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))

@@ -589,6 +589,51 @@ def mixture_sample_sql(table: str, key_col: str, rates: dict[str, float],
         WHERE CASE {cases} ELSE h8 < '{_hex_threshold(default_rate)}' END"""
 
 
+def weighted_sample(ds, id_col: str, weight_col: str, scale: int,
+                    min_x1000: int = 100, salt: str = "wgt"):
+    """Deterministic value-weighted downsampling (keep long/high-quality
+    docs with higher probability — the importance-sampling step of a
+    data-mixing recipe, without RNG state): a row's keep rate is
+    ``clip(1000*weight // scale, min_x1000, 1000)`` per-mille, and it
+    keeps iff ``md5(salt:id)[:8] < hex(rate * 2^32 / 1000)``.
+
+    → the kept (id_col, weight_col, rate_x1000) rows.  Pure per-row
+    map — no shuffle, reproducible across runs and cluster sizes, and
+    expressible verbatim in SQL (integer threshold math both sides).
+    """
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch[weight_col].to_numpy(np.int64)
+        rates = np.clip((1000 * w) // scale, min_x1000, 1000)
+        mask = []
+        for v, r in zip(batch[id_col], rates):
+            h8 = hashlib.md5(f"{salt}:{v}".encode("utf-8")).hexdigest()[:8]
+            thr = format(min(int(r) * (1 << 32) // 1000, (1 << 32) - 1),
+                         "08x")
+            mask.append(h8 < thr)
+        out = batch.loc[mask, [id_col, weight_col]].copy()
+        out["rate_x1000"] = rates[mask]
+        return out
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def weighted_sample_sql(table: str, id_col: str, weight_col: str,
+                        scale: int, min_x1000: int = 100,
+                        salt: str = "wgt") -> str:
+    """DuckDB oracle matching ``weighted_sample`` bit-for-bit."""
+    rate = (f"LEAST(GREATEST((1000 * {weight_col}) // {scale}, "
+            f"{min_x1000}), 1000)")
+    thr = (f"lower(lpad(to_hex(LEAST(({rate} * 4294967296) // 1000, "
+           f"4294967295)), 8, '0'))")
+    return f"""
+        SELECT {id_col}, {weight_col},
+               CAST({rate} AS BIGINT) AS rate_x1000
+        FROM {table}
+        WHERE substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 8)
+              < {thr}"""
+
+
 # ----------------------------------------------- tf-idf term salience
 
 def tfidf_top_terms(docs, k: int = 5, text_col: str = "text",

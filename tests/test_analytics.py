@@ -556,3 +556,38 @@ def test_revenue_by_nation_star_join(ray_session):
     assert out["n_name"].tolist() == ["A", "B"]
     assert out["revenue_c"].tolist() == [3551, 725]
     assert out["n_orders"].tolist() == [3, 1]
+
+
+def test_weighted_sample_rates_and_determinism(ray_session):
+    """Keep decisions follow the per-row md5 threshold exactly (local
+    recomputation), rates clip to [min, 1000], and weight=scale keeps
+    ~everything while tiny weights keep ~min_x1000/1000."""
+    import hashlib
+
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.analytics import (
+        weighted_sample)
+
+    n = 4000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype="int64"),
+        "w": np.where(np.arange(n) % 2 == 0, 50, 1000).astype("int64"),
+    })
+    out = (weighted_sample(rd.from_pandas(df), "id", "w", scale=1000,
+                           min_x1000=100)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    # exact per-row recomputation
+    kept = set()
+    for i, w in zip(df["id"], df["w"]):
+        r = min(max(1000 * w // 1000, 100), 1000)
+        h8 = hashlib.md5(f"wgt:{i}".encode()).hexdigest()[:8]
+        thr = format(min(r * (1 << 32) // 1000, (1 << 32) - 1), "08x")
+        if h8 < thr:
+            kept.add(int(i))
+    assert set(out["id"]) == kept
+    assert set(out["rate_x1000"]) == {100, 1000}
+    lo = out[out["w"] == 50]
+    hi = out[out["w"] == 1000]
+    assert len(hi) > 0.95 * (n / 2)           # rate 1000 keeps ~all
+    assert 0.05 * (n / 2) < len(lo) < 0.15 * (n / 2)   # rate 100 ≈ 10%
