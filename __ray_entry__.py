@@ -425,6 +425,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    ["user_id", "ts", "event_type",
                                     "event_id"]))
 
+    def retention_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import (
+            retention_cohorts)
+        return retention_cohorts(_read(sf, "events",
+                                       ["user_id", "ts", "event_type"]))
+
     def dup_passages_q(sf):
         from automatic_reference_extractor_ray.ops.textstats import (
             duplicated_passages)
@@ -634,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": events_funnel_q,
         "revenue_by_nation": revenue_by_nation_q,
         "weighted_sample": weighted_sample_q,
+        "events_retention": retention_q,
         "dup_passages": dup_passages_q,
         "distinct_users": distinct_users_q,
         "value_quantiles": value_quantiles_q,
@@ -1076,6 +1083,22 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": _chunk_sql(),
         "pack_sequences": _pack_sql(),
         "weighted_sample": _weighted_sql(),
+        "events_retention": """
+            WITH w AS (
+              SELECT user_id,
+                     ((CAST(ts AS DATE) - DATE '1970-01-01') + 3) // 7
+                       AS wk,
+                     event_type
+              FROM events),
+            coh AS (SELECT user_id, MIN(wk) AS cwk FROM w
+                    WHERE event_type = 'signup' GROUP BY 1),
+            act AS (SELECT DISTINCT c.user_id, c.cwk, w.wk - c.cwk AS off
+                    FROM w JOIN coh c USING (user_id)
+                    WHERE w.wk >= c.cwk)
+            SELECT CAST(cwk AS BIGINT) AS cohort_week,
+                   CAST(off AS BIGINT) AS week_offset,
+                   COUNT(*) AS n_users
+            FROM act GROUP BY 1, 2""",
         "revenue_by_nation": """
             SELECT n_name,
                    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))

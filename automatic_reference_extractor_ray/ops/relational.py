@@ -351,3 +351,46 @@ def revenue_by_nation(orders, customer, nation,
         "n_name",
         {"revenue_c": ("revenue_c", "sum"), "n_orders": ("n_orders", "sum")},
         num_buckets)
+
+
+def retention_cohorts(events, signup_type: str = "signup",
+                      num_buckets: int | None = None):
+    """Retention-cohort matrix: users cohort by the Monday-aligned week
+    of their FIRST ``signup_type`` event; a user is retained at offset
+    k iff they have ANY event in cohort-week + k (events before signup
+    don't count; users who never sign up are excluded).
+
+    → (cohort_week, week_offset, n_users).  Weeks are integer indices
+    ``(days_since_epoch + 3) // 7`` — identical arithmetic on both
+    sides of the oracle, no date_trunc dialect to match.
+
+    Scale shape: one user-bucketed shuffle (per-user cohort + distinct
+    offsets computed bucket-locally), then a bounded-bucket count on
+    the (cohort, offset) pair — both key spaces are calendar-bounded,
+    orders of magnitude below user count.
+    """
+    from .shuffle import bucketed_agg, bucketed_groupby
+
+    epoch = pd.Timestamp("1970-01-01")
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        days = (pdf["ts"].dt.normalize() - epoch).dt.days.to_numpy()
+        pdf = pdf.assign(wk=(days + 3) // 7)
+        out_c, out_o = [], []
+        for _, g in pdf.groupby("user_id", sort=False):
+            su = g.loc[g["event_type"] == signup_type, "wk"]
+            if not len(su):
+                continue
+            cwk = int(su.min())
+            offs = np.unique(g.loc[g["wk"] >= cwk, "wk"].to_numpy() - cwk)
+            out_c.extend([cwk] * len(offs))
+            out_o.extend(offs.tolist())
+        return pd.DataFrame({
+            "cohort_week": np.array(out_c, dtype=np.int64),
+            "week_offset": np.array(out_o, dtype=np.int64)})
+
+    pairs = bucketed_groupby(
+        events.select_columns(["user_id", "ts", "event_type"]),
+        "user_id", per_user, num_buckets)
+    return bucketed_agg(pairs, ["cohort_week", "week_offset"],
+                        {"n_users": ("week_offset", "size")}, num_buckets)

@@ -591,3 +591,37 @@ def test_weighted_sample_rates_and_determinism(ray_session):
     hi = out[out["w"] == 1000]
     assert len(hi) > 0.95 * (n / 2)           # rate 1000 keeps ~all
     assert 0.05 * (n / 2) < len(lo) < 0.15 * (n / 2)   # rate 100 ≈ 10%
+
+
+def test_retention_cohorts_hand_case(ray_session):
+    """Cohort = week of first signup; retained at offset k iff any
+    event lands in cohort-week+k; pre-signup events and never-signed-up
+    users are excluded."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.relational import (
+        retention_cohorts)
+
+    # 2026-01-05 is a Monday → week boundary-safe offsets
+    base = pd.Timestamp("2026-01-05")
+
+    def ev(uid, days, typ):
+        return {"user_id": uid, "ts": base + pd.Timedelta(days=days),
+                "event_type": typ}
+
+    rows = [
+        # u1: signs up week 0, active weeks 0 and 2
+        ev(1, 0, "signup"), ev(1, 2, "click"), ev(1, 15, "view"),
+        # u2: pre-signup event (ignored), signup week 1, active week 1
+        ev(2, 3, "view"), ev(2, 8, "signup"), ev(2, 9, "click"),
+        # u3: never signs up
+        ev(3, 0, "view"),
+    ]
+    df = pd.DataFrame(rows)
+    out = (retention_cohorts(rd.from_pandas(df))
+           .to_pandas().sort_values(["cohort_week", "week_offset"])
+           .reset_index(drop=True))
+    w0 = int(out["cohort_week"].min())
+    got = {(int(r.cohort_week) - w0, int(r.week_offset)): int(r.n_users)
+           for r in out.itertuples()}
+    assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
