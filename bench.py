@@ -122,6 +122,21 @@ def run_bench() -> dict:
         duplicated_passages)
     timed("dup_passages", lambda: duplicated_passages(
         read("documents", ["doc_id", "text"])).count())
+    from automatic_reference_extractor_ray.ops.relational import (
+        funnel_counts, retention_cohorts, revenue_by_nation)
+    timed("events_funnel", lambda: funnel_counts(
+        read("events", ["user_id", "ts", "event_type", "event_id"])))
+    timed("events_retention", lambda: retention_cohorts(
+        read("events", ["user_id", "ts", "event_type"])).count())
+    timed("revenue_by_nation", lambda: revenue_by_nation(
+        read("orders", ["o_custkey", "o_totalprice"]),
+        read("customer", ["c_custkey", "c_nationkey"]),
+        read("nation", ["n_nationkey", "n_name"])).count())
+    from automatic_reference_extractor_ray.ops.analytics import (
+        weighted_sample)
+    timed("weighted_sample", lambda: weighted_sample(
+        read("documents", ["doc_id", "n_chars"]),
+        "doc_id", "n_chars", scale=1000).count())
     timed("token_quality", lambda: read("documents", ["doc_id", "text"])
           .map_batches(quality_metrics, batch_format="pandas").count())
     from automatic_reference_extractor_ray.ops.textstats import (
