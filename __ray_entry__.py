@@ -78,6 +78,11 @@ def _scrub_sql() -> str:
     return scrub_sql()
 
 
+def _normalize_sql() -> str:
+    from automatic_reference_extractor_ray.ops.textstats import NORMALIZE_SQL
+    return NORMALIZE_SQL
+
+
 def _weighted_sql() -> str:
     from automatic_reference_extractor_ray.ops.analytics import (
         weighted_sample_sql)
@@ -516,6 +521,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", ["doc_id", "lang"]),
             key="lang", id_col="doc_id", k=10)
 
+    def normalize_text_q(sf):
+        from automatic_reference_extractor_ray.ops.textstats import (
+            normalize_text)
+        return _docs_table(sf).map_batches(normalize_text,
+                                           batch_format="pandas")
+
     def scrub_text_q(sf):
         from automatic_reference_extractor_ray.ops.textstats import scrub_text
         return (_read(sf, "documents", ["doc_id", "text"])
@@ -641,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": revenue_by_nation_q,
         "weighted_sample": weighted_sample_q,
         "events_retention": retention_q,
+        "normalize_text": normalize_text_q,
         "dup_passages": dup_passages_q,
         "distinct_users": distinct_users_q,
         "value_quantiles": value_quantiles_q,
@@ -1083,6 +1095,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": _chunk_sql(),
         "pack_sequences": _pack_sql(),
         "weighted_sample": _weighted_sql(),
+        "normalize_text": _normalize_sql(),
         "events_retention": """
             WITH w AS (
               SELECT user_id,

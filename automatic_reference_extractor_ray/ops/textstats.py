@@ -276,6 +276,41 @@ def decontaminate_sql(n: int = 4, eval_frac: float = 0.1,
         WHERE d.{train_cond}"""
 
 
+# --------------------------------------------- text normalization
+
+ASCII_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+
+
+def normalize_text(batch: pd.DataFrame) -> pd.DataFrame:
+    """Canonical text normalization (the pre-dedup / pre-tokenize
+    cleanup pass): lowercase → accent strip (NFD, drop combining
+    marks) → collapse ASCII whitespace runs → trim.
+
+    → (doc_id, text_norm).  The whitespace class is EXPLICIT ASCII
+    because RE2's ``\\s`` is ASCII-only while Python's is Unicode —
+    the one dialect gap that would silently break the byte-exact
+    oracle (DuckDB ``strip_accents`` == Python NFD-strip, verified in
+    tests on accented fixtures).  Pure per-row map, streams anywhere.
+    """
+    import unicodedata
+
+    def norm(s: str) -> str:
+        s = (s or "").lower()
+        s = "".join(c for c in unicodedata.normalize("NFD", s)
+                    if not unicodedata.combining(c))
+        return ASCII_WS_RE.sub(" ", s).strip()
+
+    return pd.DataFrame({"doc_id": batch["doc_id"],
+                         "text_norm": batch["text"].map(norm)})
+
+
+NORMALIZE_SQL = r"""
+    SELECT doc_id,
+           trim(regexp_replace(strip_accents(lower(COALESCE(text, ''))),
+                               '[ \t\r\n\f\v]+', ' ', 'g')) AS text_norm
+    FROM documents"""
+
+
 # ------------------------------------- Bloom-filter decontamination
 
 def _bloom_bits(gram: str, m_bits: int, k: int) -> list[int]:

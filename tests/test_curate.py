@@ -342,3 +342,29 @@ def test_chunk_reconstruction_property(tok_ids, chunk, overlap):
     # every non-final chunk is full-size
     sizes = out.sort_values("chunk_idx")["n_tokens"].tolist()
     assert all(s == chunk for s in sizes[:-1])
+
+
+def test_normalize_text_accent_parity():
+    """Python NFD-strip normalization agrees byte-for-byte with the
+    DuckDB strip_accents oracle on accented, tab/newline, and null
+    fixtures (the corpus is ASCII, so the unit test carries the
+    non-ASCII weight)."""
+    import duckdb
+    import pyarrow as pa
+
+    from automatic_reference_extractor_ray.ops.textstats import (
+        NORMALIZE_SQL, normalize_text)
+
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 4, 5], dtype="int64"),
+        "text": [None, "  Ça  COÛTE\t5€\nnaïve ", "Grüße—ok",
+                 "ÀÉÎÕÜ çğış", "plain  text"],
+    })
+    got = normalize_text(df)
+    assert got["text_norm"].tolist()[1] == "ca coute 5€ naive"
+    con = duckdb.connect()
+    con.register("documents", pa.Table.from_pandas(df))
+    exp = con.sql(NORMALIZE_SQL).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  exp.reset_index(drop=True),
+                                  check_dtype=False)
