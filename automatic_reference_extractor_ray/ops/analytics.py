@@ -476,6 +476,10 @@ def global_rank(ds, value_col: str, id_col: str, descending: bool = False,
 
     def keyed(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf[value_col].to_numpy()
+        if len(v) and not np.issubdtype(v.dtype, np.number):
+            raise ValueError(
+                f"global_rank needs a numeric value_col, got {v.dtype} "
+                f"for {value_col!r}")
         return pdf.assign(__k=(-v if descending else v))
 
     sample = ds.limit(sample_size).map_batches(
