@@ -408,6 +408,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return events_sliding(_read(sf, "events",
                                     ["event_type", "ts", "value"]))
 
+    def approx_topk_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            approx_topk_tokens)
+        return approx_topk_tokens(_docs_table(sf), k=50)
+
     def weighted_sample_q(sf):
         from automatic_reference_extractor_ray.ops.analytics import (
             weighted_sample)
@@ -653,6 +658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": weighted_sample_q,
         "events_retention": retention_q,
         "normalize_text": normalize_text_q,
+        "approx_topk_tokens": approx_topk_q,
         "dup_passages": dup_passages_q,
         "distinct_users": distinct_users_q,
         "value_quantiles": value_quantiles_q,

@@ -252,6 +252,60 @@ def topk_tokens_per_group(docs, group_col: str, k: int = 10,
     return bucketed_groupby(cand, group_col, bucket_cut, num_buckets)
 
 
+def approx_topk_tokens(docs, k: int = 50, capacity: int = 512,
+                       text_col: str = "text",
+                       num_buckets: int | None = None) -> pd.DataFrame:
+    """Misra–Gries approximate top-k tokens — the mergeable-summary
+    scale path next to exact ``topk_tokens`` (completing the
+    exact/approx pairing: quantiles, distinct counts, decontamination,
+    heavy hitters).
+
+    Each batch's exact counts are MG-reduced (subtract the
+    (capacity+1)-th largest count, keep positives — the valid summary
+    merge of Agarwal et al., "Mergeable Summaries"), so at most
+    ``capacity`` rows leave ANY batch regardless of vocabulary size;
+    partial summaries then fold through one bounded-bucket sum.
+
+    → (token, n_lb, rank): ``n_lb`` is a LOWER bound with global error
+    ≤ total_tokens/(capacity+1) — every token whose true count exceeds
+    that bound is guaranteed present (recall-tested against the exact
+    path).  Returned as a pandas frame of ≤ k rows.
+    """
+
+    def mg_batch(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in b[text_col]:
+            c.update(TOKEN_RE.findall((t or "").lower()))
+        if not c:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        toks = np.array(list(c.keys()), dtype=object)
+        ns = np.fromiter(c.values(), np.int64, len(c))
+        if len(ns) > capacity:
+            cut = np.partition(ns, len(ns) - capacity - 1)[
+                len(ns) - capacity - 1]
+            ns = ns - cut
+            keep = ns > 0
+            toks, ns = toks[keep], ns[keep]
+        return pd.DataFrame({"token": toks, "n": ns})
+
+    partials = docs.map_batches(mg_batch, batch_format="pandas")
+
+    def bucket_sum(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("token", sort=False)["n"].sum().reset_index()
+        g = g.sort_values(["n", "token"], ascending=[False, True])
+        return g.head(k)
+
+    cand = bucketed_groupby(partials, "token", bucket_sum,
+                            num_buckets).to_pandas()
+    cand = cand.sort_values(["n", "token"],
+                            ascending=[False, True]).head(k)
+    cand = cand.rename(columns={"n": "n_lb"}).reset_index(drop=True)
+    cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
+    return cand[["rank", "token", "n_lb"]]
+
+
 # --------------------------------------------- HyperLogLog distinct
 
 HLL_P = 12                               # 4096 registers, ~1.6% rel. error

@@ -625,3 +625,33 @@ def test_retention_cohorts_hand_case(ray_session):
     got = {(int(r.cohort_week) - w0, int(r.week_offset)): int(r.n_users)
            for r in out.itertuples()}
     assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_approx_topk_tokens_mg_bounds(ray_session):
+    """MG lower bounds: n_lb <= exact <= n_lb + N/(capacity+1), and the
+    head of the exact top-k (tokens above the error bound) is fully
+    recalled, on a Zipf-ish vocabulary with capacity << vocab."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.analytics import (
+        TOKEN_RE, approx_topk_tokens)
+
+    rng = np.random.default_rng(13)
+    vocab = np.array([f"tok{i}" for i in range(2000)])
+    p = 1.0 / np.arange(1, 2001) ** 1.2
+    p /= p.sum()
+    texts = [" ".join(rng.choice(vocab, size=200, p=p)) for _ in range(100)]
+    df = pd.DataFrame({"doc_id": np.arange(100, dtype="int64"),
+                       "text": texts})
+    exact = pd.Series(
+        [t for s in texts for t in TOKEN_RE.findall(s)]).value_counts()
+    total = int(exact.sum())
+    cap = 64
+    got = approx_topk_tokens(rd.from_pandas(df), k=20, capacity=cap)
+    err = total // (cap + 1)
+    for r in got.itertuples():
+        ex = int(exact.get(r.token, 0))
+        assert r.n_lb <= ex <= r.n_lb + err, (r.token, r.n_lb, ex, err)
+    # every token with exact count > err must appear in the candidates
+    heavy = set(exact[exact > err].head(20).index)
+    assert heavy <= set(got["token"]), heavy - set(got["token"])
