@@ -162,7 +162,17 @@ def run_bench() -> dict:
     timed("topk_tokens", lambda: topk_tokens(
         read("documents", ["doc_id", "text"]), k=50))
     from automatic_reference_extractor_ray.ops.analytics import (
-        global_rank, grouped_approx_distinct, topk_tokens_per_group)
+        approx_topk_tokens, global_rank, grouped_approx_distinct,
+        quantile_clip, topk_tokens_per_group)
+    from automatic_reference_extractor_ray.ops.textstats import (
+        normalize_text)
+    timed("normalize_text", lambda: read("documents", ["doc_id", "text"])
+          .map_batches(normalize_text, batch_format="pandas").count())
+    timed("approx_topk_tokens", lambda: approx_topk_tokens(
+        read("documents", ["doc_id", "text"]), k=50))
+    timed("length_clip", lambda: quantile_clip(
+        read("documents", ["doc_id", "lang", "n_chars"]),
+        key="lang", col="n_chars").count())
     timed("topk_tokens_per_lang", lambda: topk_tokens_per_group(
         read("documents", ["doc_id", "lang", "text"]),
         group_col="lang", k=10).count())
