@@ -195,7 +195,7 @@ def topk_tokens(docs, k: int = 50, text_col: str = "text",
         from collections import Counter
         c: Counter = Counter()
         for t in b[text_col]:
-            c.update(TOKEN_RE.findall(t.lower()))
+            c.update(TOKEN_RE.findall((t or "").lower()))
         return pd.DataFrame({"token": list(c.keys()),
                              "n": np.fromiter(c.values(), np.int64, len(c))})
 
@@ -618,14 +618,22 @@ def mixture_sample(ds, key_col: str, rates: dict[str, float], id_col: str,
     decision from ``hash_split``'s md5 of the bare id, so sampling
     does not bias the train/val/test assignment.
     """
-    thr = {k: _hex_threshold(v) for k, v in rates.items()}
-    dflt = _hex_threshold(default_rate)
+    # rate >= 1.0 keeps unconditionally: the strict h8 < threshold test
+    # caps at 0xffffffff and would drop ids whose md5 prefix is exactly
+    # 'ffffffff' (~1 per 4.3B ids); None marks the keep-all short-circuit
+    thr = {k: (None if v >= 1.0 else _hex_threshold(v))
+           for k, v in rates.items()}
+    dflt = None if default_rate >= 1.0 else _hex_threshold(default_rate)
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
         mask = []
         for v, g in zip(batch[id_col], batch[key_col]):
+            t = thr.get(g, dflt)
+            if t is None:
+                mask.append(True)
+                continue
             h8 = hashlib.md5(f"{salt}:{v}".encode("utf-8")).hexdigest()[:8]
-            mask.append(h8 < thr.get(g, dflt))
+            mask.append(h8 < t)
         return batch.loc[mask, [id_col, key_col]]
 
     return ds.map_batches(keep, batch_format="pandas")
@@ -635,8 +643,12 @@ def mixture_sample_sql(table: str, key_col: str, rates: dict[str, float],
                        id_col: str, default_rate: float = 1.0,
                        salt: str = "mix") -> str:
     """DuckDB oracle matching ``mixture_sample`` bit-for-bit."""
+    def _test(v: float) -> str:
+        # rate >= 1.0 keeps unconditionally, mirroring the Python side
+        return "TRUE" if v >= 1.0 else f"h8 < '{_hex_threshold(v)}'"
+
     cases = " ".join(
-        f"WHEN {key_col} = '{k}' THEN h8 < '{_hex_threshold(v)}'"
+        f"WHEN {key_col} = '{k}' THEN {_test(v)}"
         for k, v in rates.items())
     return f"""
         SELECT {id_col}, {key_col}
@@ -644,7 +656,7 @@ def mixture_sample_sql(table: str, key_col: str, rates: dict[str, float],
                      substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)),
                             1, 8) AS h8
               FROM {table})
-        WHERE CASE {cases} ELSE h8 < '{_hex_threshold(default_rate)}' END"""
+        WHERE CASE {cases} ELSE {_test(default_rate)} END"""
 
 
 def weighted_sample(ds, id_col: str, weight_col: str, scale: int,
@@ -665,9 +677,13 @@ def weighted_sample(ds, id_col: str, weight_col: str, scale: int,
         rates = np.clip((1000 * w) // scale, min_x1000, 1000)
         mask = []
         for v, r in zip(batch[id_col], rates):
+            if r >= 1000:
+                # keep unconditionally — the strict < test would drop
+                # ids whose md5 prefix is exactly 'ffffffff'
+                mask.append(True)
+                continue
             h8 = hashlib.md5(f"{salt}:{v}".encode("utf-8")).hexdigest()[:8]
-            thr = format(min(int(r) * (1 << 32) // 1000, (1 << 32) - 1),
-                         "08x")
+            thr = format(int(r) * (1 << 32) // 1000, "08x")
             mask.append(h8 < thr)
         out = batch.loc[mask, [id_col, weight_col]].copy()
         out["rate_x1000"] = rates[mask]
@@ -682,13 +698,13 @@ def weighted_sample_sql(table: str, id_col: str, weight_col: str,
     """DuckDB oracle matching ``weighted_sample`` bit-for-bit."""
     rate = (f"LEAST(GREATEST((1000 * {weight_col}) // {scale}, "
             f"{min_x1000}), 1000)")
-    thr = (f"lower(lpad(to_hex(LEAST(({rate} * 4294967296) // 1000, "
-           f"4294967295)), 8, '0'))")
+    thr = f"lower(lpad(to_hex(({rate} * 4294967296) // 1000), 8, '0'))"
     return f"""
         SELECT {id_col}, {weight_col},
                CAST({rate} AS BIGINT) AS rate_x1000
         FROM {table}
-        WHERE substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 8)
+        WHERE {rate} >= 1000
+           OR substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 8)
               < {thr}"""
 
 
@@ -718,7 +734,7 @@ def tfidf_top_terms(docs, k: int = 5, text_col: str = "text",
         from collections import Counter
         ids, toks, tfs = [], [], []
         for d, t in zip(b["doc_id"], b[text_col]):
-            c = Counter(TOKEN_RE.findall(t.lower()))
+            c = Counter(TOKEN_RE.findall((t or "").lower()))
             ids.extend([d] * len(c))
             toks.extend(c.keys())
             tfs.extend(c.values())
@@ -754,7 +770,8 @@ def tfidf_top_terms(docs, k: int = 5, text_col: str = "text",
 
 def tfidf_sql(k: int = 5) -> str:
     """DuckDB oracle matching ``tfidf_top_terms`` bit-for-bit."""
-    tok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    # COALESCE mirrors the Python side's (t or "") null-text guard
+    tok = "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')"
     return f"""
         WITH toks AS (
           SELECT doc_id, unnest({tok}) AS token FROM documents),
