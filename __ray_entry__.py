@@ -290,25 +290,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def token_counts_q(sf):
         from automatic_reference_extractor_ray.ops.textstats import token_counts
-        return _docs_table(sf).map_batches(token_counts, batch_format="pandas")
+        return _docs_table(sf).map_batches(token_counts, batch_format="pyarrow")
 
     def quality_metrics_q(sf):
         from automatic_reference_extractor_ray.ops.textstats import quality_metrics
-        return _docs_table(sf).map_batches(quality_metrics, batch_format="pandas")
+        return _docs_table(sf).map_batches(quality_metrics, batch_format="pyarrow")
 
     def lang_guess_q(sf):
         from automatic_reference_extractor_ray.ops.textstats import lang_guess
-        return _docs_table(sf).map_batches(lang_guess, batch_format="pandas")
+        return _docs_table(sf).map_batches(lang_guess, batch_format="pyarrow")
 
     def fingerprint_q(sf):
         from automatic_reference_extractor_ray.ops.textstats import fingerprint
-        return _docs_table(sf).map_batches(fingerprint, batch_format="pandas")
+        return _docs_table(sf).map_batches(fingerprint, batch_format="pyarrow")
 
     def quality_filter_q(sf):
         from automatic_reference_extractor_ray.ops.textstats import (
             quality_filter)
         return _docs_table(sf).map_batches(quality_filter,
-                                           batch_format="pandas")
+                                           batch_format="pyarrow")
 
     # ---- dedup family ----
     def dedup_exact_q(sf):

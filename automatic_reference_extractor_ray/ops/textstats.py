@@ -28,45 +28,108 @@ def _tokens(s: str) -> list[str]:
     return TOKEN_RE.findall((s or "").lower())
 
 
-def token_counts(batch: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame({
-        "doc_id": batch["doc_id"],
-        "n_tokens": batch["text"].map(lambda s: len(_tokens(s))).astype("int64"),
-    })
+# ---- Arrow-kernel streaming maps (token_counts, quality_metrics,
+# lang_guess, fingerprint, quality_filter) ----------------------------
+#
+# These are pure per-row maps, so they follow ``scrub_text``'s pattern:
+# every count is an RE2 kernel call on the Arrow string column — no
+# Python row loop.  They accept EITHER a pyarrow Table (the zero-copy
+# ``batch_format="pyarrow"`` pipeline path) or a pandas DataFrame
+# (tests / composed pandas stages) and return the same type.
+#
+# Exact stopword-token counting without lookarounds (RE2 has none):
+# lowercase, then replace every separator run ``[^a-z0-9]+`` with TWO
+# spaces and pad both ends — every token is now flanked by spaces it
+# does not share with its neighbor, so non-overlapping matches of
+# ``" word "`` count exactly the tokens equal to ``word``.
+
+def _pa():
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    return pa, pc
 
 
-def quality_metrics(batch: pd.DataFrame) -> pd.DataFrame:
-    toks = batch["text"].map(_tokens)
-    en = frozenset(EN_STOP)
-    return pd.DataFrame({
-        "doc_id": batch["doc_id"],
-        "n_chars2": batch["text"].map(lambda s: len(s or "")).astype("int64"),
-        "n_tokens": toks.map(len).astype("int64"),
-        "n_punct": batch["text"].map(
-            lambda s: len(PUNCT_RE.findall(s or ""))).astype("int64"),
-        "n_stopwords": toks.map(lambda ts: sum(t in en for t in ts)).astype("int64"),
-    })
+def _is_table(batch) -> bool:
+    import pyarrow as pa
+    return isinstance(batch, pa.Table)
 
 
-def lang_guess(batch: pd.DataFrame) -> pd.DataFrame:
-    toks = batch["text"].map(_tokens)
-    en, de = frozenset(EN_STOP), frozenset(DE_STOP)
-    en_hits = toks.map(lambda ts: sum(t in en for t in ts))
-    de_hits = toks.map(lambda ts: sum(t in de for t in ts))
-    guess = np.where(en_hits > de_hits, "en",
-                     np.where(de_hits > en_hits, "de", "unknown"))
-    return pd.DataFrame({"doc_id": batch["doc_id"], "lang_guess": guess})
+def _text_cols(batch):
+    """→ (pa.Array doc_id, pa.Array text, was_table)."""
+    pa, _ = _pa()
+    if _is_table(batch):
+        return batch["doc_id"], batch["text"], True
+    return (pa.array(batch["doc_id"]),
+            pa.array(batch["text"], type=pa.string()), False)
 
 
-def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
+def _emit(cols: dict, was_table: bool):
+    pa, _ = _pa()
+    t = pa.table(cols)
+    return t if was_table else t.to_pandas()
+
+
+def _padded_tokens(pc, text):
+    """'  tok1  tok2  ' spread form of the lowercased text."""
+    low = pc.utf8_lower(pc.fill_null(text, ""))
+    spread = pc.replace_substring_regex(low, "[^a-z0-9]+", "  ")
+    return low, pc.binary_join_element_wise("", spread, "", "  ")
+
+
+def _word_alt(words: list[str]) -> str:
+    return " (?:" + "|".join(words) + ") "
+
+
+def token_counts(batch):
+    pa, pc = _pa()
+    doc_id, text, was_table = _text_cols(batch)
+    low = pc.utf8_lower(pc.fill_null(text, ""))
+    n = pc.cast(pc.count_substring_regex(low, "[a-z0-9]+"), pa.int64())
+    return _emit({"doc_id": doc_id, "n_tokens": n}, was_table)
+
+
+def quality_metrics(batch):
+    pa, pc = _pa()
+    doc_id, text, was_table = _text_cols(batch)
+    filled = pc.fill_null(text, "")
+    low, padded = _padded_tokens(pc, text)
+    i64 = lambda a: pc.cast(a, pa.int64())        # noqa: E731
+    return _emit({
+        "doc_id": doc_id,
+        "n_chars2": i64(pc.utf8_length(filled)),
+        "n_tokens": i64(pc.count_substring_regex(low, "[a-z0-9]+")),
+        "n_punct": i64(pc.count_substring_regex(filled, "[.,;:!?]")),
+        "n_stopwords": i64(pc.count_substring_regex(
+            padded, _word_alt(EN_STOP))),
+    }, was_table)
+
+
+def lang_guess(batch):
+    pa, pc = _pa()
+    doc_id, text, was_table = _text_cols(batch)
+    _, padded = _padded_tokens(pc, text)
+    en = pc.count_substring_regex(padded, _word_alt(EN_STOP))
+    de = pc.count_substring_regex(padded, _word_alt(DE_STOP))
+    guess = pc.if_else(
+        pc.greater(en, de), pa.scalar("en"),
+        pc.if_else(pc.greater(de, en), pa.scalar("de"),
+                   pa.scalar("unknown")))
+    return _emit({"doc_id": doc_id, "lang_guess": guess}, was_table)
+
+
+def fingerprint(batch):
     """Content fingerprint: md5 of the whitespace-normalized lowercase
-    text (the rolling-hash analogue with an oracle-computable hash)."""
-    norm = batch["text"].map(
-        lambda s: WS_RE.sub(" ", (s or "").lower()).strip())
-    return pd.DataFrame({
-        "doc_id": batch["doc_id"],
-        "fp": norm.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()),
-    })
+    text (the rolling-hash analogue with an oracle-computable hash).
+    Normalization is Arrow kernels; only the md5 itself is per-row
+    (hashlib has no vectorized form)."""
+    pa, pc = _pa()
+    doc_id, text, was_table = _text_cols(batch)
+    norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+        pc.utf8_lower(pc.fill_null(text, "")), r"\s+", " "))
+    fp = pa.array(
+        [hashlib.md5(s.encode("utf-8")).hexdigest()
+         for s in norm.to_pylist()], type=pa.string())
+    return _emit({"doc_id": doc_id, "fp": fp}, was_table)
 
 
 def duplicated_passages(docs, n: int = 8):
@@ -107,7 +170,7 @@ def duplicated_passages(docs, n: int = 8):
                             "gram", dup_only)
 
 
-def quality_filter(batch: pd.DataFrame) -> pd.DataFrame:
+def quality_filter(batch):
     """Gopher-style rule filter (Rae et al. 2021 §A1.1, integerized so
     the SQL oracle mirrors it exactly): per-doc flags plus the final
     ``keep`` verdict a cleaning pipeline acts on.
@@ -118,28 +181,35 @@ def quality_filter(batch: pd.DataFrame) -> pd.DataFrame:
                        "must contain stop words" proxy)
 
     All arithmetic is integer (floor division), no float boundaries.
+    Counts are RE2 kernels on the Arrow column (token-total length is
+    the length of the text with every separator stripped); the integer
+    math runs in numpy on the zero-copy int views.
     """
-    toks = batch["text"].map(_tokens)
-    n = toks.map(len).astype("int64")
-    sum_len = toks.map(lambda ts: sum(len(t) for t in ts)).astype("int64")
-    en = frozenset(EN_STOP)
-    n_stop = toks.map(lambda ts: sum(t in en for t in ts)).astype("int64")
-    safe_n = n.where(n > 0, 1)
+    pa, pc = _pa()
+    doc_id, text, was_table = _text_cols(batch)
+    low, padded = _padded_tokens(pc, text)
+    n = pc.cast(pc.count_substring_regex(low, "[a-z0-9]+"),
+                pa.int64()).to_numpy(zero_copy_only=False)
+    sum_len = pc.cast(pc.utf8_length(pc.replace_substring_regex(
+        low, "[^a-z0-9]+", "")), pa.int64()).to_numpy(zero_copy_only=False)
+    n_stop = pc.cast(pc.count_substring_regex(padded, _word_alt(EN_STOP)),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+    safe_n = np.where(n > 0, n, 1)
     mean_wlen = (100 * sum_len) // safe_n
     stop_rate = (1000 * n_stop) // safe_n
     too_short = n < 40
     bad_word_len = (mean_wlen < 300) | (mean_wlen > 1000)
     low_stop = stop_rate < 10
-    return pd.DataFrame({
-        "doc_id": batch["doc_id"],
-        "n_tokens": n,
-        "mean_wlen_x100": mean_wlen.astype("int64"),
-        "stop_rate_x1000": stop_rate.astype("int64"),
-        "flag_too_short": too_short,
-        "flag_bad_word_len": bad_word_len,
-        "flag_low_stopwords": low_stop,
-        "keep": ~(too_short | bad_word_len | low_stop),
-    })
+    return _emit({
+        "doc_id": doc_id,
+        "n_tokens": pa.array(n, pa.int64()),
+        "mean_wlen_x100": pa.array(mean_wlen, pa.int64()),
+        "stop_rate_x1000": pa.array(stop_rate, pa.int64()),
+        "flag_too_short": pa.array(too_short),
+        "flag_bad_word_len": pa.array(bad_word_len),
+        "flag_low_stopwords": pa.array(low_stop),
+        "keep": pa.array(~(too_short | bad_word_len | low_stop)),
+    }, was_table)
 
 # ------------------------------------------- benchmark decontamination
 
@@ -364,11 +434,16 @@ def decontaminate_bloom(docs, n: int = 4, eval_frac: float = 0.1,
             return pd.DataFrame({"bitmap": pd.Series([], dtype=object)})
         return pd.DataFrame({"bitmap": [np.packbits(bits).tobytes()]})
 
-    partials = docs.map_batches(partial_bitmap,
-                                batch_format="pandas").take_all()
+    # streaming OR-reduce: fold each block's 512 KiB partial as it
+    # arrives (iter_batches) instead of take_all() — driver memory is
+    # ONE partial + the accumulator, not num_blocks x m_bits/8, which
+    # at 100 TB block counts would be gigabytes held at once
     merged = np.zeros(n_bytes, dtype=np.uint8)
-    for row in partials:                     # one small row per block
-        merged |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    partials = docs.map_batches(partial_bitmap, batch_format="pandas")
+    for pdf in partials.iter_batches(batch_size=None,
+                                     batch_format="pandas"):
+        for buf in pdf["bitmap"]:            # one small row per block
+            merged |= np.frombuffer(buf, dtype=np.uint8)
     sketch_ref = ray.put(merged.tobytes())
 
     def flag(batch: pd.DataFrame) -> pd.DataFrame:

@@ -138,7 +138,7 @@ def run_bench() -> dict:
         read("documents", ["doc_id", "n_chars"]),
         "doc_id", "n_chars", scale=1000).count())
     timed("token_quality", lambda: read("documents", ["doc_id", "text"])
-          .map_batches(quality_metrics, batch_format="pandas").count())
+          .map_batches(quality_metrics, batch_format="pyarrow").count())
     from automatic_reference_extractor_ray.ops.textstats import (
         chunk_documents, scrub_text)
     timed("scrub_text", lambda: read("documents", ["doc_id", "text"])
