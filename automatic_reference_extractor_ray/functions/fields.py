@@ -21,11 +21,17 @@ Field semantics follow the Grobid TEI mapper (M12):
 Recognized shapes (all exercised by the synthetic corpus with
 generator-truth fields): journal article with multi-author comma lists
 ("A., B., and C.") and middle-initial forenames ("Last, A. B."),
-no-issue and from-only-page variants, month-carrying dates
-("(1999, March)" → date = year), book, editor book, chapter in an
-edited volume ("In: Ed (ed.), Book, ..." — book title is TEI level m
-and drops), surname-style.  Anything else degrades to year/sentence
-heuristics.
+forename-first author rendering ("A. Last" — the TEI mapper's own
+forename+surname join order, imgProcessing.py:816-846), bare-surname
+comma lists ("Miller, Schmidt, and Tanaka"), no-issue and
+from-only-page variants (including the "p. 45" page-marker rendering
+of biblScope unit="page"), month-carrying dates ("(1999, March)" →
+date = "1999-03", the full date@when value the mapper stores,
+imgProcessing.py:889-894), book, editor book, monograph without an
+imprint (title level m fallback when no journal marker), chapter in
+an edited volume ("In: Ed (ed.), Book, ..." — book title is TEI
+level m and drops), surname-style.  Anything else degrades to
+year/sentence heuristics.
 """
 
 from __future__ import annotations
@@ -44,11 +50,13 @@ MARKER_PREFIX_RE = re.compile(r"^\s*(?:\[\d+\]|\d+[.)])\s+")
 
 _AUTH = r"(?P<auth>.+?)"
 # date may carry a month — TEI date@when of "1999-03" renders as
-# "(1999, March)"; the mapped date field is the YEAR (the mapper's
-# output unit, imgProcessing.py:928-934)
+# "(1999, March)"; the reference mapper stores the FULL date@when
+# attribute (imgProcessing.py:889-894), so the mapped date keeps the
+# month: "1999-03" (not just the year)
 _MONTHS = ("January", "February", "March", "April", "May", "June", "July",
            "August", "September", "October", "November", "December")
-_YEAR = (r"\((?P<year>(?:19|20)\d{2})(?:, (?:" + "|".join(_MONTHS)
+_MONTH_NUM = {m: i + 1 for i, m in enumerate(_MONTHS)}
+_YEAR = (r"\((?P<year>(?:19|20)\d{2})(?:, (?P<month>" + "|".join(_MONTHS)
          + r"))?\)\. ")
 _TITLE = r"(?P<title>[^.]+)\. "
 
@@ -61,6 +69,13 @@ _T1 = re.compile(
 _T6 = re.compile(
     rf"^{_AUTH} {_YEAR}{_TITLE}(?P<journal>[^,.]+), "
     r"(?P<vol>\d+)\((?P<iss>\d+)\), (?P<p1>\d+)\.$")
+
+# T14 page-marker rendering of biblScope unit="page": "... Journal,
+# 12(3), p. 45." — same TEI shape as T6 (a lone from-page), different
+# surface form
+_T14 = re.compile(
+    rf"^{_AUTH} {_YEAR}{_TITLE}(?P<journal>[^,.]+), "
+    r"(?P<vol>\d+)\((?P<iss>\d+)\), p\. (?P<p1>\d+)\.$")
 
 # T7 no-issue journal: "... Journal, 12, 45-67."
 _T7 = re.compile(
@@ -90,6 +105,12 @@ _T5 = re.compile(
 _T2 = re.compile(
     rf"^{_AUTH} {_YEAR}{_TITLE}(?P<publisher>[^,.]+), (?P<loc>[^,.]+)\.$")
 
+# T13 monograph without an imprint: "Last, A. (2001). Title." — the
+# TEI "level a else m" title fallback when no journal marker exists
+# (imgProcessing.py:855-870); no publisher/pages.  Tried AFTER T2:
+# anything with an imprint segment matches there first.
+_T13 = re.compile(rf"^{_AUTH} {_YEAR}(?P<title>[^.]+)\.$")
+
 # T3 surname-style: "Last and Last2. Title. Journal Name 12:45-67, 1999."
 _T3 = re.compile(
     r"^(?P<auth>[A-Z][A-Za-z]+(?: and [A-Z][A-Za-z]+)?)\. "
@@ -97,6 +118,11 @@ _T3 = re.compile(
     r"(?P<vol>\d+):(?P<p1>\d+)-(?P<p2>\d+), (?P<year>(?:19|20)\d{2})\.$")
 
 _YEAR_RE = re.compile(r"\b(19|20)\d{2}\b")
+# full when-style year-month value (a T10 date piece in a <cite> twin)
+_YM_RE = re.compile(r"\b(?:19|20)\d{2}-(?:0[1-9]|1[0-2])\b")
+# a bare surname: one capitalized word, >= 2 letters (an initial like
+# "A" must NOT count — "Miller, A" is an inverted name, not a list)
+_SURNAME_RE = re.compile(r"[A-Z][A-Za-z]+")
 
 # author-list boundary: after an initial's period, before the next
 # capitalized surname — "Last, A., Last2, B." splits there while the
@@ -109,14 +135,39 @@ def strip_marker(raw: str) -> str:
 
 
 def _split_authors(auth: str) -> list[str]:
-    """"A, B. and C, D." / "A, B., C, D., and E, F." / "A and B" →
-    individual name strings (the TEI mapper emits one <author> per
-    name; this is the flat-string equivalent)."""
+    """"A, B. and C, D." / "A, B., C, D., and E, F." / "A and B" /
+    "A. B and C. D" (forename-first) / "Miller, Schmidt, and Tanaka"
+    (bare-surname comma list) → individual name strings (the TEI
+    mapper emits one <author> per name; this is the flat-string
+    equivalent)."""
     auth = re.sub(r",? and ", "\x00", auth)
     parts: list[str] = []
     for chunk in _AUTH_SPLIT_RE.split(auth):
-        parts.extend(p.strip() for p in chunk.split("\x00"))
+        for p in chunk.split("\x00"):
+            p = p.strip()
+            if not p:
+                continue
+            if "." not in p and ", " in p:
+                # no initials anywhere: the commas can only be LIST
+                # separators of bare surnames ("Miller, Schmidt"), not
+                # "Surname, F." inversions — but only when every piece
+                # looks like a surname ("Miller, A" stays one name)
+                pieces = [x.strip() for x in p.split(",")]
+                if all(_SURNAME_RE.fullmatch(x) for x in pieces):
+                    parts.extend(pieces)
+                    continue
+            parts.append(p)
     return [p for p in parts if p]
+
+
+def _date_of(m: re.Match) -> str:
+    """Mapped date for a template match: the full when-style value —
+    "1999-03" when the citation carries a month (the reference stores
+    date@when verbatim, imgProcessing.py:889-894), else the year."""
+    month = m.groupdict().get("month")
+    if month:
+        return f"{m['year']}-{_MONTH_NUM[month]:02d}"
+    return m["year"]
 
 
 def parse_fields(raw: str) -> dict[str, object]:
@@ -128,19 +179,26 @@ def parse_fields(raw: str) -> dict[str, object]:
     m = _T1.match(s)
     if m:
         f.update(authors=_split_authors(m["auth"]), title=m["title"],
-                 journal=m["journal"], date=m["year"], volume=m["vol"],
+                 journal=m["journal"], date=_date_of(m), volume=m["vol"],
                  issue=m["iss"], pages=f"{m['p1']}-{m['p2']}")
         return f
     m = _T6.match(s)
     if m:
         f.update(authors=_split_authors(m["auth"]), title=m["title"],
-                 journal=m["journal"], date=m["year"], volume=m["vol"],
+                 journal=m["journal"], date=_date_of(m), volume=m["vol"],
+                 issue=m["iss"], pages=m["p1"])
+        return f
+    m = _T14.match(s)
+    if m:
+        # "p. 45" page marker — same mapped fields as T6's lone from
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 journal=m["journal"], date=_date_of(m), volume=m["vol"],
                  issue=m["iss"], pages=m["p1"])
         return f
     m = _T7.match(s)
     if m:
         f.update(authors=_split_authors(m["auth"]), title=m["title"],
-                 journal=m["journal"], date=m["year"], volume=m["vol"],
+                 journal=m["journal"], date=_date_of(m), volume=m["vol"],
                  pages=f"{m['p1']}-{m['p2']}")
         return f
     m = _T9.match(s)
@@ -148,19 +206,20 @@ def parse_fields(raw: str) -> dict[str, object]:
         # chapter (level a) wins title; book title (level m) dropped;
         # editors ignored → chapter authors only
         f.update(authors=_split_authors(m["auth"]), title=m["title"],
-                 date=m["year"], publisher=m["publisher"],
+                 date=_date_of(m), publisher=m["publisher"],
                  location=m["loc"], pages=f"{m['p1']}-{m['p2']}")
         return f
     m = _T5.match(s)
     if m:
         # editors ignored (TEI mapper reads <author> only) → authors []
-        f.update(title=m["title"], date=m["year"],
+        f.update(title=m["title"], date=_date_of(m),
                  publisher=m["publisher"], location=m["loc"])
         return f
     m = _T2.match(s)
     if m:
         f.update(authors=_split_authors(m["auth"]), title=m["title"],
-                 date=m["year"], publisher=m["publisher"], location=m["loc"])
+                 date=_date_of(m), publisher=m["publisher"],
+                 location=m["loc"])
         return f
     m = _T3.match(s)
     if m:
@@ -168,14 +227,26 @@ def parse_fields(raw: str) -> dict[str, object]:
                  journal=m["journal"], date=m["year"], volume=m["vol"],
                  pages=f"{m['p1']}-{m['p2']}")
         return f
+    m = _T13.match(s)
+    if m:
+        # monograph without imprint: title level m fallback
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 date=_date_of(m))
+        return f
     # Fallback: year anywhere; head before the FIRST ". " = authors,
     # the ENTIRE tail = title (partition, not split — a tail with
     # further ". " boundaries, e.g. a middle initial, stays one title,
     # matching the analytic <cite>-twin golden derivation,
     # sources/corpus.py:_cite_fallback_fields).
-    ym = _YEAR_RE.search(s)
-    if ym:
-        f["date"] = ym.group(0)
+    # a full when-style "1999-03" piece wins over the bare year (the
+    # <cite> twin of a month-carrying citation carries it verbatim)
+    ymm = _YM_RE.search(s)
+    if ymm:
+        f["date"] = ymm.group(0)
+    else:
+        ym = _YEAR_RE.search(s)
+        if ym:
+            f["date"] = ym.group(0)
     head, sep, tail = s.partition(". ")
     head, tail = head.strip(), tail.strip()
     if sep and head and tail:

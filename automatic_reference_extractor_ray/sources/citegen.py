@@ -2,7 +2,7 @@
 fields (FIXTURES.md: "templated citations … so the field tokenizer has
 deterministic ground truth").
 
-Eleven template shapes (T1-T10 below), matching the shapes
+Fifteen template shapes (T1-T14 below), matching the shapes
 ``functions.fields.parse_fields`` recognizes exactly; the generator
 returns both the raw string and the expected BibStructured field dict,
 so field extraction has an analytic oracle that never calls the parser.
@@ -88,9 +88,20 @@ def gen_citation(rng: np.random.Generator) -> Citation:
            — chapter title is level a and wins; the book title is
            level m and is DROPPED (journal comes only from level j)
       10   T10 month-carrying date ("(1999, March)") — the mapped
-           date field is the year
+           date is the full when-style value "1999-03" (the TEI
+           mapper stores date@when verbatim,
+           LOCDB-V3/imgProcessing.py:889-894)
+      11   T11 forename-first author rendering ("A. Miller") — the
+           TEI mapper's own forename+surname join order
+           (imgProcessing.py:816-846) arriving as input
+      12   T12 bare-surname comma list ("Miller, Schmidt, and
+           Tanaka") — commas as list separators, not inversions
+      13   T13 monograph without an imprint ("Last, A. (2001).
+           Title.") — title level m fallback, no journal marker
+      14   T14 page-marker from-only page ("..., 12(3), p. 45.") —
+           the other surface form of biblScope unit="page"
     """
-    t = int(rng.integers(0, 11))
+    t = int(rng.integers(0, 15))
     year = str(int(rng.integers(1970, 2024)))
     title = _title(rng)
     f = dict(EMPTY_FIELDS)
@@ -173,7 +184,7 @@ def gen_citation(rng: np.random.Generator) -> Citation:
         # book title (level m) dropped; editors ignored
         f.update(authors=authors, publisher=publisher, location=city,
                  pages=f"{p1}-{p2}")
-    else:  # T10 month-carrying date — mapped date is the year
+    elif t == 10:  # T10 month-carrying date — full when-style value
         authors = [_author(rng)]
         journal, vol, iss, p1 = journal_bits()
         p2 = p1 + int(rng.integers(2, 40))
@@ -181,7 +192,36 @@ def gen_citation(rng: np.random.Generator) -> Citation:
         raw = (f"{authors[0]} ({year}, {month}). {title}. {journal}, "
                f"{vol}({iss}), {p1}-{p2}.")
         f.update(authors=authors, journal=journal, volume=vol, issue=iss,
+                 pages=f"{p1}-{p2}",
+                 date=f"{year}-{MONTHS.index(month) + 1:02d}")
+    elif t == 11:  # T11 forename-first authors ("A. Miller")
+        authors = [f"{_pick(rng, INITIALS)}. {_pick(rng, SURNAMES)}"
+                   for _ in range(int(rng.integers(1, 3)))]
+        journal, vol, iss, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f"{' and '.join(authors)} ({year}). {title}. {journal}, "
+               f"{vol}({iss}), {p1}-{p2}.")
+        f.update(authors=authors, journal=journal, volume=vol, issue=iss,
                  pages=f"{p1}-{p2}")
+    elif t == 12:  # T12 bare-surname comma list
+        authors = [_pick(rng, SURNAMES) for _ in range(3)]
+        journal, vol, iss, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f"{authors[0]}, {authors[1]}, and {authors[2]} ({year}). "
+               f"{title}. {journal}, {vol}({iss}), {p1}-{p2}.")
+        f.update(authors=authors, journal=journal, volume=vol, issue=iss,
+                 pages=f"{p1}-{p2}")
+    elif t == 13:  # T13 monograph without an imprint
+        authors = [_author(rng)]
+        raw = f"{authors[0]} ({year}). {title}."
+        f.update(authors=authors)
+    else:  # T14 page-marker from-only page
+        authors = [_author(rng)]
+        journal, vol, iss, p1 = journal_bits()
+        raw = (f"{authors[0]} ({year}). {title}. {journal}, "
+               f"{vol}({iss}), p. {p1}.")
+        f.update(authors=authors, journal=journal, volume=vol, issue=iss,
+                 pages=str(p1))
     return Citation(raw=raw, fields=f)
 
 

@@ -70,12 +70,46 @@ def test_t9_chapter_in_edited_volume():
     assert f["pages"] == "101-120"
 
 
-def test_t10_month_date_maps_to_year():
+def test_t10_month_date_keeps_when_value():
+    # the reference stores the full date@when attribute
+    # (imgProcessing.py:889-894): "(2015, March)" → "2015-03"
     f = parse_fields("Novak, P. (2015, March). Streaming analysis. "
                      "Archive Science Quarterly, 3(1), 5-9.")
-    assert f["date"] == "2015"
+    assert f["date"] == "2015-03"
     assert f["volume"] == "3"
     assert f["pages"] == "5-9"
+
+
+def test_t11_forename_first_authors():
+    f = parse_fields("A. Miller and C. Kim (2007). Spectral methods. "
+                     "Information Processing Letters, 9(4), 12-30.")
+    assert f["authors"] == ["A. Miller", "C. Kim"]
+    assert f["journal"] == "Information Processing Letters"
+
+
+def test_t12_bare_surname_comma_list():
+    f = parse_fields("Miller, Schmidt, and Tanaka (2003). Graph "
+                     "inference. Data Engineering Bulletin, 5(2), 8-19.")
+    assert f["authors"] == ["Miller", "Schmidt", "Tanaka"]
+    # the inverted-name guard: "Miller, A" is ONE name, not a list
+    # (the fallback head of a <cite> twin stops before the ". ")
+    f2 = parse_fields("Miller, A. 1999 Sparse graph inference")
+    assert f2["authors"] == ["Miller, A"]
+
+
+def test_t13_monograph_without_imprint():
+    f = parse_fields("Okafor, S. (2013). Neural retrieval methods.")
+    assert f["authors"] == ["Okafor, S."]
+    assert f["title"] == "Neural retrieval methods"
+    assert f["date"] == "2013"
+    assert f["journal"] == "" and f["publisher"] == "" and f["pages"] == ""
+
+
+def test_t14_page_marker():
+    f = parse_fields("Silva, D. (2010). Streaming analysis. "
+                     "Archive Science Quarterly, 3(1), p. 77.")
+    assert f["pages"] == "77" and f["issue"] == "1"
+    assert f["journal"] == "Archive Science Quarterly"
 
 
 def test_fallback_keeps_year():
