@@ -51,10 +51,14 @@ def q1_pricing_summary(lineitem):
 
 def top_customers_by_revenue(orders, customer, k: int = 10):
     """Top-k customers by total order value: pre-aggregate orders per
-    custkey per batch → small groupby → broadcast-join customer names →
-    global top-k (sort on the tiny aggregate)."""
-    import ray
-    from ray.data.aggregate import Count, Sum
+    custkey per batch → small groupby → global top-k cut FIRST (sort +
+    limit on the tiny aggregate) → attach names for the k winners only.
+
+    The customer dimension scales with the data, so it is never
+    collected or broadcast: the top-k keys (k rows) are found before
+    any name is touched, then the dimension is filtered distributedly
+    for exactly those keys and only ≤ k (key, name) rows reach the
+    driver."""
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -73,17 +77,20 @@ def top_customers_by_revenue(orders, customer, k: int = 10):
         "o_custkey",
         {"revenue_c": ("revenue_c", "sum"), "n_orders": ("n_orders", "sum")})
 
-    names = customer.select_columns(["c_custkey", "c_name"]).to_pandas()
-    name_ref = ray.put(dict(zip(names["c_custkey"], names["c_name"])))
-
-    def attach(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(name_ref)
-        batch["c_name"] = batch["o_custkey"].map(lookup)
-        return batch
-
-    joined = per_cust.map_batches(attach, batch_format="pandas")
-    top = (joined.sort(["revenue_c", "o_custkey"], descending=[True, False])
+    top = (per_cust.sort(["revenue_c", "o_custkey"],
+                         descending=[True, False])
            .limit(k).to_pandas())
+
+    keys = set(top["o_custkey"].tolist())
+
+    def pick_names(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["c_custkey"].isin(keys)
+        return batch.loc[m, ["c_custkey", "c_name"]]
+
+    names = (customer.map_batches(pick_names, batch_format="pandas")
+             .to_pandas())                        # ≤ k rows
+    lookup = dict(zip(names["c_custkey"], names["c_name"]))
+    top["c_name"] = top["o_custkey"].map(lookup)
     top["rank"] = np.arange(1, len(top) + 1, dtype="int64")
     return top[["rank", "o_custkey", "c_name", "revenue_c", "n_orders"]]
 
