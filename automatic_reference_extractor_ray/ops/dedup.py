@@ -15,8 +15,10 @@ texts.  Candidate verification is the distributed GROUPED pair join
 (``grouped_pair_join``): pairs shuffle once by ``bucket(b)``, and each
 doc's payload (token set / id / embedding) travels once per
 REFERENCING BUCKET — never once per pair, never to the driver.
-The only remaining broadcast is the token→document-frequency map in
-``jaccard_pairs`` (vocabulary-sized, bounded — not data-scaling).
+The only remaining broadcast is ``jaccard_pairs``'s Misra–Gries
+heavy-token sketch — capacity-bounded (``df_capacity`` rows), never
+vocabulary-sized, and only a candidate-pruning hint (output exactness
+never depends on it).
 """
 
 from __future__ import annotations
@@ -379,14 +381,67 @@ def _verify_pairs_join(cands, docs, tau: float, coded: bool,
 
 # --------------------------------------------- exact jaccard (prefix filter)
 
-def jaccard_pairs(docs, tau: float = 0.9):
+def _heavy_token_df(docs, capacity: int,
+                    num_buckets: int | None = None) -> pd.DataFrame:
+    """Bounded Misra–Gries document-frequency summary → pandas
+    (token, df_lb), ≤ ``capacity`` rows.
+
+    Per-batch exact doc-frequency Counters are MG-reduced to
+    ``capacity`` rows (subtract the (capacity+1)-th largest, keep
+    positives — the mergeable-summary reduction of Agarwal et al.),
+    partials fold through the bounded-bucket sum, each bucket cuts to
+    its top ``capacity``, and the driver keeps the global top
+    ``capacity`` — O(num_buckets × capacity) driver rows, never
+    vocabulary-sized.  Every token whose true df exceeds
+    total_tokens/(capacity+1) is guaranteed present."""
+
+    def mg_batch(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in b["text"]:
+            c.update(_token_set(t))
+        if not c:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        toks = np.array(list(c.keys()), dtype=object)
+        ns = np.fromiter(c.values(), np.int64, len(c))
+        if len(ns) > capacity:
+            cut = np.partition(ns, len(ns) - capacity - 1)[
+                len(ns) - capacity - 1]
+            ns = ns - cut
+            keep = ns > 0
+            toks, ns = toks[keep], ns[keep]
+        return pd.DataFrame({"token": toks, "n": ns})
+
+    partials = docs.map_batches(mg_batch, batch_format="pandas")
+
+    def bucket_sum(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("token", sort=False)["n"].sum().reset_index()
+        g = g.sort_values(["n", "token"], ascending=[False, True])
+        return g.head(capacity)
+
+    cand = bucketed_groupby(partials, "token", bucket_sum,
+                            num_buckets).to_pandas()
+    cand = cand.sort_values(["n", "token"],
+                            ascending=[False, True]).head(capacity)
+    return cand.rename(columns={"n": "df_lb"}).reset_index(drop=True)
+
+
+def jaccard_pairs(docs, tau: float = 0.9, df_capacity: int = 1 << 15):
     """Exact token-set Jaccard >= tau — AllPairs/PPJoin-style prefix
     filtering so the inverted index stays sparse:
 
-      1. global token document frequencies (bucketed agg, vocab-many
-         keys) → broadcast {token: df};
+      1. BOUNDED heavy-token document-frequency sketch (Misra–Gries,
+         ≤ ``df_capacity`` rows — NOT the vocabulary): the prefix
+         filter is exact under ANY fixed total token order; df order
+         only minimizes candidates, so gating the order with the
+         heavy hitters gives near-optimal pruning while the broadcast
+         stays O(df_capacity) regardless of corpus vocabulary (the
+         round-2 version broadcast a token→df map whose size scales
+         with the data — removed);
       2. each doc indexes only its PREFIX: the ``|s| - ceil(tau*|s|) + 1``
-         globally-rarest tokens (two sets with J >= tau must share a
+         rarest tokens under the fixed order (unsketched tokens rank
+         rarest, ties by token; two sets with J >= tau must share a
          prefix token under any fixed total order — the classic
          guarantee), each index row carrying |s| for the size filter;
       3. per prefix-token bucket: emit locally-deduped candidate pairs
@@ -394,13 +449,13 @@ def jaccard_pairs(docs, tau: float = 0.9):
       4. global pair DISTINCT (bucketed) → exact verification.
 
     Output: every (a, b), a < b, with exact Jaccard >= tau — equals the
-    SQL oracle's answer; the prefix filter only prunes work.
+    SQL oracle's answer; the prefix filter only prunes work, and its
+    correctness does not depend on the sketch (candidate volume does).
     """
     import ray
 
-    dfreq = bucketed_agg(_tokenize_ds(docs), "token",
-                         {"df": ("doc_id", "size")}).to_pandas()
-    df_ref = ray.put(dict(zip(dfreq["token"], dfreq["df"])))
+    heavy = _heavy_token_df(docs, capacity=df_capacity)
+    df_ref = ray.put(dict(zip(heavy["token"], heavy["df_lb"])))
 
     def prefix_index(batch: pd.DataFrame) -> pd.DataFrame:
         dfm = ray.get(df_ref)
@@ -411,6 +466,8 @@ def jaccard_pairs(docs, tau: float = 0.9):
             if not n:
                 continue
             plen = n - int(np.ceil(tau * n)) + 1
+            # fixed total order: unsketched (rare) tokens first by
+            # token string, heavy tokens after by (df_lb, token)
             ts.sort(key=lambda x: (dfm.get(x, 0), x))
             toks.extend(ts[:plen])
             ids.extend([d] * plen)
@@ -460,20 +517,95 @@ _A = _rng.integers(1, 1 << 31, size=MINHASH_K, dtype=np.uint64)
 _B = _rng.integers(0, _MERSENNE, size=MINHASH_K, dtype=np.uint64)
 
 
-def _hash32(tokens: list[str]) -> np.ndarray:
-    return np.array([int.from_bytes(
-        hashlib.blake2b(t.encode(), digest_size=4).digest(), "little")
-        for t in tokens], dtype=np.uint64)
+def _hash32(tokens: list[str] | np.ndarray) -> np.ndarray:
+    """Vectorized 32-bit token hash: pandas' C-backed siphash over an
+    object array (fixed default hash key → deterministic across
+    processes and workers; no PYTHONHASHSEED dependence), masked to 32
+    bits so ``_A*h + _B`` stays < 2^64.  Replaces the round-2
+    per-token ``hashlib.blake2b`` Python loop — the bench's slowest
+    query was spending its time here."""
+    if not len(tokens):
+        return np.array([], dtype=np.uint64)
+    h = pd.util.hash_array(np.asarray(tokens, dtype=object))
+    return h & np.uint64(0xFFFFFFFF)
 
 
 def minhash_signature(tokens: list[str]) -> np.ndarray:
     """k=64 universal-hash minhash of a token set (vectorized: one
     (64, n) uint64 broadcast multiply per doc)."""
-    if not tokens:
+    if not len(tokens):
         return np.full(MINHASH_K, np.iinfo(np.uint64).max, dtype=np.uint64)
     h = _hash32(tokens)
     vals = (_A[:, None] * h[None, :] + _B[:, None]) % _MERSENNE
     return vals.min(axis=1)
+
+
+# batch signature generation bounds its (64, n_tokens) uint64 temp to
+# ~50 MB by processing docs in chunks of this many tokens
+_SIG_CHUNK_TOKENS = 100_000
+
+_SPLITMIX_A = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_B = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized (uint64 wraps mod 2^64)."""
+    x = (x ^ (x >> np.uint64(30))) * _SPLITMIX_A
+    x = (x ^ (x >> np.uint64(27))) * _SPLITMIX_B
+    return x ^ (x >> np.uint64(31))
+
+
+def batch_minhash_signatures(token_lists: list[list[str]]) -> np.ndarray:
+    """(n_docs, MINHASH_K) signature matrix for a whole batch — ONE
+    vectorized hash + broadcast-multiply pass over the batch's
+    concatenated tokens, per-doc minima via ``np.minimum.reduceat``
+    (no per-doc Python work beyond list concatenation).  Empty docs
+    get the all-max signature, matching ``minhash_signature``."""
+    n_docs = len(token_lists)
+    sigs = np.full((n_docs, MINHASH_K), np.iinfo(np.uint64).max,
+                   dtype=np.uint64)
+    lens = np.fromiter((len(ts) for ts in token_lists), np.int64, n_docs)
+    nz = np.flatnonzero(lens)
+    if not len(nz):
+        return sigs
+    # chunk docs so the (64, chunk_tokens) temp stays bounded
+    start = 0
+    while start < len(nz):
+        end = start
+        tok_count = 0
+        while end < len(nz) and (tok_count == 0
+                                 or tok_count + lens[nz[end]]
+                                 <= _SIG_CHUNK_TOKENS):
+            tok_count += lens[nz[end]]
+            end += 1
+        idx = nz[start:end]
+        flat: list[str] = []
+        for i in idx:
+            flat.extend(token_lists[i])
+        h = _hash32(np.array(flat, dtype=object))
+        vals = (_A[:, None] * h[None, :] + _B[:, None]) % _MERSENNE
+        offs = np.zeros(len(idx), dtype=np.int64)
+        np.cumsum(lens[idx[:-1]], out=offs[1:])
+        sigs[idx] = np.minimum.reduceat(vals, offs, axis=1).T
+        start = end
+    return sigs
+
+
+def batch_band_hashes(sigs: np.ndarray) -> np.ndarray:
+    """(n_docs, LSH_BANDS) non-negative int64 band hashes — a
+    vectorized uint64 polynomial over each band's rows with a
+    splitmix64 finalizer (replaces the round-2 per-doc/per-band
+    ``blake2b(chunk.tobytes())`` Python loop).  The band index is
+    mixed into the seed, and the (band, band_hash) pair is the
+    bucket key downstream, so cross-band collisions are harmless."""
+    rows_per_band = MINHASH_K // LSH_BANDS
+    cube = sigs[:, :LSH_BANDS * rows_per_band].reshape(
+        -1, LSH_BANDS, rows_per_band)
+    acc = _mix64(np.arange(1, LSH_BANDS + 1, dtype=np.uint64)
+                 )[None, :] * np.ones((len(sigs), 1), dtype=np.uint64)
+    for r in range(rows_per_band):
+        acc = _mix64(acc ^ cube[:, :, r])
+    return (acc >> np.uint64(1)).astype(np.int64)
 
 
 def _doc_code(doc_id: str) -> int:
@@ -518,23 +650,22 @@ def minhash_lsh_pairs(docs, tau: float = 0.9):
     rows-only checked (compared against ``jaccard_pairs`` in tests,
     not an SQL oracle).
     """
-    rows_per_band = MINHASH_K // LSH_BANDS
     raw_int_ids = _doc_key_dtype(docs) == "int64"
 
     def signatures(batch: pd.DataFrame) -> pd.DataFrame:
-        bands, hashes, codes = [], [], []
-        for d, t in zip(batch["doc_id"], batch["text"]):
-            sig = minhash_signature(_token_set(t))
-            code = int(d) if raw_int_ids else _doc_code(d)
-            for band in range(LSH_BANDS):
-                chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
-                bands.append(band)
-                hashes.append(int.from_bytes(hashlib.blake2b(
-                    chunk.tobytes(), digest_size=8).digest(), "little") >> 1)
-                codes.append(code)
-        return pd.DataFrame({"band": np.array(bands, np.int64),
-                             "band_hash": np.array(hashes, np.int64),
-                             "h": np.array(codes, np.int64)})
+        token_lists = [_token_set(t) for t in batch["text"]]
+        sigs = batch_minhash_signatures(token_lists)     # (n, 64)
+        bh = batch_band_hashes(sigs)                     # (n, B)
+        if raw_int_ids:
+            codes = batch["doc_id"].to_numpy(np.int64)
+        else:
+            codes = np.fromiter((_doc_code(d) for d in batch["doc_id"]),
+                                np.int64, len(batch))
+        return pd.DataFrame({
+            "band": np.tile(np.arange(LSH_BANDS, dtype=np.int64),
+                            len(batch)),
+            "band_hash": bh.reshape(-1),
+            "h": np.repeat(codes, LSH_BANDS)})
 
     bands = docs.map_batches(signatures, batch_format="pandas")
     # band duplicates of a pair all share bucket(b) in the verify join,
@@ -556,18 +687,21 @@ _POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
 def simhash64(tokens: list[str]) -> int:
-    if not tokens:
+    if not len(tokens):
         return 0
     h = _hash64_full(tokens)
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
     v = (2 * bits - 1).sum(axis=0)
-    return int("".join("1" if x > 0 else "0" for x in v[::-1]), 2)
+    return int.from_bytes(
+        np.packbits((v > 0).astype(np.uint8), bitorder="little").tobytes(),
+        "little")
 
 
-def _hash64_full(tokens: list[str]) -> np.ndarray:
-    return np.array([int.from_bytes(
-        hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-        for t in tokens], dtype=np.uint64)
+def _hash64_full(tokens: list[str] | np.ndarray) -> np.ndarray:
+    """Vectorized full-64-bit token hash (see ``_hash32``)."""
+    if not len(tokens):
+        return np.array([], dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(tokens, dtype=object))
 
 
 def simhash_pairs(docs, max_hamming: int = 8):
