@@ -150,6 +150,7 @@ def _doc_key_dtype(docs) -> str:
 
 
 KIND_COL = "__kind"
+PK_COL = "__pk"       # packed int64 pair arrays (see grouped_pair_join)
 
 
 def _pairs_frame(lo, hi, dt: str) -> pd.DataFrame:
@@ -185,11 +186,21 @@ def grouped_pair_join(cands, side, key_dtype: str, payload_cols: list[str],
     ``verify(pairs_pdf, amap, bmap) -> pdf`` then runs per bucket with
     complete payload maps {key: (payload, ...)}.  ``side`` must have
     columns ``["key", *payload_cols]``, one row per key.
+
+    Int-keyed pairs (the scale path — doc codes and int corpora) ship
+    PACKED: each candidate block groups its pairs by target bucket and
+    emits ONE row per bucket whose ``__pk`` column carries the int64
+    (a..., b...) arrays as bytes.  The all-to-all then moves thousands
+    of blob rows instead of tens of millions of 1-pair rows — measured
+    2x on the minhash verify, whose in-bucket compute is milliseconds
+    while Ray's sort paid per-row costs on 28.9M rows.  String-keyed
+    pairs keep the row form.
     """
     from .shuffle import (BUCKET_COL, auto_num_buckets, buckets_for_values,
                           canon_series, pad_frame)
     nb = num_buckets or auto_num_buckets()
     kd = key_dtype
+    packed = kd == "int64"
     # cands feeds TWO branches (the pair stream and the distinct
     # (a, bucket) routing stream) and side feeds two as well (the
     # a-routing join and the b-side stream); Ray re-executes lazy
@@ -207,14 +218,36 @@ def grouped_pair_join(cands, side, key_dtype: str, payload_cols: list[str],
     def buckets_of(s: pd.Series) -> np.ndarray:
         return buckets_for_values(s, kd, nb)
 
-    def mk(df: pd.DataFrame, kind: int, bucket: np.ndarray) -> pd.DataFrame:
+    def mk(df: pd.DataFrame, kind: int, bucket: np.ndarray,
+           pk: list | None = None) -> pd.DataFrame:
         out = pad_frame(df, schema)
         out[KIND_COL] = np.full(len(df), kind, dtype=np.int8)
         out[BUCKET_COL] = bucket
+        # bytes everywhere (b"" default) so the column's object type
+        # stays uniform across blocks (see pad_frame's dtype rule)
+        out[PK_COL] = pk if pk is not None else [b""] * len(df)
         return out
 
+    def pack_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        bk = buckets_of(df["b"])
+        if not len(df):
+            return mk(df.iloc[:0], 0, bk)
+        av = df["a"].to_numpy(np.int64)
+        bv = df["b"].to_numpy(np.int64)
+        order = np.argsort(bk, kind="stable")
+        bks, avs, bvs = bk[order], av[order], bv[order]
+        bounds = np.flatnonzero(np.diff(bks)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(bks)]))
+        blobs = [avs[s:e].tobytes() + bvs[s:e].tobytes()
+                 for s, e in zip(starts, ends)]
+        base = pd.DataFrame(index=pd.RangeIndex(len(blobs)))
+        return mk(base, 0, bks[starts].astype(np.int64), pk=blobs)
+
     pairs_t = cands.map_batches(
-        lambda df: mk(df, 0, buckets_of(df["b"])), batch_format="pandas")
+        pack_pairs if packed else
+        (lambda df: mk(df, 0, buckets_of(df["b"]))),
+        batch_format="pandas")
 
     # distinct (a, target-bucket): per-batch dedupe shrinks the shuffle,
     # the bucketed distinct makes it global
@@ -247,7 +280,20 @@ def grouped_pair_join(cands, side, key_dtype: str, payload_cols: list[str],
     def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=[BUCKET_COL])
         kinds = g[KIND_COL].to_numpy()
-        pairs = g[kinds == 0][["a", "b"]]
+        if packed:
+            avs, bvs = [], []
+            for blob in g.loc[kinds == 0, PK_COL]:
+                arr = np.frombuffer(blob, dtype=np.int64)
+                half = len(arr) // 2
+                avs.append(arr[:half])
+                bvs.append(arr[half:])
+            pairs = pd.DataFrame({
+                "a": np.concatenate(avs) if avs
+                else np.array([], dtype=np.int64),
+                "b": np.concatenate(bvs) if bvs
+                else np.array([], dtype=np.int64)})
+        else:
+            pairs = g[kinds == 0][["a", "b"]]
         if dedupe_pairs:
             pairs = pairs.drop_duplicates()
         ar = g[kinds == 1]
