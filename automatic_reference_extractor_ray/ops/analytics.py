@@ -526,6 +526,12 @@ def global_rank(ds, value_col: str, id_col: str, descending: bool = False,
     locally inside one bucket and adds its offset.  Equal values always
     land in one range, so the in-range (value, id) lexsort is the only
     tie-break that ever runs.
+
+    The boundary sample reads 33 per-block quantiles from EVERY block
+    and stream-folds them on the driver under a fixed cap (re-quantile
+    whenever the accumulator exceeds 4·sample_size) — sorted or skewed
+    input still yields balanced ranges, and driver memory stays
+    O(sample_size) at any block count.
     """
 
     def keyed(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -536,9 +542,24 @@ def global_rank(ds, value_col: str, id_col: str, descending: bool = False,
                 f"for {value_col!r}")
         return pdf.assign(__k=(-v if descending else v))
 
-    sample = ds.limit(sample_size).map_batches(
-        keyed, batch_format="pandas").to_pandas()
-    bounds = np.unique(sample["__k"].to_numpy())[1:-1]  # interior cuts
+    qs = np.linspace(0.0, 1.0, 33)
+
+    def block_quantiles(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = keyed(pdf)["__k"].to_numpy()
+        if not len(k):
+            return pd.DataFrame({"__k": pd.Series([], dtype="float64")})
+        return pd.DataFrame(
+            {"__k": np.quantile(k, qs, method="nearest").astype("float64")})
+
+    acc = np.array([], dtype="float64")
+    for part in ds.map_batches(
+            block_quantiles, batch_format="pandas").iter_batches(
+            batch_format="pandas", batch_size=4096):
+        acc = np.concatenate([acc, part["__k"].to_numpy()])
+        if len(acc) > 4 * sample_size:                 # bounded driver fold
+            acc = np.quantile(acc, np.linspace(0.0, 1.0, sample_size),
+                              method="nearest")
+    bounds = np.unique(acc)[1:-1]  # interior cuts
 
     def add_range(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = keyed(pdf)

@@ -16,9 +16,8 @@ list<string> column doesn't survive a pandas round-trip.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ..schema import REFS_SCHEMA
@@ -27,9 +26,11 @@ BUCKET_COL = "__bucket"
 
 
 def _add_bucket(t: pa.Table, num_buckets: int) -> pa.Table:
-    ids = t.column("doc_id").to_pylist()
-    buckets = np.fromiter((zlib.crc32(d.encode("utf-8")) % num_buckets
-                           for d in ids), dtype=np.int64, count=len(ids))
+    # pandas' C siphash over the whole column (vs a per-row Python
+    # crc32 loop); any deterministic hash works — the bucket id only
+    # co-locates a document's records, output is bucket-invariant
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    buckets = (pd.util.hash_array(ids) % num_buckets).astype(np.int64)
     return t.append_column(BUCKET_COL, pa.array(buckets))
 
 
