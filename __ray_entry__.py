@@ -342,6 +342,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _docs_table(sf)
         return dedup_components(docs, jaccard_pairs(docs, tau=JACCARD_TAU))
 
+    def semantic_dedup_q(sf):
+        from automatic_reference_extractor_ray.ops.dedup import semantic_dedup
+        return semantic_dedup(_read(sf, "embeddings"), k=8, n_iter=5,
+                              tau=EMB_TAU)
+
     def dedup_incremental_q(sf):
         from automatic_reference_extractor_ray.ops.dedup import (
             incremental_dedup)
@@ -618,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rounds and untouched since sit at the tail.
     return {
         # -- never driver-verified before round 3 (r2 additions) --
+        "semantic_dedup": semantic_dedup_q,
         "topk_tokens": topk_tokens_q,
         "approx_distinct": approx_distinct_q,
         "kmeans_clusters": kmeans_q,
@@ -1198,7 +1204,8 @@ def oracle_sql() -> dict[str, str]:
         # ann_ivf are approximate by design → rows-only checks (no SQL
         # equivalent claimed); recall vs the exact baselines is asserted
         # in pytest instead.  approx_distinct (HLL sketch),
-        # approx_quantiles (histogram sketch) and kmeans_clusters
-        # (iterative) are likewise non-SQL: error bound / agreement
+        # approx_quantiles (histogram sketch), kmeans_clusters
+        # (iterative) and semantic_dedup (k-means + in-cluster greedy
+        # prune) are likewise non-SQL: error bound / agreement
         # with a local reference is asserted in pytest.
     }

@@ -416,18 +416,11 @@ def _kmeans_init(embeddings, k: int) -> np.ndarray:
     return np.stack(cand["embedding"].to_numpy()).astype(np.float64)
 
 
-def kmeans(embeddings, k: int = 8, n_iter: int = 10):
-    """Lloyd's k-means over the embedding column → (vec_id, cluster).
-
-    Each iteration: centroids (k x d, tiny) broadcast via ``ray.put``;
-    every batch computes assignments vectorized and emits k partial
-    (cluster, count, sum) rows; the driver folds nblocks*k partials —
-    fixed-size state, the classic scalable shape.  Distance ties take
-    the lowest cluster index (np.argmin), empty clusters keep their
-    previous centroid, so the result is deterministic for a given
-    input set (assignment is order-free; centroid sums fold in block
-    order, the one float-order caveat — documented, not observable on
-    separated clusters)."""
+def kmeans_fit(embeddings, k: int = 8, n_iter: int = 10) -> np.ndarray:
+    """The Lloyd iteration of :func:`kmeans`, returning the fitted
+    (k x d) centroid matrix — shared by the assignment map and by
+    consumers that need centroids without assignments (semantic
+    dedup's cluster stage)."""
     import ray
 
     cents = _kmeans_init(embeddings, k)
@@ -458,6 +451,24 @@ def kmeans(embeddings, k: int = 8, n_iter: int = 10):
             new[ci] = total / g["n"].sum()
         cents = new
 
+    return cents
+
+
+def kmeans(embeddings, k: int = 8, n_iter: int = 10):
+    """Lloyd's k-means over the embedding column → (vec_id, cluster).
+
+    Each iteration: centroids (k x d, tiny) broadcast via ``ray.put``;
+    every batch computes assignments vectorized and emits k partial
+    (cluster, count, sum) rows; the driver folds nblocks*k partials —
+    fixed-size state, the classic scalable shape.  Distance ties take
+    the lowest cluster index (np.argmin), empty clusters keep their
+    previous centroid, so the result is deterministic for a given
+    input set (assignment is order-free; centroid sums fold in block
+    order, the one float-order caveat — documented, not observable on
+    separated clusters)."""
+    import ray
+
+    cents = kmeans_fit(embeddings, k, n_iter)
     ref = ray.put(cents)
 
     def assign(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:

@@ -1079,3 +1079,74 @@ def dedup_components(docs, pairs, max_rounds: int = 25):
                              "is_keeper": pdf["key"] == pdf["other"]})
 
     return labels.map_batches(finalize, batch_format="pandas")
+
+
+# ------------------------------------------------- semantic dedup
+
+def semantic_dedup(embeddings, k: int = 8, n_iter: int = 10,
+                   tau: float = 0.95, num_buckets: int | None = None):
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means partitions the embedding space, then
+    each cluster prunes its own near-duplicates — a vector survives
+    only if no already-kept cluster member has cosine >= ``tau``
+    (greedy scan in ascending vec_id, so the lowest id of every
+    mutually-similar set is the keeper).
+
+    → (vec_id, cluster, is_keeper) — one row per input vector.
+
+    Scale shape: the Lloyd fit folds fixed-size per-block partials
+    (``analytics.kmeans_fit``); assignment is a stateless map with the
+    k x d centroid matrix broadcast once via ``ray.put``; the
+    quadratic prune runs per CLUSTER inside one hash bucket of one
+    bounded shuffle keyed by cluster id — vectors ship exactly once
+    and all-pairs work never crosses cluster lines.  ``k`` is the
+    cluster-size dial: pick k ~ N / target_cluster_size so a
+    cluster's cos matrix fits a task heap (SemDeDup's own operating
+    point).  Deterministic: greedy order is global-id order,
+    independent of row/block arrival.  No SQL oracle (iterative
+    k-means) — rows-only gate + exact local-reference pytest.
+    """
+    import ray
+
+    from .analytics import kmeans_fit
+
+    cents = kmeans_fit(embeddings, k, n_iter)
+    ref = ray.put(cents)
+
+    def assign(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        c = ray.get(_ref)
+        m = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pd.DataFrame({
+            "vec_id": b["vec_id"].astype("int64").to_numpy(),
+            "cluster": d2.argmin(axis=1).astype(np.int64),
+            "embedding": b["embedding"].to_numpy()})
+
+    assigned = embeddings.map_batches(assign, batch_format="pandas")
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for ci, g in pdf.groupby("cluster", sort=False):
+            ids = g["vec_id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            m = np.stack(g["embedding"].to_numpy()).astype(np.float64)[order]
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            m /= nrm
+            cos = m @ m.T
+            kept = np.zeros(len(ids), dtype=bool)
+            for i in range(len(ids)):
+                kept[i] = not (cos[i, :i][kept[:i]] >= tau).any()
+            outs.append(pd.DataFrame({
+                "vec_id": ids,
+                "cluster": np.full(len(ids), ci, dtype=np.int64),
+                "is_keeper": kept}))
+        if not outs:
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype="int64"),
+                "cluster": pd.Series([], dtype="int64"),
+                "is_keeper": pd.Series([], dtype=bool)})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_groupby(assigned, "cluster", prune, num_buckets)

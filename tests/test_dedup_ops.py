@@ -202,3 +202,49 @@ def test_incremental_dedup_verdicts(ray_session):
                               num_buckets=8)
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_semantic_dedup_greedy_prune(ray_session):
+    """semantic_dedup == (the op's own cluster assignment) + an exact
+    local greedy lowest-id prune within each cluster; every cluster
+    keeps >=1 vector, output covers every input exactly once, and the
+    result is bucket-count invariant."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.dedup import semantic_dedup
+
+    rng = np.random.default_rng(77)
+    n, dim, tau = 240, 16, 0.9
+    base = rng.standard_normal((n, dim))
+    # plant near-duplicates: vectors 3i+1 and 3i+2 are tiny
+    # perturbations of 3i for i < 30
+    for i in range(30):
+        base[3 * i + 1] = base[3 * i] + 0.01 * rng.standard_normal(dim)
+        base[3 * i + 2] = base[3 * i] + 0.01 * rng.standard_normal(dim)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype="int64"),
+                       "embedding": list(base)})
+    ds = rd.from_pandas(df)
+
+    out = (semantic_dedup(ds, k=6, n_iter=5, tau=tau)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert out["vec_id"].tolist() == list(range(n))
+    assert out.groupby("cluster")["is_keeper"].any().all()
+    assert (~out["is_keeper"]).sum() >= 30   # planted dups get pruned
+
+    # exact local reference: greedy lowest-id scan per (op-assigned)
+    # cluster over normalized cosines
+    normed = base / np.linalg.norm(base, axis=1, keepdims=True)
+    for _, g in out.groupby("cluster"):
+        ids = g["vec_id"].to_numpy()
+        m = normed[ids]
+        cos = m @ m.T
+        kept: list[int] = []
+        for i in range(len(ids)):
+            dup = any(cos[i, j] >= tau for j in kept)
+            assert bool(g["is_keeper"].to_numpy()[i]) == (not dup), ids[i]
+            if not dup:
+                kept.append(i)
+
+    out2 = (semantic_dedup(ds, k=6, n_iter=5, tau=tau, num_buckets=5)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out2)
