@@ -470,6 +470,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from automatic_reference_extractor_ray.ops.analytics import hash_split
         return hash_split(_read(sf, "documents", ["doc_id"]), "doc_id")
 
+    def exact_sample_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            exact_sample)
+        return exact_sample(_read(sf, "documents", ["doc_id"]),
+                            "doc_id", n=100)
+
     def topk_tokens_q(sf):
         from automatic_reference_extractor_ray.ops.analytics import topk_tokens
         return topk_tokens(_docs_table(sf), k=50)
@@ -624,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- never driver-verified before round 3 (r2 additions) --
         "semantic_dedup": semantic_dedup_q,
+        "exact_sample": exact_sample_q,
         "topk_tokens": topk_tokens_q,
         "approx_distinct": approx_distinct_q,
         "kmeans_clusters": kmeans_q,
@@ -1091,6 +1098,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, q, value AS q_value
             FROM ranked JOIN qs ON rn = CAST(CEIL(q * n) AS BIGINT)""",
         "hash_split": _analytics_split_sql(),
+        "exact_sample": """
+            SELECT doc_id FROM documents
+            ORDER BY md5('exact|' || CAST(doc_id AS VARCHAR))
+            LIMIT 100""",
         "topk_tokens": f"""
             SELECT token, COUNT(*) AS n
             FROM (SELECT unnest({TOK}) AS token FROM documents)

@@ -178,6 +178,52 @@ def hash_split_sql(table: str, id_col: str,
               FROM {table})"""
 
 
+# ------------------------------------------- exact-n uniform sample
+
+def exact_sample(ds, id_col: str, n: int, salt: str = "exact"):
+    """EXACTLY-n deterministic uniform sample — the "give me n random
+    documents, reproducibly" curation primitive that rate-based
+    sampling (``mixture_sample`` etc.) can't provide: the n rows with
+    the smallest ``md5("{salt}|{id}")`` digests win.  → the input
+    rows, filtered.  Requires unique ids (digest ties are then
+    impossible short of md5 collisions).
+
+    Scale shape: a per-block combiner keeps each block's n smallest
+    digests; the driver stream-folds those candidates under a 4n cap
+    (``iter_batches``, re-sorting when it overflows — O(n) driver
+    memory at any block count) down to the global n-th digest; the
+    keep test is then a stateless per-row filter against that one
+    32-char threshold.  Digest string order is md5-numeric order
+    (lowercase hex), so the DuckDB oracle is
+    ``ORDER BY md5('{salt}|' || CAST(id AS VARCHAR)) LIMIT n``.
+    """
+
+    def _digest(v) -> str:
+        return hashlib.md5(f"{salt}|{v}".encode("utf-8")).hexdigest()
+
+    def cand(b: pd.DataFrame) -> pd.DataFrame:
+        hs = sorted(_digest(v) for v in b[id_col].tolist())[:n]
+        return pd.DataFrame({"__h": pd.Series(hs, dtype="object")})
+
+    acc: list[str] = []
+    for part in ds.map_batches(cand, batch_format="pandas").iter_batches(
+            batch_format="pandas", batch_size=4096):
+        acc.extend(part["__h"].tolist())
+        if len(acc) > 4 * n:
+            acc = sorted(acc)[:n]
+    acc = sorted(acc)[:n]
+    thr = acc[-1] if len(acc) == n else None   # None: corpus smaller than n
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        if thr is None:
+            return b
+        m = np.fromiter((_digest(v) <= thr for v in b[id_col].tolist()),
+                        dtype=bool, count=len(b))
+        return b[m]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 # ------------------------------------------------- exact heavy hitters
 
 def topk_tokens(docs, k: int = 50, text_col: str = "text",

@@ -223,6 +223,9 @@ def run_bench() -> dict:
         read("embeddings")).count())
     timed("ann_topk", lambda: brute_force_topk(
         read("embeddings"), [0, 1, 2, 3, 4, 5, 6, 7]).count())
+    from automatic_reference_extractor_ray.ops.dedup import semantic_dedup
+    timed("semantic_dedup", lambda: semantic_dedup(
+        read("embeddings"), k=8, n_iter=5).count())
 
     result = {
         "metric": "e2e_extract_sec",
@@ -280,6 +283,10 @@ def run_scaling() -> dict:
         "unit": "ratio",
         "repeat": int(repeat),
         "samples": samples,
+        # every leg, in run order — throttled legs are visible instead
+        # of silently folded into the best-of
+        "legs_8": [r["value"] for r in runs_lo],
+        "legs_32": [r["value"] for r in runs_hi],
         "sec_8": r_lo["value"], "sec_32": r_hi["value"],
         "docs_per_sec_8": r_lo["docs_per_sec"],
         "docs_per_sec_32": r_hi["docs_per_sec"],

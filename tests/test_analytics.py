@@ -655,3 +655,30 @@ def test_approx_topk_tokens_mg_bounds(ray_session):
     # every token with exact count > err must appear in the candidates
     heavy = set(exact[exact > err].head(20).index)
     assert heavy <= set(got["token"]), heavy - set(got["token"])
+
+
+def test_exact_sample_exact_n_and_block_invariant(ray_session):
+    """exact_sample returns EXACTLY n rows — the n smallest
+    md5(salt|id) digests — regardless of block structure; n >= corpus
+    keeps everything."""
+    import hashlib
+
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.analytics import exact_sample
+
+    n_rows = 300
+    df = pd.DataFrame({"doc_id": np.arange(n_rows, dtype="int64"),
+                       "payload": [f"p{i}" for i in range(n_rows)]})
+    exp = set(sorted(
+        range(n_rows),
+        key=lambda v: hashlib.md5(f"exact|{v}".encode()).hexdigest())[:40])
+
+    for nblocks in (1, 7):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        got = exact_sample(ds, "doc_id", n=40).to_pandas()
+        assert set(got["doc_id"]) == exp
+        assert list(got.columns) == ["doc_id", "payload"]  # full rows
+
+    got_all = exact_sample(rd.from_pandas(df), "doc_id", n=1000).to_pandas()
+    assert len(got_all) == n_rows
