@@ -347,6 +347,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return semantic_dedup(_read(sf, "embeddings"), k=8, n_iter=5,
                               tau=EMB_TAU)
 
+    def dedup_corpus_q(sf):
+        from automatic_reference_extractor_ray.ops.dedup import dedup_corpus
+        return dedup_corpus(_docs_table(sf), tau=JACCARD_TAU)
+
     def dedup_incremental_q(sf):
         from automatic_reference_extractor_ray.ops.dedup import (
             incremental_dedup)
@@ -631,6 +635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- never driver-verified before round 3 (r2 additions) --
         "semantic_dedup": semantic_dedup_q,
         "exact_sample": exact_sample_q,
+        "dedup_corpus": dedup_corpus_q,
         "topk_tokens": topk_tokens_q,
         "approx_distinct": approx_distinct_q,
         "kmeans_clusters": kmeans_q,
@@ -993,6 +998,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, component_id,
                    doc_id = component_id AS is_keeper
             FROM comp""",
+        "dedup_corpus": f"""
+            WITH RECURSIVE tok AS (
+              SELECT doc_id, unnest(list_distinct({TOK})) AS token FROM documents),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+              SELECT t1.doc_id AS a, t2.doc_id AS b, COUNT(*) AS i
+              FROM tok t1 JOIN tok t2
+                ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_TAU}),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+            walk(node, label) AS (
+                SELECT doc_id, doc_id FROM documents
+              UNION
+                SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node),
+            comp AS (
+              SELECT node AS doc_id, MIN(label) AS component_id
+              FROM walk GROUP BY node)
+            SELECT d.doc_id, d.text
+            FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+            WHERE c.doc_id = c.component_id""",
         "dedup_embedding": f"""
             SELECT e1.vec_id AS a, e2.vec_id AS b
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id

@@ -1081,6 +1081,41 @@ def dedup_components(docs, pairs, max_rounds: int = 25):
     return labels.map_batches(finalize, batch_format="pandas")
 
 
+# ------------------------------------------------- near-dup removal
+
+def dedup_corpus(docs, pairs=None, tau: float = 0.9,
+                 num_buckets: int | None = None):
+    """Near-duplicate REMOVAL — the composed flagship curation job
+    ("drop every near-duplicate document, keep one per cluster"):
+    pair generation → connected components → keep each component's
+    min-id member → semi-join survivors back to the full doc rows.
+
+    ``pairs`` defaults to the exact prefix-filtered Jaccard pairs at
+    ``tau`` (SQL-checkable end-to-end); pass any (a, b) pair Dataset —
+    ``minhash_lsh_pairs`` for the cheap candidate path, ``simhash_pairs``,
+    ``embedding_dup_pairs_lsh`` — to swap the similarity stage without
+    touching the removal machinery.
+
+    → the surviving ``documents`` rows (doc_id, text).
+
+    Scale shape: composition of scale-shaped parts — bucketed pair
+    generation, two flat bucketed shuffles per component round, and
+    one hash-bucketed semi join; nothing driver-side at any stage.
+    """
+    if pairs is None:
+        pairs = jaccard_pairs(docs, tau=tau)
+    dt = _doc_key_dtype(docs)
+    comp = dedup_components(docs, pairs)
+    keepers = comp.map_batches(
+        lambda d: d.loc[d["is_keeper"], ["doc_id"]],
+        batch_format="pandas")
+    return bucketed_join(
+        docs, keepers, on="doc_id",
+        left_schema={"doc_id": dt, "text": "object"},
+        right_schema={"doc_id": dt},
+        num_buckets=num_buckets, how="semi")
+
+
 # ------------------------------------------------- semantic dedup
 
 def semantic_dedup(embeddings, k: int = 8, n_iter: int = 10,

@@ -248,3 +248,34 @@ def test_semantic_dedup_greedy_prune(ray_session):
     out2 = (semantic_dedup(ds, k=6, n_iter=5, tau=tau, num_buckets=5)
             .to_pandas().sort_values("vec_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_dedup_corpus_keeps_one_per_cluster(ray_session):
+    """Near-dup removal keeps the min-id doc of each Jaccard cluster
+    with its text intact; a custom pair Dataset swaps the similarity
+    stage without changing the removal semantics."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.dedup import dedup_corpus
+
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 4, 5], dtype="int64"),
+        "text": ["alpha beta gamma delta",
+                 "alpha beta gamma delta",     # dup of 1
+                 "unrelated text entirely",
+                 "epsilon zeta eta theta",
+                 "epsilon zeta eta theta"],    # dup of 4
+    })
+    out = (dedup_corpus(rd.from_pandas(df), tau=0.9)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 3, 4]
+    assert out["text"].tolist() == [df["text"][0], df["text"][2],
+                                    df["text"][3]]
+
+    # custom pair stream: chain 1-2, 2-3 → one cluster keeps only 1
+    pairs = rd.from_pandas(pd.DataFrame(
+        {"a": np.array([1, 2], dtype="int64"),
+         "b": np.array([2, 3], dtype="int64")}))
+    out2 = (dedup_corpus(rd.from_pandas(df), pairs=pairs)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out2["doc_id"].tolist() == [1, 4, 5]
