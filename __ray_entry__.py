@@ -68,6 +68,12 @@ def _chunk_sql() -> str:
     return chunk_sql(chunk=64, overlap=8)
 
 
+def _scrub_dup_lines_sql() -> str:
+    from automatic_reference_extractor_ray.ops.textstats import (
+        scrub_dup_lines_sql)
+    return scrub_dup_lines_sql(min_docs=2)
+
+
 def _pack_sql() -> str:
     from automatic_reference_extractor_ray.ops.textstats import pack_sql
     return pack_sql()
@@ -350,6 +356,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dedup_corpus_q(sf):
         from automatic_reference_extractor_ray.ops.dedup import dedup_corpus
         return dedup_corpus(_docs_table(sf), tau=JACCARD_TAU)
+
+    def scrub_dup_lines_q(sf):
+        from automatic_reference_extractor_ray.ops.textstats import (
+            scrub_dup_lines)
+        return scrub_dup_lines(_docs_table(sf), min_docs=2)
 
     def dedup_incremental_q(sf):
         from automatic_reference_extractor_ray.ops.dedup import (
@@ -636,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": semantic_dedup_q,
         "exact_sample": exact_sample_q,
         "dedup_corpus": dedup_corpus_q,
+        "scrub_dup_lines": scrub_dup_lines_q,
         "topk_tokens": topk_tokens_q,
         "approx_distinct": approx_distinct_q,
         "kmeans_clusters": kmeans_q,
@@ -1154,6 +1166,7 @@ def oracle_sql() -> dict[str, str]:
         "scrub_text": _scrub_sql(),
         "chunk_docs": _chunk_sql(),
         "pack_sequences": _pack_sql(),
+        "scrub_dup_lines": _scrub_dup_lines_sql(),
         "weighted_sample": _weighted_sql(),
         "normalize_text": _normalize_sql(),
         "events_retention": """

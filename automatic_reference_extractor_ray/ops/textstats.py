@@ -743,3 +743,102 @@ REPETITION_SQL = r"""
                          END) > 200))
              AS keep
     FROM l LEFT JOIN mx USING (doc_id)"""
+
+
+# ------------------------------------- corpus-wide line dedup
+
+def scrub_dup_lines(docs, min_docs: int = 2, min_chars: int = 1,
+                    num_buckets: int | None = None):
+    """Corpus-wide duplicate-LINE removal (the CCNet / RefinedWeb
+    boilerplate scrub): any exact line that appears in >= ``min_docs``
+    DISTINCT documents is deleted from every document; lines shorter
+    than ``min_chars`` raw characters are never counted (and so never
+    removed).  → (doc_id, text) with surviving lines re-joined by
+    ``\\n``, one row per input document (a document whose every line
+    was boilerplate comes back as ``""``).
+
+    Scale shape: three bounded shuffles, nothing driver-side —
+    (1) per-line distinct-doc counts via the bucketed aggregate (the
+    per-doc line set is deduped in the map, so rows are (line, doc)
+    pairs), (2) a hash-bucketed ANTI join deletes flagged lines from
+    the exploded line stream (the removal set is a Dataset, never a
+    broadcast — boilerplate vocabularies scale with the corpus), and
+    (3) a doc-bucketed re-stitch joins survivors in line order, with a
+    zero-row stub unioned per document so fully-scrubbed docs survive
+    as empty rows (the ``decontaminate`` zero-row-union pattern).
+    """
+    from .dedup import _doc_key_dtype
+    from .shuffle import bucketed_agg, bucketed_groupby, bucketed_join
+
+    dt = _doc_key_dtype(docs)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["doc_id"]].copy()
+        out["line"] = b["text"].fillna("").str.split("\n")
+        out = out.explode("line", ignore_index=True)
+        out["line"] = out["line"].astype(object)
+        out["i"] = (out.groupby("doc_id", sort=False).cumcount() + 1
+                    ).astype("int64")
+        return out[["doc_id", "i", "line"]]
+
+    lines = docs.map_batches(explode, batch_format="pandas")
+
+    def countable(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["line"].str.len() >= min_chars
+        return b.loc[m, ["line", "doc_id"]].drop_duplicates()
+
+    counts = bucketed_agg(
+        lines.map_batches(countable, batch_format="pandas"),
+        "line", {"nd": ("doc_id", "nunique")}, num_buckets)
+    removal = counts.map_batches(
+        lambda d: d.loc[d["nd"] >= min_docs, ["line"]],
+        batch_format="pandas")
+
+    kept = bucketed_join(
+        lines, removal, on="line",
+        left_schema={"doc_id": dt, "i": "int64", "line": "object"},
+        right_schema={"line": "object"},
+        num_buckets=num_buckets, how="anti")
+
+    def stub(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "i": np.zeros(len(b), dtype="int64"),
+            "line": [""] * len(b)})
+
+    allrows = kept.union(docs.map_batches(stub, batch_format="pandas"))
+
+    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, texts = [], []
+        for d, g in pdf.groupby("doc_id", sort=False):
+            g = g[g["i"] > 0].sort_values("i")
+            ids.append(d)
+            texts.append("\n".join(g["line"]))
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
+                             "text": pd.Series(texts, dtype=object)})
+
+    return bucketed_groupby(allrows, "doc_id", stitch, num_buckets)
+
+
+def scrub_dup_lines_sql(min_docs: int = 2, min_chars: int = 1) -> str:
+    """DuckDB oracle mirroring ``scrub_dup_lines`` byte-for-byte."""
+    return f"""
+    WITH l AS (
+      SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS ls
+      FROM documents),
+    lines AS (
+      SELECT doc_id, unnest(ls) AS line,
+             unnest(range(1, len(ls) + 1)) AS i
+      FROM l),
+    counts AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS nd
+      FROM lines WHERE len(line) >= {min_chars}
+      GROUP BY line),
+    kept AS (
+      SELECT doc_id, i, line FROM lines
+      WHERE line NOT IN (SELECT line FROM counts WHERE nd >= {min_docs})),
+    agg AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+      FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(a.text, '') AS text
+    FROM documents d LEFT JOIN agg a USING (doc_id)"""

@@ -682,3 +682,29 @@ def test_exact_sample_exact_n_and_block_invariant(ray_session):
 
     got_all = exact_sample(rd.from_pandas(df), "doc_id", n=1000).to_pandas()
     assert len(got_all) == n_rows
+
+
+def test_scrub_dup_lines_boilerplate_removal(ray_session):
+    """Lines shared by >=2 docs vanish from every doc, unique lines
+    and sub-min_chars lines survive, fully-scrubbed docs come back as
+    empty rows, and the result is bucket-count invariant."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.textstats import (
+        scrub_dup_lines)
+
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 4], dtype="int64"),
+        "text": ["COPYRIGHT FOOTER\nunique one\n\nkeep me",
+                 "COPYRIGHT FOOTER\nunique two",
+                 "COPYRIGHT FOOTER",          # fully boilerplate
+                 None],                       # null text → empty doc
+    })
+    exp = {1: "unique one\n\nkeep me",        # empty line survives
+           2: "unique two",
+           3: "",
+           4: ""}
+    for kw in ({}, {"num_buckets": 5}):
+        out = (scrub_dup_lines(rd.from_pandas(df), min_docs=2, **kw)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert dict(zip(out["doc_id"], out["text"])) == exp
