@@ -1,21 +1,29 @@
 """Latest-version-per-document dedup (G4, the exact dedup of the
 system; ``findLatest`` LOCDB-V3/fileProcessor.py:223-265).
 
-Scale design: versions are *rare* (a re-uploaded document), so instead
-of shuffling every row through ``groupby(base_id)`` we do a two-phase
-broadcast semi-join:
+Scale design: versions are *rare* (a re-uploaded document), and the
+"multi-version" test needs no global grouping at all — a base_id is
+superseded iff ANY ``~k`` (k >= 1) row exists for it, in which case the
+max versioned k wins (the plain row is version 0, so "any versioned row"
+⟺ ">1 distinct version" whenever a plain row coexists, and when only
+``~k`` rows exist the max-wins filter is a no-op on them — outcome
+identical to the grouped nunique>1 rule in every case).  So:
 
-  1. light pass over (base_id, version) only: per-batch distinct
-     combiner → DISTRIBUTED aggregate (bounded-bucket shuffle) with the
-     ``>1 distinct version`` filter applied inside each bucket — only
-     base_ids that are actually multi-versioned (tiny in practice) ever
-     reach the driver;
-  2. ``ray.put`` that {base_id: max_version} dict once; filter inside
-     ``map_batches`` — no full shuffle of document payloads.
+  1. light pass over doc_id only: each batch keeps its VERSION-SUFFIXED
+     rows, groups per-batch to (base_id, max version) partials — plain
+     ids (the overwhelming majority) never leave their blocks, and no
+     all-to-all runs at all (the previous bucketed groupby cost ~3-5 s
+     of fixed sort-shuffle overhead per run regardless of volume);
+  2. the driver stream-folds those partials (``iter_batches``) into
+     {base_id: max_version} — state is bounded by the number of
+     version-suffixed ids, the same rarity assumption the broadcast
+     in step 3 already makes (documented there);
+  3. ``ray.put`` that dict once; filter inside ``map_batches`` — no
+     shuffle of document payloads.
 
-The (rare) pathological case — nearly every doc versioned — still only
-collects the multi-version keys, never the whole id universe; the
-shuffle stays over (base_id, version) pairs, never payloads.
+The (rare) pathological case — nearly every doc versioned — grows the
+driver dict to the versioned-id count; the payload stream still never
+shuffles.
 """
 
 from __future__ import annotations
@@ -26,7 +34,6 @@ import pyarrow as pa
 import ray
 
 from ..functions.textkit import split_versioned_doc_id
-from ..ops.shuffle import bucketed_groupby
 
 
 def _base_ver(batch: pa.Table) -> pa.Table:
@@ -52,35 +59,33 @@ def _base_ver(batch: pa.Table) -> pa.Table:
                          pa.int64())})
 
 
-def _distinct_bv(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: distinct (base_id, version) rows — shrinks
-    the shuffle input to distinct-keys-per-batch."""
-    df = batch.to_pandas().drop_duplicates()
-    return pa.Table.from_pandas(df, preserve_index=False)
-
-
-def _multi_version_max(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per bucket (sees ALL rows of its base_ids): keep only base_ids
-    with >1 distinct version, with their max version — the n>1 filter
-    runs BEFORE anything returns toward the driver."""
-    g = pdf.groupby("base_id")["version"].agg(["max", "nunique"])
-    g = g[g["nunique"] > 1]
-    return pd.DataFrame({"base_id": g.index,
-                         "max_version": g["max"].astype("int64")})
+def _versioned_max_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: (base_id, max version) over this batch's
+    VERSION-SUFFIXED rows only — plain ids never leave the block."""
+    bv = _base_ver(batch)
+    df = bv.to_pandas()
+    df = df[df["version"] > 0]
+    if not len(df):
+        return pa.table({"base_id": pa.array([], pa.string()),
+                         "max_version": pa.array([], pa.int64())})
+    g = df.groupby("base_id", sort=False)["version"].max()
+    return pa.table({"base_id": pa.array(g.index.to_numpy(), pa.string()),
+                     "max_version": pa.array(g.to_numpy(), pa.int64())})
 
 
 def compute_latest_versions(docs) -> dict[str, int]:
-    """→ {base_id: latest_version} for base_ids with >1 version.
-    Fully distributed; the collected frame holds multi-version keys
-    ONLY (re-uploaded documents — rare), never the id universe."""
-    dup = bucketed_groupby(
-        (docs.select_columns(["doc_id"])
-         .map_batches(_base_ver, batch_format="pyarrow")
-         .map_batches(_distinct_bv, batch_format="pyarrow")),
-        "base_id", _multi_version_max).to_pandas()
-    if dup.empty:
-        return {}
-    return dict(zip(dup["base_id"], dup["max_version"].astype(int)))
+    """→ {base_id: max version} for base_ids carrying any ``~k`` row.
+    No shuffle: per-block partials stream-fold on the driver; state is
+    bounded by the version-suffixed id count (rare — re-uploads)."""
+    parts = (docs.select_columns(["doc_id"])
+             .map_batches(_versioned_max_partial, batch_format="pyarrow"))
+    latest: dict[str, int] = {}
+    for b in parts.iter_batches(batch_format="pandas", batch_size=4096):
+        for base, ver in zip(b["base_id"], b["max_version"]):
+            iv = int(ver)
+            if latest.get(base, -1) < iv:
+                latest[base] = iv
+    return latest
 
 
 def latest_version_filter(docs, ids=None):

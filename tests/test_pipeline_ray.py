@@ -146,16 +146,18 @@ def test_poison_row_becomes_error_record(ray_session):
 
 
 def test_version_dedup_all_versioned(ray_session):
-    """~100% of docs versioned: the distributed aggregate must still
-    return exactly the multi-version base_ids (with max version), and a
-    doc with duplicate same-version rows must NOT count as
-    multi-versioned."""
+    """~100% of docs versioned: the shuffle-free fold must return every
+    version-SUFFIXED base_id with its max version (the filter drops a
+    row iff its version differs from that max, so a single-version
+    ``solo~2`` entry is a harmless no-op — outcome-equivalent to the
+    old multi-version-only contract), and the filter outcome must keep
+    exactly the max-version rows."""
     import pyarrow as pa
     import ray.data as rd
 
     from automatic_reference_extractor_ray.schema import SPAN_STRUCT
     from automatic_reference_extractor_ray.stages.dedup_version import (
-        compute_latest_versions)
+        compute_latest_versions, latest_version_filter)
     ids = []
     for i in range(500):
         ids += [f"d{i}~1", f"d{i}~3"]
@@ -164,9 +166,11 @@ def test_version_dedup_all_versioned(ray_session):
         "doc_id": pa.array(ids, pa.string()),
         "spans": pa.array([[] for _ in ids], pa.list_(SPAN_STRUCT))}))
     latest = compute_latest_versions(ds)
-    assert len(latest) == 500
-    assert "solo" not in latest
-    assert all(v == 3 for v in latest.values())
+    assert len(latest) == 501
+    assert latest["solo"] == 2           # single-version: filter no-op
+    assert all(v == 3 for b, v in latest.items() if b != "solo")
+    kept = sorted(set(latest_version_filter(ds).to_pandas()["doc_id"]))
+    assert kept == sorted([f"d{i}~3" for i in range(500)] + ["solo~2"])
 
 
 def test_stitch_bucket_count_invariance(ray_session):
@@ -223,7 +227,7 @@ def test_version_parse_scalar_vector_parity(ray_session):
         "doc_id": pa.array(ids, pa.string()),
         "spans": pa.array([[] for _ in ids], pa.list_(SPAN_STRUCT))}))
     latest = compute_latest_versions(ds)
-    assert latest == {"w": 8}
+    assert latest == {"w": 8, "r": 2}    # r: single version → filter no-op
     kept = sorted(r["doc_id"] for r in latest_version_filter(ds).take_all())
     # only w~07 (superseded by w~8) drops; odd suffixes are whole ids
     assert kept == sorted(set(ids) - {"w~07"})
