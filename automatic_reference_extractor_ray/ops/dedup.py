@@ -249,15 +249,16 @@ def grouped_pair_join(cands, side, key_dtype: str, payload_cols: list[str],
         (lambda df: mk(df, 0, buckets_of(df["b"]))),
         batch_format="pandas")
 
-    # distinct (a, target-bucket): per-batch dedupe shrinks the shuffle,
-    # the bucketed distinct makes it global
-    ab = bucketed_distinct(
-        cands.map_batches(
-            lambda df: pd.DataFrame(
-                {"a": canon(df["a"]),
-                 "bb": buckets_of(df["b"])}).drop_duplicates(),
-            batch_format="pandas"),
-        ["a", "bb"], nb)
+    # (a, target-bucket) routing requests: per-batch dedupe shrinks the
+    # stream, and the GLOBAL dedupe runs inside the join bucket (post=)
+    # instead of a standalone bucketed_distinct — one fewer all-to-all
+    # at identical shuffle bytes (the former distinct's input exchange
+    # moved exactly these per-batch-distinct rows anyway)
+    ab = cands.map_batches(
+        lambda df: pd.DataFrame(
+            {"a": canon(df["a"]),
+             "bb": buckets_of(df["b"])}).drop_duplicates(),
+        batch_format="pandas")
     # rename via map_batches: Dataset.rename_columns assumes Arrow
     # blocks and breaks on the pandas blocks this path produces
     side_a = side.map_batches(lambda df: df.rename(columns={"key": "a"}),
@@ -265,7 +266,8 @@ def grouped_pair_join(cands, side, key_dtype: str, payload_cols: list[str],
     routed = bucketed_join(
         ab, side_a, "a",
         {"a": kd, "bb": "int64"},
-        {"a": kd, **dict.fromkeys(payload_cols, "object")}, nb)
+        {"a": kd, **dict.fromkeys(payload_cols, "object")}, nb,
+        post=lambda m: m.drop_duplicates(subset=["a", "bb"]))
     routed_t = routed.map_batches(
         lambda df: mk(df, 1, df["bb"].to_numpy().astype(np.int64)
                       if len(df) else np.array([], dtype=np.int64)),
