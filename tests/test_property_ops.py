@@ -1,0 +1,119 @@
+"""Randomized equivalence tests for the round-3 ops: each op must
+match a straight-line local reference on seeded random corpora, across
+block layouts (the properties a 100-TB run relies on: block-structure
+invariance and exact agreement with the sequential semantics)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+
+def _rand_corpus(rng, n_docs: int):
+    """Small corpora with heavy line sharing and null/empty texts."""
+    pool = [f"line {i}" for i in range(6)]
+    texts = []
+    for _ in range(n_docs):
+        kind = rng.integers(0, 10)
+        if kind == 0:
+            texts.append(None)
+        elif kind == 1:
+            texts.append("")
+        else:
+            k = int(rng.integers(1, 5))
+            texts.append("\n".join(
+                pool[int(j)] if rng.integers(0, 2) else f"u{rng.integers(1e6)}"
+                for j in rng.integers(0, len(pool), k)))
+    return pd.DataFrame({"doc_id": np.arange(n_docs, dtype="int64"),
+                         "text": texts})
+
+
+def _local_scrub(df: pd.DataFrame, min_docs: int, min_chars: int):
+    per_doc = {d: (t or "").split("\n")
+               for d, t in zip(df["doc_id"], df["text"])}
+    nd: dict[str, set] = {}
+    for d, lines in per_doc.items():
+        for ln in set(lines):
+            if len(ln) >= min_chars:
+                nd.setdefault(ln, set()).add(d)
+    removed = {ln for ln, ds in nd.items() if len(ds) >= min_docs}
+    return {d: "\n".join(ln for ln in lines if ln not in removed)
+            for d, lines in per_doc.items()}
+
+
+def test_scrub_dup_lines_matches_local_reference(ray_session):
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.textstats import (
+        scrub_dup_lines)
+
+    for seed in (1, 7, 23):
+        rng = np.random.default_rng(seed)
+        df = _rand_corpus(rng, 40)
+        exp = _local_scrub(df, 2, 1)
+        ds = rd.from_pandas(df).repartition(int(rng.integers(1, 6)))
+        got = scrub_dup_lines(ds, min_docs=2).to_pandas()
+        assert dict(zip(got["doc_id"], got["text"])) == exp, seed
+
+
+def test_exact_sample_matches_local_reference(ray_session):
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.analytics import exact_sample
+
+    for seed in (3, 11):
+        rng = np.random.default_rng(seed)
+        ids = rng.choice(10_000, size=150, replace=False).astype("int64")
+        df = pd.DataFrame({"doc_id": ids})
+        n = int(rng.integers(1, 120))
+        exp = set(sorted(
+            ids.tolist(),
+            key=lambda v: hashlib.md5(f"exact|{v}".encode()).hexdigest())[:n])
+        ds = rd.from_pandas(df).repartition(int(rng.integers(1, 8)))
+        got = exact_sample(ds, "doc_id", n=n).to_pandas()
+        assert len(got) == n and set(got["doc_id"]) == exp, seed
+
+
+def _local_components(ids, pairs):
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # fully collapse, then label by min-reachable id
+    return {i: find(i) for i in ids}
+
+
+def test_dedup_corpus_matches_union_find(ray_session):
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.dedup import dedup_corpus
+
+    for seed in (5, 17):
+        rng = np.random.default_rng(seed)
+        n = 30
+        ids = list(range(n))
+        df = pd.DataFrame({"doc_id": np.array(ids, dtype="int64"),
+                           "text": [f"t{i}" for i in ids]})
+        m = int(rng.integers(0, 25))
+        pairs = [(int(a), int(b)) for a, b in
+                 zip(rng.integers(0, n, m), rng.integers(0, n, m)) if a != b]
+        labels = _local_components(ids, pairs)
+        exp = sorted(i for i in ids if labels[i] == i)
+        pr = pd.DataFrame({
+            "a": np.array([p[0] for p in pairs], dtype="int64"),
+            "b": np.array([p[1] for p in pairs], dtype="int64")}) \
+            if pairs else pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                        "b": pd.Series([], dtype="int64")})
+        got = dedup_corpus(rd.from_pandas(df),
+                           pairs=rd.from_pandas(pr)).to_pandas()
+        assert sorted(got["doc_id"]) == exp, seed
