@@ -1121,7 +1121,8 @@ def dedup_corpus(docs, pairs=None, tau: float = 0.9,
 # ------------------------------------------------- semantic dedup
 
 def semantic_dedup(embeddings, k: int = 8, n_iter: int = 10,
-                   tau: float = 0.95, num_buckets: int | None = None):
+                   tau: float = 0.95, num_buckets: int | None = None,
+                   chunk: int = 2048):
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means partitions the embedding space, then
     each cluster prunes its own near-duplicates — a vector survives
@@ -1136,10 +1137,13 @@ def semantic_dedup(embeddings, k: int = 8, n_iter: int = 10,
     k x d centroid matrix broadcast once via ``ray.put``; the
     quadratic prune runs per CLUSTER inside one hash bucket of one
     bounded shuffle keyed by cluster id — vectors ship exactly once
-    and all-pairs work never crosses cluster lines.  ``k`` is the
-    cluster-size dial: pick k ~ N / target_cluster_size so a
-    cluster's cos matrix fits a task heap (SemDeDup's own operating
-    point).  Deterministic: greedy order is global-id order,
+    and all-pairs work never crosses cluster lines.  The prune
+    computes CHUNK-row cosine tiles against the kept set, never the
+    full c x c cluster matrix, so a skewed cluster costs O(CHUNK * c)
+    tile memory (float32) while FLOPs stay the SemDeDup quadratic.
+    ``k`` remains the cluster-size dial for compute (pick
+    k ~ N / target_cluster_size).  Deterministic: greedy order is
+    global-id order,
     independent of row/block arrival.  No SQL oracle (iterative
     k-means) — rows-only gate + exact local-reference pytest.
     """
@@ -1161,23 +1165,39 @@ def semantic_dedup(embeddings, k: int = 8, n_iter: int = 10,
 
     assigned = embeddings.map_batches(assign, batch_format="pandas")
 
+    CHUNK = chunk  # prune works on CHUNK x (kept + CHUNK) cosine tiles,
+    # never the c x c cluster matrix — a skewed 50k-row cluster costs
+    # ~CHUNK*c*4 bytes (float32) instead of c*c*8; output is
+    # tile-size invariant (tested)
+
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for ci, g in pdf.groupby("cluster", sort=False):
             ids = g["vec_id"].to_numpy()
             order = np.argsort(ids, kind="stable")
             ids = ids[order]
-            m = np.stack(g["embedding"].to_numpy()).astype(np.float64)[order]
+            m = np.stack(g["embedding"].to_numpy()).astype(np.float32)[order]
             nrm = np.linalg.norm(m, axis=1, keepdims=True)
             nrm[nrm == 0] = 1.0
             m /= nrm
-            cos = m @ m.T
-            kept = np.zeros(len(ids), dtype=bool)
-            for i in range(len(ids)):
-                kept[i] = not (cos[i, :i][kept[:i]] >= tau).any()
+            n = len(ids)
+            kept = np.zeros(n, dtype=bool)
+            for s in range(0, n, CHUNK):
+                e = min(s + CHUNK, n)
+                chunk = m[s:e]
+                prior = m[:s][kept[:s]]           # already-kept rows
+                vs_prior = (chunk @ prior.T) if len(prior) else None
+                within = chunk @ chunk.T
+                for i in range(e - s):
+                    dup = (vs_prior is not None
+                           and bool((vs_prior[i] >= tau).any()))
+                    if not dup:
+                        local = kept[s:s + i]
+                        dup = bool((within[i, :i][local] >= tau).any())
+                    kept[s + i] = not dup
             outs.append(pd.DataFrame({
                 "vec_id": ids,
-                "cluster": np.full(len(ids), ci, dtype=np.int64),
+                "cluster": np.full(n, ci, dtype=np.int64),
                 "is_keeper": kept}))
         if not outs:
             return pd.DataFrame({

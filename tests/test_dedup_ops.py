@@ -279,3 +279,28 @@ def test_dedup_corpus_keeps_one_per_cluster(ray_session):
     out2 = (dedup_corpus(rd.from_pandas(df), pairs=pairs)
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert out2["doc_id"].tolist() == [1, 4, 5]
+
+
+def test_semantic_dedup_tile_size_invariant(ray_session):
+    """The chunked prune (memory-bounded cosine tiles) must produce
+    byte-identical verdicts at any tile size, including tiles smaller
+    than the planted duplicate groups."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.dedup import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    n, dim = 300, 8
+    base = rng.standard_normal((n, dim))
+    for i in range(60):
+        base[4 * i + 1] = base[4 * i] + 0.02 * rng.standard_normal(dim)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype="int64"),
+                       "embedding": list(base)})
+    ds = rd.from_pandas(df)
+    ref = (semantic_dedup(ds, k=3, n_iter=3, tau=0.8)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert (~ref["is_keeper"]).sum() >= 50
+    for c in (7, 64):
+        got = (semantic_dedup(ds, k=3, n_iter=3, tau=0.8, chunk=c)
+               .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, ref)
