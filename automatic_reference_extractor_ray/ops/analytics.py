@@ -34,15 +34,22 @@ def grouped_distinct_count(ds, key: str, val: str, out_col: str = "n_distinct",
                            num_buckets: int | None = None):
     """Exact COUNT(DISTINCT val) GROUP BY key → (key, out_col).
 
-    Two skew-safe levels: per-batch local distinct shrinks the stream,
+    Skew-safe end to end: per-batch local distinct shrinks the stream,
     the global DISTINCT buckets on (key, val) — a hot key's values
     spread over every bucket instead of landing in one task — and the
-    final per-key count aggregates the (already tiny) distinct pairs.
+    final count folds per-BLOCK partial counts (each distinct-output
+    block contributes at most one row per key), so even a key with
+    millions of distinct values never re-concentrates its pair rows
+    into one task.
     """
     pairs = ds.map_batches(
         lambda b: b[[key, val]].drop_duplicates(), batch_format="pandas")
     distinct = bucketed_distinct(pairs, [key, val], num_buckets)
-    return bucketed_agg(distinct, key, {out_col: (val, "size")}, num_buckets)
+    partial = distinct.map_batches(
+        lambda b: b.groupby(key, sort=False).size()
+                   .rename("__n").reset_index(),
+        batch_format="pandas")
+    return bucketed_agg(partial, key, {out_col: ("__n", "sum")}, num_buckets)
 
 
 # -------------------------------------------------- discrete quantiles

@@ -747,6 +747,9 @@ REPETITION_SQL = r"""
 
 # ------------------------------------- corpus-wide line dedup
 
+_SCRUB_SALTS = 16
+
+
 def scrub_dup_lines(docs, min_docs: int = 2, min_chars: int = 1,
                     num_buckets: int | None = None):
     """Corpus-wide duplicate-LINE removal (the CCNet / RefinedWeb
@@ -757,20 +760,28 @@ def scrub_dup_lines(docs, min_docs: int = 2, min_chars: int = 1,
     ``\\n``, one row per input document (a document whose every line
     was boilerplate comes back as ``""``).
 
-    Scale shape: three bounded shuffles, nothing driver-side —
-    (1) per-line distinct-doc counts via the bucketed aggregate (the
-    per-doc line set is deduped in the map, so rows are (line, doc)
-    pairs), (2) a hash-bucketed ANTI join deletes flagged lines from
-    the exploded line stream (the removal set is a Dataset, never a
-    broadcast — boilerplate vocabularies scale with the corpus), and
-    (3) a doc-bucketed re-stitch joins survivors in line order, with a
-    zero-row stub unioned per document so fully-scrubbed docs survive
-    as empty rows (the ``decontaminate`` zero-row-union pattern).
+    Scale shape: bounded shuffles, nothing driver-side, and SKEW-PROOF
+    on the hot keys this op exists for (a boilerplate line appears in
+    a data-scaling fraction of documents) — (1) per-line distinct-doc
+    counts via the two-level ``grouped_distinct_count`` (pairs bucket
+    on (line, doc) so a hot line spreads over every bucket; the final
+    count folds per-block partials), (2) a SALTED anti join deletes
+    flagged lines from the exploded stream: doc-line rows bucket on
+    (line-hash, doc-salt) and each removal row replicates to all
+    ``_SCRUB_SALTS`` shards, so a line present in half the corpus
+    splits across salts instead of landing in one task (the removal
+    set stays a Dataset, never a broadcast), and (3) a doc-bucketed
+    re-stitch joins survivors in line order, with a zero-row stub
+    unioned per document so fully-scrubbed docs survive as empty rows
+    (the ``decontaminate`` zero-row-union pattern).
     """
+    from .analytics import grouped_distinct_count
     from .dedup import _doc_key_dtype
-    from .shuffle import bucketed_agg, bucketed_groupby, bucketed_join
+    from .shuffle import (BUCKET_COL, auto_num_buckets, bucketed_groupby,
+                          buckets_for_values)
 
     dt = _doc_key_dtype(docs)
+    nb = num_buckets or auto_num_buckets()
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         out = b[["doc_id"]].copy()
@@ -785,20 +796,49 @@ def scrub_dup_lines(docs, min_docs: int = 2, min_chars: int = 1,
 
     def countable(b: pd.DataFrame) -> pd.DataFrame:
         m = b["line"].str.len() >= min_chars
-        return b.loc[m, ["line", "doc_id"]].drop_duplicates()
+        return b.loc[m, ["line", "doc_id"]]
 
-    counts = bucketed_agg(
+    counts = grouped_distinct_count(
         lines.map_batches(countable, batch_format="pandas"),
-        "line", {"nd": ("doc_id", "nunique")}, num_buckets)
+        "line", "doc_id", out_col="nd", num_buckets=num_buckets)
     removal = counts.map_batches(
         lambda d: d.loc[d["nd"] >= min_docs, ["line"]],
         batch_format="pandas")
 
-    kept = bucketed_join(
-        lines, removal, on="line",
-        left_schema={"doc_id": dt, "i": "int64", "line": "object"},
-        right_schema={"line": "object"},
-        num_buckets=num_buckets, how="anti")
+    # salted anti join: doc-line rows shard by (line-bucket, doc-salt);
+    # removal rows replicate to every salt shard of their line bucket
+    S = _SCRUB_SALTS
+    _id_default = 0 if dt == "int64" else ""
+
+    def tag_doc_lines(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["__kind"] = np.full(len(b), 0, dtype=np.int8)
+        b0 = buckets_for_values(b["line"], "object", nb)
+        salt = (pd.util.hash_array(b["doc_id"].to_numpy()) % S).astype(
+            np.int64)
+        out[BUCKET_COL] = b0 * S + salt
+        return out[["doc_id", "i", "line", "__kind", BUCKET_COL]]
+
+    def tag_removal(b: pd.DataFrame) -> pd.DataFrame:
+        rep = b.loc[b.index.repeat(S)].reset_index(drop=True)
+        b0 = buckets_for_values(rep["line"], "object", nb)
+        salts = np.tile(np.arange(S, dtype=np.int64), len(b))
+        return pd.DataFrame({
+            "doc_id": pd.Series([_id_default] * len(rep), dtype=dt),
+            "i": np.zeros(len(rep), dtype=np.int64),
+            "line": rep["line"].astype(object),
+            "__kind": np.full(len(rep), 1, dtype=np.int8),
+            BUCKET_COL: b0 * S + salts})
+
+    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rem = set(g.loc[g["__kind"] == 1, "line"])
+        keep = g[(g["__kind"] == 0) & (~g["line"].isin(rem))]
+        return keep[["doc_id", "i", "line"]].reset_index(drop=True)
+
+    kept = (lines.map_batches(tag_doc_lines, batch_format="pandas")
+            .union(removal.map_batches(tag_removal, batch_format="pandas"))
+            .groupby(BUCKET_COL)
+            .map_groups(filter_bucket, batch_format="pandas"))
 
     def stub(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
