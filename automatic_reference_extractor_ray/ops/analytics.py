@@ -804,13 +804,18 @@ def tfidf_top_terms(docs, k: int = 5, text_col: str = "text",
     (floor division) so the SQL oracle matches bit-for-bit; the 1000
     scale keeps idf resolution without floats.
 
-    Scale shape: (doc, token, tf) rows → per-token document frequency
-    via the bounded-bucket aggregate → tf ⋈ df equi-join on token via
-    the bucketed join (payload = one int per token, never a broadcast
-    vocabulary map) → per-doc top-k cut in a doc_id bucket.  Only the
-    corpus row count (one scalar) touches the driver.
+    Scale shape, skew-proof on stopword-class tokens: (doc, token, tf)
+    rows → per-token document frequency via a per-batch count combiner
+    (≤1 partial row per token per block — a token in every document
+    folds nblocks partials, never n_docs rows) → tf ⋈ df on token via
+    the SALTED lookup join (tf rows shard by doc-salt, df rows
+    replicate per shard, so a hot token's tf rows split across salts;
+    payload = one int per token, never a broadcast vocabulary map) →
+    per-doc top-k cut in a doc_id bucket.  Only the corpus row count
+    (one scalar) touches the driver.
     """
     from .dedup import _doc_key_dtype
+    from .shuffle import salted_lookup_join
 
     kd = _doc_key_dtype(docs)
     n_docs = docs.count()
@@ -828,7 +833,14 @@ def tfidf_top_terms(docs, k: int = 5, text_col: str = "text",
                              "tf": np.array(tfs, dtype=np.int64)})
 
     tf = docs.map_batches(tf_rows, batch_format="pandas")
-    df = bucketed_agg(tf, "token", {"df": ("doc_id", "size")}, num_buckets)
+    # per-batch df partials: a doc's tf rows never straddle batches, so
+    # local per-token row counts sum to the exact document frequency
+    df_partial = tf.map_batches(
+        lambda b: b.groupby("token", sort=False).size()
+                   .rename("df").reset_index(),
+        batch_format="pandas")
+    df = bucketed_agg(df_partial, "token", {"df": ("df", "sum")},
+                      num_buckets)
 
     def score(m: pd.DataFrame) -> pd.DataFrame:
         out = m[["doc_id", "token"]].copy()
@@ -836,8 +848,8 @@ def tfidf_top_terms(docs, k: int = 5, text_col: str = "text",
                         * ((1000 * n_docs) // m["df"].to_numpy(np.int64)))
         return out
 
-    scored = bucketed_join(
-        tf, df, on="token",
+    scored = salted_lookup_join(
+        tf, df, on="token", salt_col="doc_id",
         left_schema={"token": "object", "doc_id": kd, "tf": "int64"},
         right_schema={"token": "object", "df": "int64"},
         num_buckets=num_buckets, post=score)

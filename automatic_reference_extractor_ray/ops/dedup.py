@@ -60,12 +60,19 @@ def add_content_hash(batch: pd.DataFrame) -> pd.DataFrame:
 def exact_dedup(docs):
     """→ (content_hash, keeper_doc_id, n_dups): hash-partition the
     normalized-content hash, keep the minimum doc_id per group (the
-    deterministic survivor).  Shuffles only (hash, id) pairs, through
-    the bounded-bucket shuffle (doc-count-many groups)."""
+    deterministic survivor).  A per-batch (min, count) combiner runs
+    BEFORE the bounded-bucket shuffle, so a pathologically duplicated
+    document (e.g. millions of empty/identical pages sharing one hash)
+    ships at most one partial row per block instead of concentrating
+    every (hash, id) pair in a single bucket task."""
     hashed = docs.map_batches(add_content_hash, batch_format="pandas")
-    return bucketed_agg(hashed, "content_hash",
-                        {"keeper_doc_id": ("doc_id", "min"),
-                         "n_dups": ("doc_id", "size")})
+    partial = hashed.map_batches(
+        lambda b: b.groupby("content_hash", sort=False)["doc_id"]
+                   .agg(keeper_doc_id="min", n_dups="size").reset_index(),
+        batch_format="pandas")
+    return bucketed_agg(partial, "content_hash",
+                        {"keeper_doc_id": ("keeper_doc_id", "min"),
+                         "n_dups": ("n_dups", "sum")})
 
 
 def incremental_dedup(base, new, num_buckets: int | None = None,

@@ -232,3 +232,69 @@ def bucketed_join(left, right, on: str,
     return (lt.union(rt)
             .groupby(BUCKET_COL)
             .map_groups(merge_bucket, batch_format="pandas"))
+
+
+def salted_lookup_join(left, right, on: str, salt_col: str,
+                       left_schema: dict[str, str],
+                       right_schema: dict[str, str],
+                       num_buckets: int | None = None, salts: int = 16,
+                       how: str = "inner", post=None):
+    """``bucketed_join`` for a HOT-KEY lookup: ``right`` is keyed by
+    ``on`` with a small payload per key (a dimension / removal set /
+    frequency table), but some keys are hot — a stopword's tf rows, a
+    boilerplate line's doc-lines — so hashing the exchange purely on
+    the key would concentrate a data-scaling row count in one task.
+
+    Left rows shard on ``(key-bucket, hash(salt_col) % salts)`` and
+    every right row replicates to all ``salts`` shards of its key
+    bucket, so a key present in half the corpus splits across
+    ``salts`` tasks at the cost of ``salts``-fold right-side
+    duplication (fine: the right side is one row per DISTINCT key).
+    ``how``: ``inner`` (merge payload columns), ``semi`` / ``anti``
+    (filter left rows by right-key membership, left columns only).
+    Per-shard semantics equal the unsalted join because a left row
+    meets every replica of its key's right row.
+    """
+    if how not in ("inner", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    overlap = (set(left_schema) & set(right_schema)) - {on}
+    if overlap:
+        raise ValueError(f"non-key columns present on both sides: {overlap}")
+    schema = {**left_schema, **{k: v for k, v in right_schema.items()
+                                if k != on}}
+    lcols = list(left_schema)
+    rcols = list(right_schema)
+    nb = num_buckets or auto_num_buckets()
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = _pad_to_schema(df, schema, 0)
+        b0 = buckets_for_values(df[on], left_schema[on], nb)
+        salt = (pd.util.hash_array(df[salt_col].to_numpy()) % salts
+                ).astype(np.int64)
+        out[BUCKET_COL] = b0 * salts + salt
+        return out
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        rep = df.loc[df.index.repeat(salts)].reset_index(drop=True)
+        out = _pad_to_schema(rep, schema, 1)
+        b0 = buckets_for_values(rep[on], right_schema[on], nb)
+        out[BUCKET_COL] = b0 * salts + np.tile(
+            np.arange(salts, dtype=np.int64), len(df))
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=[BUCKET_COL])
+        l = g[g[SIDE_COL] == 0][lcols]
+        r = g[g[SIDE_COL] == 1][rcols]
+        if how in ("semi", "anti"):
+            matched = l[on].isin(set(r[on]))
+            merged = l[matched if how == "semi" else ~matched]
+            merged = merged.reset_index(drop=True)
+        else:
+            merged = l.merge(r, on=on, how="inner")[list(schema)]
+        return post(merged) if post is not None else merged
+
+    return (left.map_batches(tag_left, batch_format="pandas")
+            .union(right.map_batches(tag_right, batch_format="pandas"))
+            .groupby(BUCKET_COL)
+            .map_groups(merge_bucket, batch_format="pandas"))

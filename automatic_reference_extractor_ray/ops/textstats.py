@@ -141,33 +141,41 @@ def duplicated_passages(docs, n: int = 8):
 
     → (gram, n_occurrences, n_docs) for passages with n_occurrences>1.
 
-    Scale shape: (gram, doc_id) rows through the bounded-bucket shuffle
-    (gram cardinality ≈ total token positions — exactly what
-    ``bucketed_agg`` exists for); the >1 filter runs inside the bucket
-    so singleton grams never leave it.  At 100 TB, hash the gram to a
-    16-byte digest before the shuffle and join digests back to one
-    exemplar string per digest if the text is needed.
+    Scale shape: each batch pre-combines its grams to ONE
+    (gram, occ, n_docs) partial row — a document's grams never straddle
+    batches, so local ``nunique`` partials sum exactly — and the
+    bounded-bucket shuffle then moves at most one row per gram per
+    block: a boilerplate gram occurring in half the corpus lands as
+    ~nblocks partial rows in its bucket, never as its raw occurrence
+    list.  The >1 filter runs inside the bucket so singleton grams
+    never leave it.  At 100 TB, hash the gram to a 16-byte digest
+    before the shuffle and join digests back to one exemplar string
+    per digest if the text is needed.
     """
     from .shuffle import bucketed_groupby
 
-    def grams(batch: pd.DataFrame) -> pd.DataFrame:
+    def gram_partials(batch: pd.DataFrame) -> pd.DataFrame:
         gs, ds = [], []
         for d, t in zip(batch["doc_id"], batch["text"]):
             toks = _tokens(t)
             for i in range(len(toks) - n + 1):
                 gs.append(" ".join(toks[i:i + n]))
                 ds.append(d)
-        return pd.DataFrame({"gram": gs, "doc_id": ds})
+        df = pd.DataFrame({"gram": gs, "doc_id": ds})
+        g = df.groupby("gram", sort=False)["doc_id"].agg(
+            occ="size", nd="nunique").reset_index()
+        return g
 
     def dup_only(pdf: pd.DataFrame) -> pd.DataFrame:
-        g = pdf.groupby("gram")["doc_id"].agg(["size", "nunique"])
-        g = g[g["size"] > 1]
+        g = pdf.groupby("gram")[["occ", "nd"]].sum()
+        g = g[g["occ"] > 1]
         return pd.DataFrame({"gram": g.index,
-                             "n_occurrences": g["size"].astype("int64"),
-                             "n_docs": g["nunique"].astype("int64")})
+                             "n_occurrences": g["occ"].astype("int64"),
+                             "n_docs": g["nd"].astype("int64")})
 
-    return bucketed_groupby(docs.map_batches(grams, batch_format="pandas"),
-                            "gram", dup_only)
+    return bucketed_groupby(
+        docs.map_batches(gram_partials, batch_format="pandas"),
+        "gram", dup_only)
 
 
 def quality_filter(batch):
@@ -777,11 +785,9 @@ def scrub_dup_lines(docs, min_docs: int = 2, min_chars: int = 1,
     """
     from .analytics import grouped_distinct_count
     from .dedup import _doc_key_dtype
-    from .shuffle import (BUCKET_COL, auto_num_buckets, bucketed_groupby,
-                          buckets_for_values)
+    from .shuffle import bucketed_groupby, salted_lookup_join
 
     dt = _doc_key_dtype(docs)
-    nb = num_buckets or auto_num_buckets()
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         out = b[["doc_id"]].copy()
@@ -805,40 +811,11 @@ def scrub_dup_lines(docs, min_docs: int = 2, min_chars: int = 1,
         lambda d: d.loc[d["nd"] >= min_docs, ["line"]],
         batch_format="pandas")
 
-    # salted anti join: doc-line rows shard by (line-bucket, doc-salt);
-    # removal rows replicate to every salt shard of their line bucket
-    S = _SCRUB_SALTS
-    _id_default = 0 if dt == "int64" else ""
-
-    def tag_doc_lines(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.copy()
-        out["__kind"] = np.full(len(b), 0, dtype=np.int8)
-        b0 = buckets_for_values(b["line"], "object", nb)
-        salt = (pd.util.hash_array(b["doc_id"].to_numpy()) % S).astype(
-            np.int64)
-        out[BUCKET_COL] = b0 * S + salt
-        return out[["doc_id", "i", "line", "__kind", BUCKET_COL]]
-
-    def tag_removal(b: pd.DataFrame) -> pd.DataFrame:
-        rep = b.loc[b.index.repeat(S)].reset_index(drop=True)
-        b0 = buckets_for_values(rep["line"], "object", nb)
-        salts = np.tile(np.arange(S, dtype=np.int64), len(b))
-        return pd.DataFrame({
-            "doc_id": pd.Series([_id_default] * len(rep), dtype=dt),
-            "i": np.zeros(len(rep), dtype=np.int64),
-            "line": rep["line"].astype(object),
-            "__kind": np.full(len(rep), 1, dtype=np.int8),
-            BUCKET_COL: b0 * S + salts})
-
-    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        rem = set(g.loc[g["__kind"] == 1, "line"])
-        keep = g[(g["__kind"] == 0) & (~g["line"].isin(rem))]
-        return keep[["doc_id", "i", "line"]].reset_index(drop=True)
-
-    kept = (lines.map_batches(tag_doc_lines, batch_format="pandas")
-            .union(removal.map_batches(tag_removal, batch_format="pandas"))
-            .groupby(BUCKET_COL)
-            .map_groups(filter_bucket, batch_format="pandas"))
+    kept = salted_lookup_join(
+        lines, removal, on="line", salt_col="doc_id",
+        left_schema={"doc_id": dt, "i": "int64", "line": "object"},
+        right_schema={"line": "object"},
+        num_buckets=num_buckets, salts=_SCRUB_SALTS, how="anti")
 
     def stub(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

@@ -201,3 +201,32 @@ def test_bucketed_ops_survive_hot_key(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({"n_distinct": "int64"}),
         exp.astype({"n_distinct": "int64"}))
+
+
+@pytest.mark.parametrize("how", ["inner", "semi", "anti"])
+def test_salted_lookup_join_matches_unsalted(ray_session, how):
+    """salted_lookup_join == bucketed_join for every mode, including a
+    hot key carrying most of the left side (the case the salting
+    exists for)."""
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.shuffle import (
+        bucketed_join, salted_lookup_join)
+    rng = np.random.default_rng(31)
+    keys = np.array(["hot"] * 80 + [f"k{i}" for i in rng.integers(0, 9, 40)],
+                    dtype=object)
+    left = pd.DataFrame({"k": keys,
+                         "doc": np.arange(len(keys), dtype="int64")})
+    right = pd.DataFrame({"k": np.array(["hot", "k1", "k3", "zz"],
+                                        dtype=object),
+                          "v": np.array([1, 2, 3, 4], dtype="int64")})
+    ls = {"k": "object", "doc": "int64"}
+    rs = {"k": "object", "v": "int64"}
+    exp = bucketed_join(rd.from_pandas(left), rd.from_pandas(right),
+                        on="k", left_schema=ls, right_schema=rs,
+                        num_buckets=5, how=how).to_pandas()
+    got = salted_lookup_join(rd.from_pandas(left), rd.from_pandas(right),
+                             on="k", salt_col="doc", left_schema=ls,
+                             right_schema=rs, num_buckets=5, salts=4,
+                             how=how).to_pandas()
+    key = lambda df: sorted(map(tuple, df.to_numpy()))  # noqa: E731
+    assert key(got[exp.columns]) == key(exp)
