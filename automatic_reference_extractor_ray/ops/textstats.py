@@ -256,13 +256,19 @@ def decontaminate(docs, n: int = 4, eval_frac: float = 0.1,
     ``n_shared`` counts the doc's DISTINCT contaminated n-grams and
     ``keep`` (int 0/1) is the filter verdict.
 
-    Scale shape: (gram, doc_id, side) rows ride the bounded-bucket
-    shuffle, so each gram's full posting list is bucket-local and the
-    eval∩train test never leaves its bucket; per-doc partial hit
-    counts union with a zero row per train doc and fold through a
-    second bucketed aggregate on doc_id.  Nothing data-proportional —
-    no eval-gram set, no contaminated-id list — ever reaches the
-    driver, unlike the broadcast design most pipelines start with.
+    Scale shape, skew-proof on boilerplate grams: train-side
+    (gram, doc_id) rows are per-doc DISTINCT at the source (a doc's
+    grams never straddle batches); the eval gram set reduces to one
+    row per distinct gram through the bounded-bucket DISTINCT (≤1 row
+    per gram per block enters it); the contamination test is then a
+    SALTED semi join — train rows shard by doc-salt, each eval gram
+    replicates per shard, so a gram occurring in half the train corpus
+    splits across tasks instead of concentrating its posting list in
+    one.  Per-doc hit counts union with a zero row per train doc and
+    fold through a bucketed aggregate on doc_id.  Nothing
+    data-proportional — no eval-gram set, no contaminated-id list —
+    ever reaches the driver, unlike the broadcast design most
+    pipelines start with.
 
     ``holdout="low"`` (default) holds out the BOTTOM ``eval_frac`` of
     the md5 range; ``holdout="high"`` holds out the TOP ``eval_frac``,
@@ -270,33 +276,52 @@ def decontaminate(docs, n: int = 4, eval_frac: float = 0.1,
     when ``eval_frac`` = 1 - train ratio (the curation-pipeline
     orientation: decontaminate train against val+test).
     """
-    from .shuffle import bucketed_groupby
+    from .dedup import _doc_key_dtype
+    from .shuffle import (bucketed_distinct, bucketed_groupby,
+                          salted_lookup_join)
 
     _side = _side_fn(eval_frac, holdout)
+    dt = _doc_key_dtype(docs)
 
-    def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        gs, dids, sides = [], [], []
+    def _doc_grams(t) -> set:
+        toks = _tokens(t)
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    def train_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        gs, dids = [], []
         for d, t in zip(batch["doc_id"], batch["text"]):
-            side = _side(d)
-            toks = _tokens(t)
-            for i in range(len(toks) - n + 1):
-                gs.append(" ".join(toks[i:i + n]))
-                dids.append(d)
-                sides.append(side)
-        return pd.DataFrame({"gram": gs, "doc_id": dids,
-                             "side": np.array(sides, dtype=np.int64)})
+            if _side(d) != 1:
+                continue
+            g = _doc_grams(t)
+            gs.extend(g)
+            dids.extend([d] * len(g))
+        return pd.DataFrame({"gram": pd.Series(gs, dtype=object),
+                             "doc_id": pd.Series(dids, dtype=dt)})
 
-    def bucket_hits(pdf: pd.DataFrame) -> pd.DataFrame:
-        eval_grams = pdf.loc[pdf["side"] == 0, "gram"]
-        tr = pdf[pdf["side"] == 1]
-        hits = tr[tr["gram"].isin(set(eval_grams))]
-        part = hits.drop_duplicates(["doc_id", "gram"]).groupby("doc_id").size()
-        return pd.DataFrame({"doc_id": part.index,
-                             "n_shared": part.to_numpy(np.int64)})
+    def eval_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        acc: set = set()
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            if _side(d) == 0:
+                acc |= _doc_grams(t)
+        return pd.DataFrame({"gram": pd.Series(sorted(acc), dtype=object)})
 
-    partials = bucketed_groupby(
-        docs.map_batches(gram_rows, batch_format="pandas"),
-        "gram", bucket_hits, num_buckets)
+    eval_set = bucketed_distinct(
+        docs.map_batches(eval_grams, batch_format="pandas"),
+        "gram", num_buckets)
+
+    hits = salted_lookup_join(
+        docs.map_batches(train_rows, batch_format="pandas"), eval_set,
+        on="gram", salt_col="doc_id",
+        left_schema={"gram": "object", "doc_id": dt},
+        right_schema={"gram": "object"},
+        num_buckets=num_buckets, how="semi")
+
+    # (gram, doc) rows are globally distinct (per-doc sets, one batch
+    # per doc), so per-block sizes sum to the distinct-gram hit count
+    partials = hits.map_batches(
+        lambda b: b.groupby("doc_id", sort=False).size()
+                   .rename("n_shared").reset_index(),
+        batch_format="pandas")
 
     # zero row per train doc (docs shorter than n grams included) so
     # clean docs appear in the verdict table without a sentinel gram
