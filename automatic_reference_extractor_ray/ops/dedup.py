@@ -673,12 +673,27 @@ def _doc_code(doc_id: str) -> int:
         "little") >> 1
 
 
+_STAR_CAP = 4096   # LSH groups past this size emit star edges only
+
+
 def _int_pairs_of_groups(pdf: pd.DataFrame, group_keys: list[str]) -> pd.DataFrame:
-    """Per group: sorted unique int codes → upper-triangle pairs."""
+    """Per group: sorted unique int codes → upper-triangle pairs.
+
+    Groups larger than ``_STAR_CAP`` (a pathological clone cluster — a
+    million copies of one page share every band signature) emit STAR
+    edges to the group's min code instead of all pairs: candidate
+    volume drops from O(c²) to O(c) while every member still connects
+    to the cluster for components/removal, and exact verification
+    still gates each emitted edge.  Ordinary groups (every real corpus
+    bucket measured: ≤ hundreds) are unaffected."""
     outs_a, outs_b = [], []
     for _, g in pdf.groupby(group_keys, sort=False):
         ids = np.unique(g["h"].to_numpy())
         if len(ids) < 2:
+            continue
+        if len(ids) > _STAR_CAP:
+            outs_a.append(np.full(len(ids) - 1, ids[0], dtype=ids.dtype))
+            outs_b.append(ids[1:])
             continue
         ai, bi = np.triu_indices(len(ids), k=1)
         outs_a.append(ids[ai]); outs_b.append(ids[bi])
