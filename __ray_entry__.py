@@ -362,6 +362,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             scrub_dup_lines)
         return scrub_dup_lines(_docs_table(sf), min_docs=2)
 
+    def dup_gram_fraction_q(sf):
+        from automatic_reference_extractor_ray.ops.textstats import (
+            dup_gram_fraction)
+        return dup_gram_fraction(_docs_table(sf), n=8)
+
     def dedup_incremental_q(sf):
         from automatic_reference_extractor_ray.ops.dedup import (
             incremental_dedup)
@@ -648,6 +653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_sample": exact_sample_q,
         "dedup_corpus": dedup_corpus_q,
         "scrub_dup_lines": scrub_dup_lines_q,
+        "dup_gram_fraction": dup_gram_fraction_q,
         "topk_tokens": topk_tokens_q,
         "approx_distinct": approx_distinct_q,
         "kmeans_clusters": kmeans_q,
@@ -1126,6 +1132,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT gram, COUNT(*) AS n_occurrences,
                    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
             FROM grams GROUP BY gram HAVING COUNT(*) > 1""",
+        "dup_gram_fraction": f"""
+            WITH toks AS (
+              SELECT doc_id, {TOK} AS t FROM documents),
+            pos AS (
+              SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2)) AS i
+              FROM toks WHERE len(t) >= 8),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[i : i + 7], ' ') AS gram
+              FROM pos),
+            nd AS (SELECT gram FROM grams
+                   GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+            hits AS (
+              SELECT g.doc_id, COUNT(*) AS n_dup
+              FROM grams g JOIN nd USING (gram) GROUP BY g.doc_id),
+            tot AS (SELECT doc_id, COUNT(*) AS n_grams
+                    FROM grams GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(h.n_dup, 0) AS BIGINT) AS n_dup_grams,
+                   CAST(CASE WHEN COALESCE(t.n_grams, 0) = 0 THEN 0
+                             ELSE (1000 * COALESCE(h.n_dup, 0))
+                                  // t.n_grams
+                        END AS BIGINT) AS dup_frac_x1000
+            FROM documents d
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN hits h USING (doc_id)""",
         "distinct_users": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY event_type""",

@@ -884,3 +884,87 @@ def scrub_dup_lines_sql(min_docs: int = 2, min_chars: int = 1) -> str:
       FROM kept GROUP BY doc_id)
     SELECT d.doc_id, COALESCE(a.text, '') AS text
     FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+# ------------------------------------- per-doc duplication fraction
+
+def dup_gram_fraction(docs, n: int = 8, num_buckets: int | None = None):
+    """Per-document duplication fraction (the RefinedWeb/Gopher-class
+    novelty signal a curation pipeline thresholds on): the share of a
+    document's DISTINCT word n-grams that also appear in at least one
+    OTHER document.
+
+    → (doc_id, n_grams, n_dup_grams, dup_frac_x1000) — one row per
+    input document (gramless docs report zeros); frac integerized by
+    floor division so the SQL oracle matches bit-for-bit.
+
+    Scale shape (all hot-gram-safe, reusing the decontaminate
+    machinery): per-batch (gram → distinct-doc-count) partials sum
+    exactly because a document's grams never straddle batches; grams
+    with a corpus count >= 2 form the shared set (one row per distinct
+    gram); membership is the SALTED semi join (doc-gram rows shard by
+    doc-salt, shared grams replicate per shard); per-doc hit counts
+    and the per-doc gram totals fold through one doc_id-bucketed
+    aggregate with a zero stub per document.
+    """
+    from .dedup import _doc_key_dtype
+    from .shuffle import bucketed_agg, bucketed_groupby, salted_lookup_join
+
+    dt = _doc_key_dtype(docs)
+
+    def _gram_set(t) -> set:
+        toks = _tokens(t)
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        gs, dids = [], []
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            g = _gram_set(t)
+            gs.extend(g)
+            dids.extend([d] * len(g))
+        return pd.DataFrame({"gram": pd.Series(gs, dtype=object),
+                             "doc_id": pd.Series(dids, dtype=dt)})
+
+    grams = docs.map_batches(gram_rows, batch_format="pandas")
+
+    nd_partial = grams.map_batches(
+        lambda b: b.groupby("gram", sort=False).size()
+                   .rename("nd").reset_index(),
+        batch_format="pandas")
+    nd = bucketed_agg(nd_partial, "gram", {"nd": ("nd", "sum")}, num_buckets)
+    shared = nd.map_batches(lambda d: d.loc[d["nd"] >= 2, ["gram"]],
+                            batch_format="pandas")
+
+    hits = salted_lookup_join(
+        grams, shared, on="gram", salt_col="doc_id",
+        left_schema={"gram": "object", "doc_id": dt},
+        right_schema={"gram": "object"},
+        num_buckets=num_buckets, how="semi")
+
+    def hit_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("doc_id", sort=False).size().rename("n_dup_grams")
+        out = g.reset_index()
+        out["n_grams"] = np.zeros(len(out), dtype=np.int64)
+        return out[["doc_id", "n_grams", "n_dup_grams"]]
+
+    def totals(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_grams": np.fromiter(
+                (len(_gram_set(t)) for t in batch["text"]),
+                np.int64, len(batch)),
+            "n_dup_grams": np.zeros(len(batch), dtype=np.int64)})
+
+    merged = (hits.map_batches(hit_partial, batch_format="pandas")
+              .union(docs.map_batches(totals, batch_format="pandas")))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("doc_id")[["n_grams", "n_dup_grams"]].sum()
+        ng = g["n_grams"].to_numpy(np.int64)
+        nh = g["n_dup_grams"].to_numpy(np.int64)
+        frac = np.where(ng > 0, (1000 * nh) // np.maximum(ng, 1), 0)
+        return pd.DataFrame({"doc_id": g.index, "n_grams": ng,
+                             "n_dup_grams": nh,
+                             "dup_frac_x1000": frac.astype(np.int64)})
+
+    return bucketed_groupby(merged, "doc_id", fold, num_buckets)

@@ -117,3 +117,41 @@ def test_dedup_corpus_matches_union_find(ray_session):
         got = dedup_corpus(rd.from_pandas(df),
                            pairs=rd.from_pandas(pr)).to_pandas()
         assert sorted(got["doc_id"]) == exp, seed
+
+
+def test_dup_gram_fraction_matches_local_reference(ray_session):
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.textstats import (
+        _tokens, dup_gram_fraction)
+
+    n = 3
+    texts = ["the quick brown fox jumps",         # shares 'the quick brown'
+             "the quick brown dog sits",
+             "completely novel text here now",
+             None, ""]
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype="int64"),
+                       "text": texts})
+
+    def gset(t):
+        tk = _tokens(t)
+        return {" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)}
+
+    sets = {d: gset(t) for d, t in zip(df["doc_id"], df["text"])}
+    holders: dict[str, set] = {}
+    for d, gs in sets.items():
+        for g in gs:
+            holders.setdefault(g, set()).add(d)
+    shared = {g for g, ds in holders.items() if len(ds) >= 2}
+
+    got = (dup_gram_fraction(rd.from_pandas(df).repartition(3), n=n)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [0, 1, 2, 3, 4]
+    for _, row in got.iterrows():
+        gs = sets[row["doc_id"]]
+        nd = len(gs & shared)
+        assert row["n_grams"] == len(gs)
+        assert row["n_dup_grams"] == nd
+        assert row["dup_frac_x1000"] == ((1000 * nd) // len(gs) if gs else 0)
+    assert got.loc[0, "n_dup_grams"] >= 1      # planted shared gram
+    assert got.loc[3, "n_grams"] == 0 == got.loc[4, "n_grams"]
