@@ -810,7 +810,14 @@ def simhash_pairs(docs, max_hamming: int = 8):
             if len(ids) < 2:
                 continue
             shs = g["simhash"].to_numpy().view(np.uint64)
-            ai, bi = np.triu_indices(len(ids), k=1)
+            if len(ids) > _STAR_CAP:
+                # pathological clone cluster: star edges to the min id
+                # (see _int_pairs_of_groups) — O(c) instead of O(c²),
+                # still Hamming-verified below
+                ai = np.zeros(len(ids) - 1, dtype=np.intp)
+                bi = np.arange(1, len(ids), dtype=np.intp)
+            else:
+                ai, bi = np.triu_indices(len(ids), k=1)
             # vectorized popcount of XORed fingerprints
             x = shs[ai] ^ shs[bi]
             ham = np.zeros(len(x), np.int64)
