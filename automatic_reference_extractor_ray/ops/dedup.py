@@ -676,22 +676,26 @@ def _doc_code(doc_id: str) -> int:
 _STAR_CAP = 4096   # LSH groups past this size emit star edges only
 
 
-def _int_pairs_of_groups(pdf: pd.DataFrame, group_keys: list[str]) -> pd.DataFrame:
+def _int_pairs_of_groups(pdf: pd.DataFrame, group_keys: list[str],
+                         star_cap: int | None = _STAR_CAP) -> pd.DataFrame:
     """Per group: sorted unique int codes → upper-triangle pairs.
 
-    Groups larger than ``_STAR_CAP`` (a pathological clone cluster — a
+    Groups larger than ``star_cap`` (a pathological clone cluster — a
     million copies of one page share every band signature) emit STAR
     edges to the group's min code instead of all pairs: candidate
     volume drops from O(c²) to O(c) while every member still connects
     to the cluster for components/removal, and exact verification
     still gates each emitted edge.  Ordinary groups (every real corpus
-    bucket measured: ≤ hundreds) are unaffected."""
+    bucket measured: ≤ hundreds) are unaffected.  Pass
+    ``star_cap=None`` when large groups are NOT clone clusters (the
+    embedding-LSH signature partitions) — star edges there would gut
+    recall; fix the group size at the signature level instead."""
     outs_a, outs_b = [], []
     for _, g in pdf.groupby(group_keys, sort=False):
         ids = np.unique(g["h"].to_numpy())
         if len(ids) < 2:
             continue
-        if len(ids) > _STAR_CAP:
+        if star_cap is not None and len(ids) > star_cap:
             outs_a.append(np.full(len(ids) - 1, ids[0], dtype=ids.dtype))
             outs_b.append(ids[1:])
             continue
@@ -904,6 +908,7 @@ def embedding_dup_pairs(embeddings, tau: float = 0.4):
 
 EMB_LSH_TABLES = 16
 EMB_LSH_PLANES = 3
+EMB_LSH_TARGET_GROUP = 512
 # collision prob of one table at cos=0.4 (θ≈66°): (1-θ/π)^3 ≈ 0.25 →
 # 16 tables: 1-(1-.25)^16 ≈ 0.99 theoretical recall at the threshold;
 # tighter (higher-cos) pairs collide more often.  Measured recall on
@@ -913,26 +918,61 @@ EMB_LSH_PLANES = 3
 _emb_plane_cache: dict = {}
 
 
-def _emb_planes(table: int, dim: int) -> np.ndarray:
-    key = (table, dim)
+def _emb_planes(table: int, dim: int, planes: int) -> np.ndarray:
+    key = (table, dim, planes)
     if key not in _emb_plane_cache:
         rng = np.random.default_rng(0xE1B000 + table)
-        _emb_plane_cache[key] = rng.standard_normal((EMB_LSH_PLANES, dim))
+        _emb_plane_cache[key] = rng.standard_normal((planes, dim))
     return _emb_plane_cache[key]
 
 
+def emb_lsh_params(n_vectors: int, tau: float,
+                   target_recall: float = 0.95) -> tuple[int, int]:
+    """(n_planes, n_tables) for sign-random-projection LSH sized to the
+    corpus: planes grow log2(n / target_group) so a signature group
+    stays ~EMB_LSH_TARGET_GROUP vectors (the per-group pair work is
+    quadratic in group size — a fixed 3-plane signature partitions any
+    corpus into just 8 groups and degenerates to all-pairs); tables
+    then restore ``target_recall`` at the ``tau`` collision probability
+    p = (1 - θ/π)^planes, T = ln(1-recall)/ln(1-p).  Floors match the
+    small-corpus defaults (3 planes / 16 tables) so test-scale behavior
+    is unchanged.  Honest cost note: at LOW tau and web-scale n the
+    required T explodes — hyperplane LSH is an expensive regime there;
+    ``semantic_dedup`` (k-means partitioning) is the alternative."""
+    import math
+    planes = max(EMB_LSH_PLANES,
+                 math.ceil(math.log2(max(n_vectors, 1)
+                                     / EMB_LSH_TARGET_GROUP))
+                 if n_vectors > EMB_LSH_TARGET_GROUP else EMB_LSH_PLANES)
+    p = (1.0 - math.acos(max(min(tau, 1.0), -1.0)) / math.pi) ** planes
+    if p >= 1.0:
+        return planes, EMB_LSH_TABLES
+    tables = max(EMB_LSH_TABLES,
+                 math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p)))
+    return planes, tables
+
+
 def embedding_dup_pairs_lsh(embeddings, tau: float = 0.4,
-                            n_tables: int = EMB_LSH_TABLES,
+                            n_tables: int | None = None,
+                            n_planes: int | None = None,
                             num_buckets: int | None = None):
-    """Bucketed embedding near-dup — the 10^12-row path the brute-force
-    matmul can't take:
+    """Bucketed embedding near-dup — the partitioned path the
+    brute-force matmul can't take:
 
       1. sign-random-projection signatures, ``n_tables`` independent
-         3-plane tables per vector (one matmul per block; planes are
-         regenerated deterministically per (table, dim) in every task —
-         nothing broadcast);
+         ``n_planes``-plane tables per vector (one matmul per block;
+         planes are regenerated deterministically per (table, dim,
+         planes) in every task — nothing broadcast).  Defaults come
+         from ``emb_lsh_params``: planes scale log2(n) so signature
+         groups stay ~EMB_LSH_TARGET_GROUP vectors (fixed 3-plane
+         signatures would partition ANY corpus into 8 groups and
+         degenerate to all-pairs), tables restore ≥0.95 theoretical
+         recall at ``tau``;
       2. per (table, signature) bucket: numpy upper-triangle candidate
-         pairs of the bucket's vec_ids (int64 only through the shuffle);
+         pairs of the bucket's vec_ids (int64 only through the
+         shuffle; NO star cap — these groups are random partitions,
+         not clone clusters, so group size is controlled by the plane
+         count instead);
       3. global pair DISTINCT (bounded-bucket shuffle);
       4. exact-cosine verification via the grouped pair join — vectors
          travel once per referencing bucket (never per pair, never to
@@ -941,6 +981,10 @@ def embedding_dup_pairs_lsh(embeddings, tau: float = 0.4,
     Recall < 1 by design (pairs missed by every table are lost) —
     rows-only checked; recall vs ``embedding_dup_pairs`` measured in
     tests.  Precision is 1 (exact verification)."""
+    if n_planes is None or n_tables is None:
+        ap, at = emb_lsh_params(embeddings.count(), tau)
+        n_planes = n_planes if n_planes is not None else ap
+        n_tables = n_tables if n_tables is not None else at
 
     def sigs(b: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(b["embedding"].to_numpy()).astype(np.float64)
@@ -948,8 +992,9 @@ def embedding_dup_pairs_lsh(embeddings, tau: float = 0.4,
         ids = b["vec_id"].astype("int64").to_numpy()
         tables, ss, hh = [], [], []
         for t in range(n_tables):
-            bits = (m @ _emb_planes(t, m.shape[1]).T) > 0
-            sig = (bits * (1 << np.arange(EMB_LSH_PLANES))).sum(axis=1)
+            bits = (m @ _emb_planes(t, m.shape[1], n_planes).T) > 0
+            sig = (bits * (1 << np.arange(n_planes, dtype=np.int64))
+                   ).sum(axis=1)
             tables.append(np.full(len(ids), t, dtype=np.int64))
             ss.append(sig.astype(np.int64))
             hh.append(ids)
@@ -962,7 +1007,7 @@ def embedding_dup_pairs_lsh(embeddings, tau: float = 0.4,
     # (bucket(b)-local = global), skipping a standalone DISTINCT pass
     cands = bucketed_groupby(
         bands, ["table", "sig"],
-        lambda p: _int_pairs_of_groups(p, ["table", "sig"]),
+        lambda p: _int_pairs_of_groups(p, ["table", "sig"], star_cap=None),
         num_buckets)
 
     def emb_side(b: pd.DataFrame) -> pd.DataFrame:

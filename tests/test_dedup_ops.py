@@ -304,3 +304,16 @@ def test_semantic_dedup_tile_size_invariant(ray_session):
         got = (semantic_dedup(ds, k=3, n_iter=3, tau=0.8, chunk=c)
                .to_pandas().sort_values("vec_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(got, ref)
+
+
+def test_emb_lsh_params_scale_with_corpus():
+    """Planes grow log2(n) so signature groups stay bounded; tables
+    restore recall; small-corpus floors keep test-scale behavior."""
+    from automatic_reference_extractor_ray.ops.dedup import emb_lsh_params
+    assert emb_lsh_params(500, 0.4) == (3, 16)       # sf scale: unchanged
+    p6, t6 = emb_lsh_params(1_000_000, 0.9)
+    assert p6 == 11 and t6 >= 16                      # near-dup regime: cheap
+    pl, tl = emb_lsh_params(1_000_000, 0.4)
+    assert pl == 11 and tl > 100                      # low-tau: honest blow-up
+    # expected group size n / 2^planes stays near the target
+    assert 1_000_000 / 2 ** pl <= 2 * 512
