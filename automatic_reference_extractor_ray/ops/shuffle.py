@@ -237,7 +237,7 @@ def bucketed_join(left, right, on: str,
 def salted_lookup_join(left, right, on: str, salt_col: str,
                        left_schema: dict[str, str],
                        right_schema: dict[str, str],
-                       num_buckets: int | None = None, salts: int = 16,
+                       num_buckets: int | None = None, salts: int = 4,
                        how: str = "inner", post=None):
     """``bucketed_join`` for a HOT-KEY lookup: ``right`` is keyed by
     ``on`` with a small payload per key (a dimension / removal set /
@@ -249,11 +249,18 @@ def salted_lookup_join(left, right, on: str, salt_col: str,
     every right row replicates to all ``salts`` shards of its key
     bucket, so a key present in half the corpus splits across
     ``salts`` tasks at the cost of ``salts``-fold right-side
-    duplication (fine: the right side is one row per DISTINCT key).
-    ``how``: ``inner`` (merge payload columns), ``semi`` / ``anti``
-    (filter left rows by right-key membership, left columns only).
-    Per-shard semantics equal the unsalted join because a left row
-    meets every replica of its key's right row.
+    duplication (fine: the right side is one row per DISTINCT key —
+    or any duplicate-keyed stream for ``semi``/``anti``, whose
+    membership test is duplicate-insensitive).  The shard id folds
+    back into ``num_buckets`` Ray-level groups (mod), so the salt
+    factor spreads hot keys WITHOUT multiplying the sort-shuffle's
+    group count — group sizes stay balanced, only the hot key's rows
+    change which groups they land in.  ``how``: ``inner`` (merge
+    payload columns), ``semi`` / ``anti`` (filter left rows by
+    right-key membership, left columns only).  Per-shard semantics
+    equal the unsalted join because a left row meets every replica of
+    its key's right row.  ``salts`` is the skew dial: raise it when a
+    single key's rows exceed a task heap even at 1/4 spread.
     """
     if how not in ("inner", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
@@ -271,15 +278,15 @@ def salted_lookup_join(left, right, on: str, salt_col: str,
         b0 = buckets_for_values(df[on], left_schema[on], nb)
         salt = (pd.util.hash_array(df[salt_col].to_numpy()) % salts
                 ).astype(np.int64)
-        out[BUCKET_COL] = b0 * salts + salt
+        out[BUCKET_COL] = (b0 * salts + salt) % nb
         return out
 
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
         rep = df.loc[df.index.repeat(salts)].reset_index(drop=True)
         out = _pad_to_schema(rep, schema, 1)
         b0 = buckets_for_values(rep[on], right_schema[on], nb)
-        out[BUCKET_COL] = b0 * salts + np.tile(
-            np.arange(salts, dtype=np.int64), len(df))
+        out[BUCKET_COL] = (b0 * salts + np.tile(
+            np.arange(salts, dtype=np.int64), len(df))) % nb
         return out
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:

@@ -258,14 +258,14 @@ def decontaminate(docs, n: int = 4, eval_frac: float = 0.1,
 
     Scale shape, skew-proof on boilerplate grams: train-side
     (gram, doc_id) rows are per-doc DISTINCT at the source (a doc's
-    grams never straddle batches); the eval gram set reduces to one
-    row per distinct gram through the bounded-bucket DISTINCT (≤1 row
-    per gram per block enters it); the contamination test is then a
-    SALTED semi join — train rows shard by doc-salt, each eval gram
-    replicates per shard, so a gram occurring in half the train corpus
-    splits across tasks instead of concentrating its posting list in
-    one.  Per-doc hit counts union with a zero row per train doc and
-    fold through a bucketed aggregate on doc_id.  Nothing
+    grams never straddle batches); the contamination test is a SALTED
+    semi join — train rows shard by doc-salt, the per-BATCH-distinct
+    eval gram stream replicates per shard (semi-join membership is
+    duplicate-insensitive, so no global eval DISTINCT exchange is
+    needed), and a gram occurring in half the train corpus splits
+    across tasks instead of concentrating its posting list in one.
+    Per-doc hit counts union with a zero row per train doc and fold
+    through a bucketed aggregate on doc_id.  Nothing
     data-proportional — no eval-gram set, no contaminated-id list —
     ever reaches the driver, unlike the broadcast design most
     pipelines start with.
@@ -277,8 +277,7 @@ def decontaminate(docs, n: int = 4, eval_frac: float = 0.1,
     orientation: decontaminate train against val+test).
     """
     from .dedup import _doc_key_dtype
-    from .shuffle import (bucketed_distinct, bucketed_groupby,
-                          salted_lookup_join)
+    from .shuffle import bucketed_groupby, salted_lookup_join
 
     _side = _side_fn(eval_frac, holdout)
     dt = _doc_key_dtype(docs)
@@ -305,9 +304,9 @@ def decontaminate(docs, n: int = 4, eval_frac: float = 0.1,
                 acc |= _doc_grams(t)
         return pd.DataFrame({"gram": pd.Series(sorted(acc), dtype=object)})
 
-    eval_set = bucketed_distinct(
-        docs.map_batches(eval_grams, batch_format="pandas"),
-        "gram", num_buckets)
+    # per-batch-distinct only: semi-join membership tolerates duplicate
+    # right rows, so the global DISTINCT exchange would be pure cost
+    eval_set = docs.map_batches(eval_grams, batch_format="pandas")
 
     hits = salted_lookup_join(
         docs.map_batches(train_rows, batch_format="pandas"), eval_set,
@@ -780,7 +779,7 @@ REPETITION_SQL = r"""
 
 # ------------------------------------- corpus-wide line dedup
 
-_SCRUB_SALTS = 16
+_SCRUB_SALTS = 4
 
 
 def scrub_dup_lines(docs, min_docs: int = 2, min_chars: int = 1,
@@ -801,8 +800,9 @@ def scrub_dup_lines(docs, min_docs: int = 2, min_chars: int = 1,
     count folds per-block partials), (2) a SALTED anti join deletes
     flagged lines from the exploded stream: doc-line rows bucket on
     (line-hash, doc-salt) and each removal row replicates to all
-    ``_SCRUB_SALTS`` shards, so a line present in half the corpus
-    splits across salts instead of landing in one task (the removal
+    ``_SCRUB_SALTS`` shards (the skew dial — see salted_lookup_join),
+    so a line present in half the corpus splits across salts instead
+    of landing in one task (the removal
     set stays a Dataset, never a broadcast), and (3) a doc-bucketed
     re-stitch joins survivors in line order, with a zero-row stub
     unioned per document so fully-scrubbed docs survive as empty rows
