@@ -1095,7 +1095,22 @@ def dedup_components(docs, pairs, max_rounds: int = 25):
         return pd.concat([tagged(b["a"], b["b"], 1),
                           tagged(b["b"], b["a"], 1)], ignore_index=True)
 
-    edges = pairs.map_batches(edge_frames, batch_format="pandas").materialize()
+    # Bounded block counts are load-bearing here: map_groups emits one
+    # block per INPUT block, so without coalescing each round's labels
+    # inherit round_in's block count (labels + edges) and grow by
+    # |edges blocks| per round — measured 320→576→832→1088 blocks with
+    # round time 13→32→67→113 s (the sort's driver overhead is
+    # quadratic in block count).  Coalesce both the edge stream once
+    # and the label output every round to ~2 blocks/core.
+    try:
+        import ray as _ray
+        _cpus = int(_ray.cluster_resources().get("CPU", 0)) or 16
+    except Exception:                                      # noqa: BLE001
+        _cpus = 16
+    base_blocks = 2 * _cpus
+
+    edges = (pairs.map_batches(edge_frames, batch_format="pandas")
+             .repartition(base_blocks, shuffle=False).materialize())
 
     def emit_messages(pdf: pd.DataFrame) -> pd.DataFrame:
         kinds = pdf[KIND_COL].to_numpy()
@@ -1122,19 +1137,29 @@ def dedup_components(docs, pairs, max_rounds: int = 25):
         return tagged(pd.Series(list(keys)), pd.Series(new.to_numpy()),
                       0, changed=changed)
 
+    import os
+    import time as _time
+    dbg = os.environ.get("ARX_DEBUG_COMPONENTS") == "1"
     converged = False
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
+        t0 = _time.perf_counter()
         round_in = labels.union(edges)
         msgs = (round_in.groupby(BUCKET_COL)
                 .map_groups(lambda g: emit_messages(g), batch_format="pandas"))
         new_labels = (msgs.groupby(BUCKET_COL)
                       .map_groups(lambda g: fold_min(g),
-                                  batch_format="pandas")).materialize()
+                                  batch_format="pandas")
+                      .repartition(base_blocks, shuffle=False)).materialize()
         n_changed = new_labels.map_batches(
             lambda df: pd.DataFrame(
                 {"n": [int(df["changed"].sum())]}),
             batch_format="pandas").sum("n")
         labels = new_labels
+        if dbg:
+            print(f"[components] round {rnd}: "
+                  f"{_time.perf_counter() - t0:.2f}s "
+                  f"label_blocks={labels.num_blocks()} "
+                  f"changed={int(n_changed)}", flush=True)
         if not n_changed:
             converged = True
             break
