@@ -313,7 +313,8 @@ def grouped_pair_join(cands, side, key_dtype: str, payload_cols: list[str],
                         zip(*(br[c].to_numpy() for c in payload_cols))))
         return verify(pairs, amap, bmap)
 
-    return (pairs_t.union(routed_t, side_b_t)
+    from .shuffle import coalesce_blocks
+    return (coalesce_blocks(pairs_t.union(routed_t, side_b_t))
             .groupby(BUCKET_COL)
             .map_groups(verify_bucket, batch_format="pandas"))
 

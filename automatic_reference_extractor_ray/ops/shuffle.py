@@ -69,6 +69,23 @@ def _bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarra
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
+def coalesce_blocks(ds, per_core: int = 2):
+    """Streaming split/merge to ~``per_core`` blocks per cluster core
+    BEFORE a sort-based groupby: Ray's sort pays driver/ref overhead
+    that grows with the square of the input block count, while upstream
+    maps deliberately run many small tasks — feeding hundreds of tiny
+    blocks straight into a sort serializes its tail (the stitch lesson,
+    measured 34→20 s at 120k docs, and the dedup_components round-growth
+    bug).  ``repartition(shuffle=False)`` merges adjacent blocks only —
+    no exchange."""
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or 16
+    except Exception:                                      # noqa: BLE001
+        cpus = 16
+    return ds.repartition(per_core * cpus, shuffle=False)
+
+
 def bucketed_groupby(ds, keys: list[str] | str, fn,
                      num_buckets: int | None = None):
     """Exact grouped computation over arbitrarily many keys.
@@ -86,7 +103,8 @@ def bucketed_groupby(ds, keys: list[str] | str, fn,
                           if len(df) else np.array([], dtype=np.int64))
         return df
 
-    return (ds.map_batches(add_bucket, batch_format="pandas")
+    return (coalesce_blocks(ds.map_batches(add_bucket,
+                                           batch_format="pandas"))
             .groupby(BUCKET_COL)
             .map_groups(lambda g: fn(g.drop(columns=BUCKET_COL)),
                         batch_format="pandas"))
@@ -229,7 +247,7 @@ def bucketed_join(left, right, on: str,
             merged = l.merge(r, on=on, how="inner")[list(schema)]
         return post(merged) if post is not None else merged
 
-    return (lt.union(rt)
+    return (coalesce_blocks(lt.union(rt))
             .groupby(BUCKET_COL)
             .map_groups(merge_bucket, batch_format="pandas"))
 
@@ -301,7 +319,8 @@ def salted_lookup_join(left, right, on: str, salt_col: str,
             merged = l.merge(r, on=on, how="inner")[list(schema)]
         return post(merged) if post is not None else merged
 
-    return (left.map_batches(tag_left, batch_format="pandas")
-            .union(right.map_batches(tag_right, batch_format="pandas"))
+    return (coalesce_blocks(
+                left.map_batches(tag_left, batch_format="pandas")
+                .union(right.map_batches(tag_right, batch_format="pandas")))
             .groupby(BUCKET_COL)
             .map_groups(merge_bucket, batch_format="pandas"))
