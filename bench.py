@@ -39,6 +39,10 @@ def run_bench() -> dict:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
                  logging_level="ERROR")
+    import logging
+    # the streaming executor warns on every empty pandas block ("new
+    # schema: names=[]") — cosmetic, and at bench scale it floods the log
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False

@@ -46,6 +46,10 @@ def main():
     import ray
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+    # the streaming executor warns on every empty pandas block ("new
+    # schema: names=[]") — cosmetic, and at bench scale it floods the log
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
