@@ -29,3 +29,93 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Lazy top-level API (PEP 562): the flagship pipeline plus every
+# operator a pipeline author composes, importable as
+# ``from automatic_reference_extractor_ray import extract_refs, exact_dedup, ...`` without
+# paying submodule import cost at package load (Ray actor cold-start
+# deserializes this package in every worker process).
+_EXPORTS = {
+    # flagship + pipelines
+    "extract_refs": "pipelines.extract",
+    "curate_corpus": "pipelines.curate",
+    # dedup family
+    "exact_dedup": "ops.dedup",
+    "incremental_dedup": "ops.dedup",
+    "jaccard_pairs": "ops.dedup",
+    "minhash_lsh_pairs": "ops.dedup",
+    "simhash_pairs": "ops.dedup",
+    "embedding_dup_pairs": "ops.dedup",
+    "embedding_dup_pairs_lsh": "ops.dedup",
+    "semantic_dedup": "ops.dedup",
+    "dedup_components": "ops.dedup",
+    "dedup_corpus": "ops.dedup",
+    "grouped_pair_join": "ops.dedup",
+    # ANN
+    "brute_force_topk": "ops.ann",
+    "lsh_topk": "ops.ann",
+    "ivf_topk": "ops.ann",
+    # text analysis / curation
+    "token_counts": "ops.textstats",
+    "quality_metrics": "ops.textstats",
+    "quality_filter": "ops.textstats",
+    "lang_guess": "ops.textstats",
+    "fingerprint": "ops.textstats",
+    "normalize_text": "ops.textstats",
+    "scrub_text": "ops.textstats",
+    "scrub_dup_lines": "ops.textstats",
+    "duplicated_passages": "ops.textstats",
+    "dup_gram_fraction": "ops.textstats",
+    "decontaminate": "ops.textstats",
+    "decontaminate_bloom": "ops.textstats",
+    "chunk_documents": "ops.textstats",
+    "pack_sequences": "ops.textstats",
+    "repetition_metrics": "ops.textstats",
+    # analytics / sampling
+    "grouped_distinct_count": "ops.analytics",
+    "grouped_quantiles": "ops.analytics",
+    "approx_quantiles": "ops.analytics",
+    "approx_distinct": "ops.analytics",
+    "grouped_approx_distinct": "ops.analytics",
+    "topk_tokens": "ops.analytics",
+    "approx_topk_tokens": "ops.analytics",
+    "topk_tokens_per_group": "ops.analytics",
+    "top_per_group": "ops.analytics",
+    "hash_split": "ops.analytics",
+    "mixture_sample": "ops.analytics",
+    "weighted_sample": "ops.analytics",
+    "sample_per_group": "ops.analytics",
+    "exact_sample": "ops.analytics",
+    "quantile_clip": "ops.analytics",
+    "global_rank": "ops.analytics",
+    "kmeans": "ops.analytics",
+    "kmeans_fit": "ops.analytics",
+    "tfidf_top_terms": "ops.analytics",
+    # shuffle primitives
+    "bucketed_groupby": "ops.shuffle",
+    "bucketed_agg": "ops.shuffle",
+    "bucketed_distinct": "ops.shuffle",
+    "bucketed_join": "ops.shuffle",
+    "salted_lookup_join": "ops.shuffle",
+    "coalesce_blocks": "ops.shuffle",
+    "auto_num_buckets": "ops.shuffle",
+    # stages / state
+    "stitch_records": "stages.stitch",
+    "latest_version_filter": "stages.dedup_version",
+    "run_resumable_extract": "state.lineage",
+}
+
+__all__ = sorted(_EXPORTS) + ["__version__"]
+
+
+def __getattr__(name: str):
+    mod = _EXPORTS.get(name)
+    if mod is None:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+    return getattr(importlib.import_module(f".{mod}", __name__), name)
+
+
+def __dir__():
+    return __all__

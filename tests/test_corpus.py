@@ -78,3 +78,13 @@ def test_xml_entity_unescape_order():
               'A &amp;lt; B &amp; C &lt;x&gt;'
               '</BibUnstructured></Citation></Citations>')
     assert extract_xml_citations(markup) == ["[1] A &lt; B & C <x>"]
+
+
+def test_top_level_api_exports_resolve():
+    """Every name in the package's lazy __all__ resolves to a real
+    callable (PEP 562 exports stay in sync with the modules)."""
+    import automatic_reference_extractor_ray as arx
+    for name in arx.__all__:
+        if name == "__version__":
+            continue
+        assert callable(getattr(arx, name)), name
