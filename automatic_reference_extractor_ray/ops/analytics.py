@@ -205,6 +205,9 @@ def exact_sample(ds, id_col: str, n: int, salt: str = "exact"):
     ``ORDER BY md5('{salt}|' || CAST(id AS VARCHAR)) LIMIT n``.
     """
 
+    if n <= 0:
+        return ds.map_batches(lambda b: b.iloc[:0], batch_format="pandas")
+
     def _digest(v) -> str:
         return hashlib.md5(f"{salt}|{v}".encode("utf-8")).hexdigest()
 

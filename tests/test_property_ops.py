@@ -155,3 +155,23 @@ def test_dup_gram_fraction_matches_local_reference(ray_session):
         assert row["dup_frac_x1000"] == ((1000 * nd) // len(gs) if gs else 0)
     assert got.loc[0, "n_dup_grams"] >= 1      # planted shared gram
     assert got.loc[3, "n_grams"] == 0 == got.loc[4, "n_grams"]
+
+
+def test_round3_ops_zero_and_empty_edges(ray_session):
+    """n=0 and empty-corpus calls return empty results, never crash."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.analytics import exact_sample
+    from automatic_reference_extractor_ray.ops.textstats import (
+        dup_gram_fraction, scrub_dup_lines)
+
+    df = pd.DataFrame({"doc_id": np.arange(3, dtype="int64"),
+                       "text": ["a b", "a b", None]})
+    assert exact_sample(rd.from_pandas(df), "doc_id", n=0).count() == 0
+
+    empty = rd.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "text": pd.Series([], dtype=object)}))
+    assert scrub_dup_lines(empty).count() == 0
+    assert dup_gram_fraction(empty).count() == 0
+    assert exact_sample(empty, "doc_id", 5).count() == 0
