@@ -496,6 +496,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return exact_sample(_read(sf, "documents", ["doc_id"]),
                             "doc_id", n=100)
 
+    def shuffle_rank_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            shuffle_rank)
+        return shuffle_rank(_read(sf, "documents", ["doc_id"]), "doc_id")
+
     def topk_tokens_q(sf):
         from automatic_reference_extractor_ray.ops.analytics import topk_tokens
         return topk_tokens(_docs_table(sf), k=50)
@@ -654,6 +659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_corpus": dedup_corpus_q,
         "scrub_dup_lines": scrub_dup_lines_q,
         "dup_gram_fraction": dup_gram_fraction_q,
+        "shuffle_rank": shuffle_rank_q,
         "topk_tokens": topk_tokens_q,
         "approx_distinct": approx_distinct_q,
         "kmeans_clusters": kmeans_q,
@@ -1177,6 +1183,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             ORDER BY md5('exact|' || CAST(doc_id AS VARCHAR))
             LIMIT 100""",
+        "shuffle_rank": """
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                     ORDER BY substr(md5('shuf|' || CAST(doc_id AS VARCHAR)),
+                              1, 15), doc_id) AS pos
+            FROM documents""",
         "topk_tokens": f"""
             SELECT token, COUNT(*) AS n
             FROM (SELECT unnest({TOK}) AS token FROM documents)

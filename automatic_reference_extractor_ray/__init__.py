@@ -88,6 +88,7 @@ _EXPORTS = {
     "exact_sample": "ops.analytics",
     "quantile_clip": "ops.analytics",
     "global_rank": "ops.analytics",
+    "shuffle_rank": "ops.analytics",
     "kmeans": "ops.analytics",
     "kmeans_fit": "ops.analytics",
     "tfidf_top_terms": "ops.analytics",

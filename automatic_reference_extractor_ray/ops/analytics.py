@@ -659,6 +659,39 @@ def global_rank(ds, value_col: str, id_col: str, descending: bool = False,
     return bucketed_groupby(ranged, "__r", rank_range, num_buckets)
 
 
+# ----------------------------------------- deterministic corpus shuffle
+
+def shuffle_rank(ds, id_col: str, salt: str = "shuf", out_col: str = "pos",
+                 num_buckets: int | None = None):
+    """Deterministic global shuffle position — the reproducible
+    permutation a training pipeline applies before sequence packing
+    (``random_shuffle`` without RNG state: same corpus + salt → same
+    order on any cluster size).  Rows rank 1..N by
+    (md5("{salt}|{id}") 60-bit prefix, id) through the range-partitioned
+    ``global_rank``; ties are impossible short of md5 collisions and
+    break by id anyway.  → input columns minus the internal sort key,
+    plus ``out_col``.
+
+    SQL mirror: ``ROW_NUMBER() OVER (ORDER BY substr(md5(...), 1, 15),
+    id)`` — lowercase fixed-width hex string order equals the integer
+    order of the same prefix, so the oracle needs no hex-to-int cast.
+    """
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__sh"] = np.fromiter(
+            (int(hashlib.md5(f"{salt}|{v}".encode("utf-8"))
+                 .hexdigest()[:15], 16) for v in b[id_col].tolist()),
+            np.int64, len(b))
+        return b
+
+    ranked = global_rank(ds.map_batches(key, batch_format="pandas"),
+                         "__sh", id_col, out_col=out_col,
+                         num_buckets=num_buckets)
+    return ranked.map_batches(lambda b: b.drop(columns="__sh"),
+                              batch_format="pandas")
+
+
 # ----------------------------------------------- per-group top-k rows
 
 def top_per_group(ds, key: str, metric: str, id_col: str, k: int = 3,

@@ -708,3 +708,22 @@ def test_scrub_dup_lines_boilerplate_removal(ray_session):
         out = (scrub_dup_lines(rd.from_pandas(df), min_docs=2, **kw)
                .to_pandas().sort_values("doc_id").reset_index(drop=True))
         assert dict(zip(out["doc_id"], out["text"])) == exp
+
+
+def test_shuffle_rank_is_deterministic_permutation(ray_session):
+    """Positions are a permutation of 1..N, stable across block layouts
+    and runs, and actually shuffled (not identity order)."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.analytics import shuffle_rank
+
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype="int64")})
+    outs = []
+    for nblocks in (1, 7):
+        got = (shuffle_rank(rd.from_pandas(df).repartition(nblocks),
+                            "doc_id")
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert sorted(got["pos"]) == list(range(1, 201))
+        outs.append(got["pos"].tolist())
+    assert outs[0] == outs[1]                       # layout-invariant
+    assert outs[0] != sorted(outs[0])               # actually permuted
