@@ -783,14 +783,16 @@ _SCRUB_SALTS = 4
 
 
 def scrub_dup_lines(docs, min_docs: int = 2, min_chars: int = 1,
-                    num_buckets: int | None = None):
+                    num_buckets: int | None = None,
+                    delimiter: str = "\n"):
     """Corpus-wide duplicate-LINE removal (the CCNet / RefinedWeb
     boilerplate scrub): any exact line that appears in >= ``min_docs``
     DISTINCT documents is deleted from every document; lines shorter
     than ``min_chars`` raw characters are never counted (and so never
     removed).  → (doc_id, text) with surviving lines re-joined by
-    ``\\n``, one row per input document (a document whose every line
-    was boilerplate comes back as ``""``).
+    ``delimiter``, one row per input document (a document whose every
+    line was boilerplate comes back as ``""``).  ``delimiter="\\n\\n"``
+    gives PARAGRAPH-granularity dedup (the RefinedWeb variant).
 
     Scale shape: bounded shuffles, nothing driver-side, and SKEW-PROOF
     on the hot keys this op exists for (a boilerplate line appears in
@@ -816,7 +818,7 @@ def scrub_dup_lines(docs, min_docs: int = 2, min_chars: int = 1,
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         out = b[["doc_id"]].copy()
-        out["line"] = b["text"].fillna("").str.split("\n")
+        out["line"] = b["text"].fillna("").str.split(delimiter, regex=False)
         out = out.explode("line", ignore_index=True)
         out["line"] = out["line"].astype(object)
         out["i"] = (out.groupby("doc_id", sort=False).cumcount() + 1
@@ -855,18 +857,20 @@ def scrub_dup_lines(docs, min_docs: int = 2, min_chars: int = 1,
         for d, g in pdf.groupby("doc_id", sort=False):
             g = g[g["i"] > 0].sort_values("i")
             ids.append(d)
-            texts.append("\n".join(g["line"]))
+            texts.append(delimiter.join(g["line"]))
         return pd.DataFrame({"doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
                              "text": pd.Series(texts, dtype=object)})
 
     return bucketed_groupby(allrows, "doc_id", stitch, num_buckets)
 
 
-def scrub_dup_lines_sql(min_docs: int = 2, min_chars: int = 1) -> str:
+def scrub_dup_lines_sql(min_docs: int = 2, min_chars: int = 1,
+                        delimiter: str = "\n") -> str:
     """DuckDB oracle mirroring ``scrub_dup_lines`` byte-for-byte."""
+    delim_sql = " || ".join(f"chr({ord(c)})" for c in delimiter)
     return f"""
     WITH l AS (
-      SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS ls
+      SELECT doc_id, string_split(COALESCE(text, ''), {delim_sql}) AS ls
       FROM documents),
     lines AS (
       SELECT doc_id, unnest(ls) AS line,
@@ -880,7 +884,7 @@ def scrub_dup_lines_sql(min_docs: int = 2, min_chars: int = 1) -> str:
       SELECT doc_id, i, line FROM lines
       WHERE line NOT IN (SELECT line FROM counts WHERE nd >= {min_docs})),
     agg AS (
-      SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+      SELECT doc_id, string_agg(line, {delim_sql} ORDER BY i) AS text
       FROM kept GROUP BY doc_id)
     SELECT d.doc_id, COALESCE(a.text, '') AS text
     FROM documents d LEFT JOIN agg a USING (doc_id)"""

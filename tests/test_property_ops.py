@@ -175,3 +175,27 @@ def test_round3_ops_zero_and_empty_edges(ray_session):
     assert scrub_dup_lines(empty).count() == 0
     assert dup_gram_fraction(empty).count() == 0
     assert exact_sample(empty, "doc_id", 5).count() == 0
+
+
+def test_scrub_dup_lines_paragraph_mode(ray_session):
+    """delimiter='\\n\\n' dedups PARAGRAPHS: a shared paragraph
+    containing single newlines vanishes whole, single-line overlap
+    within differing paragraphs survives."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.textstats import (
+        scrub_dup_lines)
+
+    boiler = "terms of use\napply here"
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype="int64"),
+        "text": [f"{boiler}\n\nunique one",
+                 f"{boiler}\n\nunique two",
+                 "terms of use\nbut in one paragraph only"],
+    })
+    got = (scrub_dup_lines(rd.from_pandas(df), min_docs=2,
+                           delimiter="\n\n")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["text"].tolist() == [
+        "unique one", "unique two",
+        "terms of use\nbut in one paragraph only"]
