@@ -230,6 +230,18 @@ def run_bench() -> dict:
     from automatic_reference_extractor_ray.ops.dedup import semantic_dedup
     timed("semantic_dedup", lambda: semantic_dedup(
         read("embeddings"), k=8, n_iter=5).count())
+    from automatic_reference_extractor_ray.ops.analytics import (
+        exact_sample, shuffle_rank)
+    from automatic_reference_extractor_ray.ops.textstats import (
+        dup_gram_fraction, scrub_dup_lines)
+    timed("scrub_dup_lines", lambda: scrub_dup_lines(
+        read("documents", ["doc_id", "text"])).count())
+    timed("dup_gram_fraction", lambda: dup_gram_fraction(
+        read("documents", ["doc_id", "text"])).count())
+    timed("exact_sample", lambda: exact_sample(
+        read("documents", ["doc_id"]), "doc_id", n=500).count())
+    timed("shuffle_rank", lambda: shuffle_rank(
+        read("documents", ["doc_id"]), "doc_id").count())
 
     result = {
         "metric": "e2e_extract_sec",
