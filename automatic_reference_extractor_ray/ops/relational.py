@@ -51,8 +51,12 @@ def q1_pricing_summary(lineitem):
 
 def top_customers_by_revenue(orders, customer, k: int = 10):
     """Top-k customers by total order value: pre-aggregate orders per
-    custkey per batch → small groupby → global top-k cut FIRST (sort +
-    limit on the tiny aggregate) → attach names for the k winners only.
+    custkey per batch → bucketed exact per-custkey totals with the
+    top-k cut applied INSIDE each bucket (a custkey's partials land
+    whole in one hash bucket, so a per-bucket top-k is a correct
+    candidate filter) → ≤ nb×k candidate rows merge on the driver →
+    attach names for the k winners only.  No distributed sort: the
+    only exchange is the bounded-bucket shuffle of per-batch partials.
 
     The customer dimension scales with the data, so it is never
     collected or broadcast: the top-k keys (k rows) are found before
@@ -70,16 +74,25 @@ def top_customers_by_revenue(orders, customer, k: int = 10):
 
     # custkey cardinality grows with the data → bounded-bucket shuffle,
     # not Ray's per-group aggregate (see ops/shuffle.py)
-    from .shuffle import bucketed_agg
-    per_cust = bucketed_agg(
+    from .shuffle import bucketed_groupby
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = (pdf.groupby("o_custkey", sort=False)
+             .agg(revenue_c=("revenue_c", "sum"),
+                  n_orders=("n_orders", "sum"))
+             .reset_index())
+        g = g.sort_values(["revenue_c", "o_custkey"],
+                          ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    cand = bucketed_groupby(
         orders.map_batches(partial, batch_format="pyarrow",
                            batch_size=65536),
-        "o_custkey",
-        {"revenue_c": ("revenue_c", "sum"), "n_orders": ("n_orders", "sum")})
+        "o_custkey", bucket_topk).to_pandas()       # ≤ nb×k rows
 
-    top = (per_cust.sort(["revenue_c", "o_custkey"],
-                         descending=[True, False])
-           .limit(k).to_pandas())
+    top = (cand.sort_values(["revenue_c", "o_custkey"],
+                            ascending=[False, True], kind="mergesort")
+           .head(k).reset_index(drop=True))
 
     keys = set(top["o_custkey"].tolist())
 

@@ -415,14 +415,57 @@ NORMALIZE_SQL = r"""
 
 # ------------------------------------- Bloom-filter decontamination
 
-def _bloom_bits(gram: str, m_bits: int, k: int) -> list[int]:
-    """k bit positions via double hashing (h1 + i*h2, Kirsch &
-    Mitzenmacher 2006) over the gram's md5 — deterministic across
-    processes, no PYTHONHASHSEED dependence."""
-    d = hashlib.md5(gram.encode("utf-8")).digest()
-    h1 = int.from_bytes(d[:8], "little")
-    h2 = int.from_bytes(d[8:], "little") | 1
-    return [(h1 + i * h2) % m_bits for i in range(k)]
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — full-avalanche uint64 mix,
+    deterministic across processes (no PYTHONHASHSEED dependence)."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+_GRAM_P = np.uint64(0x100000001B3)            # FNV-64 prime
+_H2_XOR = np.uint64(0xA5A5A5A5A5A5A5A5)
+
+_EMPTY_I64 = np.array([], dtype=np.int64)
+_EMPTY_U64 = np.array([], dtype=np.uint64)
+
+
+def _batch_gram_hashes(texts, n: int):
+    """Every rolling word-n-gram of every text, as 64-bit hashes —
+    vectorized: per-token siphash via pandas' C ``hash_array``, then a
+    positional polynomial combine of n consecutive token hashes (a loop
+    over n ≈ 4 positions, never over grams), splitmix-finalized.
+
+    → (doc_idx int64, gram_hash uint64) aligned arrays; grams spanning
+    a document boundary are masked out.
+    """
+    toks = [_tokens(t) for t in texts]
+    lens = np.fromiter((len(t) for t in toks), np.int64, len(toks))
+    flat = [w for ts in toks for w in ts]
+    total = int(lens.sum())
+    if total < n:
+        return _EMPTY_I64, _EMPTY_U64
+    th = pd.util.hash_array(np.asarray(flat, dtype=object))
+    di = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+    m = total - n + 1
+    gh = np.zeros(m, dtype=np.uint64)
+    for j in range(n):
+        gh = gh * _GRAM_P + th[j:j + m]
+    gh = _splitmix64(gh)
+    valid = di[:m] == di[n - 1:]          # gram lies inside one doc
+    return di[:m][valid], gh[valid]
+
+
+def _bloom_positions(gh: np.ndarray, m_bits: int, k: int):
+    """k bit positions per gram via double hashing (h1 + i*h2, Kirsch
+    & Mitzenmacher 2006) — yields k int64 index arrays, one per probe,
+    so callers gather/scatter a whole batch of grams per probe."""
+    h1 = gh
+    h2 = _splitmix64(gh ^ _H2_XOR) | np.uint64(1)
+    mb = np.uint64(m_bits)
+    for i in range(k):
+        yield ((h1 + np.uint64(i) * h2) % mb).astype(np.int64)
 
 
 def decontaminate_bloom(docs, n: int = 4, eval_frac: float = 0.1,
@@ -445,6 +488,14 @@ def decontaminate_bloom(docs, n: int = 4, eval_frac: float = 0.1,
     eval gram SET never materializes anywhere, unlike the exact path's
     per-bucket posting lists; at 100 TB the sketch stays 512 KiB while
     the exact path shuffles every gram occurrence.
+
+    Kernels are fully vectorized: token hashes via pandas' C siphash,
+    rolling gram hashes via a positional polynomial combine (loop over
+    n positions, never over grams), membership as k vectorized bit
+    gathers.  Grams are identified by their 64-bit hash (insert, probe
+    AND the per-doc distinct count) — a 64-bit collision can merge two
+    grams, which preserves the one-sided no-false-negative guarantee
+    (a colliding gram can only ADD a flag, never clear one).
     """
     import ray
 
@@ -452,18 +503,15 @@ def decontaminate_bloom(docs, n: int = 4, eval_frac: float = 0.1,
     n_bytes = m_bits // 8
 
     def partial_bitmap(batch: pd.DataFrame) -> pd.DataFrame:
-        bits = np.zeros(m_bits, dtype=bool)
-        any_set = False
-        for d, t in zip(batch["doc_id"], batch["text"]):
-            if _side(d) != 0:
-                continue
-            toks = _tokens(t)
-            for i in range(len(toks) - n + 1):
-                for b in _bloom_bits(" ".join(toks[i:i + n]), m_bits, k):
-                    bits[b] = True
-                any_set = True
-        if not any_set:
+        is_eval = np.fromiter((_side(d) == 0 for d in batch["doc_id"]),
+                              bool, len(batch))
+        _, gh = _batch_gram_hashes(
+            list(batch.loc[is_eval, "text"]), n)
+        if gh.size == 0:
             return pd.DataFrame({"bitmap": pd.Series([], dtype=object)})
+        bits = np.zeros(m_bits, dtype=bool)
+        for idx in _bloom_positions(gh, m_bits, k):
+            bits[idx] = True
         return pd.DataFrame({"bitmap": [np.packbits(bits).tobytes()]})
 
     # streaming OR-reduce: fold each block's 512 KiB partial as it
@@ -482,25 +530,25 @@ def decontaminate_bloom(docs, n: int = 4, eval_frac: float = 0.1,
         bits = np.unpackbits(
             np.frombuffer(ray.get(sketch_ref), dtype=np.uint8)
         ).view(bool)
-        dids, hits = [], []
-        for d, t in zip(batch["doc_id"], batch["text"]):
-            if _side(d) != 1:
-                continue
-            toks = _tokens(t)
-            seen = set()
-            nf = 0
-            for i in range(len(toks) - n + 1):
-                g = " ".join(toks[i:i + n])
-                if g in seen:
-                    continue
-                seen.add(g)
-                if all(bits[b] for b in _bloom_bits(g, m_bits, k)):
-                    nf += 1
-            dids.append(d)
-            hits.append(nf)
-        hits = np.array(hits, dtype=np.int64)
+        is_train = np.fromiter((_side(d) == 1 for d in batch["doc_id"]),
+                               bool, len(batch))
+        dids = batch.loc[is_train, "doc_id"].reset_index(drop=True)
+        di, gh = _batch_gram_hashes(list(batch.loc[is_train, "text"]), n)
+        hits = np.zeros(len(dids), dtype=np.int64)
+        if gh.size:
+            ok = np.ones(gh.size, dtype=bool)
+            for idx in _bloom_positions(gh, m_bits, k):
+                ok &= bits[idx]
+            # distinct grams per doc (by 64-bit gram hash): sort by
+            # (doc, hash), count only each gram's first occurrence
+            order = np.lexsort((gh, di))
+            ds_, gs_ = di[order], gh[order]
+            first = np.ones(ds_.size, dtype=bool)
+            first[1:] = (ds_[1:] != ds_[:-1]) | (gs_[1:] != gs_[:-1])
+            hits = np.bincount(ds_[first & ok[order]],
+                               minlength=len(dids)).astype(np.int64)
         return pd.DataFrame({
-            "doc_id": pd.Series(dids, dtype=batch["doc_id"].dtype),
+            "doc_id": dids,
             "n_flagged": hits,
             "keep": (hits == 0).astype(np.int64),
         })

@@ -87,6 +87,8 @@ def main() -> None:
     from automatic_reference_extractor_ray.ops.dedup import (
         embedding_dup_pairs_lsh, exact_dedup, jaccard_pairs,
         minhash_lsh_pairs, simhash_pairs)
+    from automatic_reference_extractor_ray.ops.textstats import (
+        decontaminate_bloom)
 
     docs = replicated_docs(repeat)
     embs = replicated_embeddings(repeat)
@@ -106,6 +108,7 @@ def main() -> None:
     timed("dedup_minhash", lambda: minhash_lsh_pairs(docs).count())
     timed("dedup_simhash", lambda: simhash_pairs(docs).count())
     timed("dedup_emb_lsh", lambda: embedding_dup_pairs_lsh(embs).count())
+    timed("decontaminate_bloom", lambda: decontaminate_bloom(docs).count())
 
     print(json.dumps({"metric": "dedup_family_sec", "unit": "sec",
                       "sf": SF_DIR, "num_cpus": NUM_CPUS,
