@@ -649,65 +649,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "event_type", "value")
 
     # ORDERING CONTRACT: the driver checks queries in dict order and
-    # caps around 50, so entries never yet driver-verified or CHANGED
-    # this round come first; ops verified green in two prior driver
-    # rounds and untouched since sit at the tail.
+    # caps around 50, so entries come first when (a) their last driver
+    # check is the stalest (the 27 below were driver-checked in r2 but
+    # rode round-3 changes to shared primitives unverified) or (b) the
+    # op CHANGED this round; twice-green untouched ops sit at the tail.
+    # Union target: CORRECTNESS_r04 + r03 covers all 77, every entry
+    # ≤ 1 round stale.
     return {
-        # -- never driver-verified before round 3 (r2 additions) --
-        "semantic_dedup": semantic_dedup_q,
-        "exact_sample": exact_sample_q,
-        "dedup_corpus": dedup_corpus_q,
-        "scrub_dup_lines": scrub_dup_lines_q,
-        "dup_gram_fraction": dup_gram_fraction_q,
-        "shuffle_rank": shuffle_rank_q,
-        "topk_tokens": topk_tokens_q,
-        "approx_distinct": approx_distinct_q,
-        "kmeans_clusters": kmeans_q,
-        "events_range_join": events_range_join_q,
-        "decontaminate": decontaminate_q,
-        "top_per_lang": top_per_lang_q,
-        "mixture_sample": mixture_sample_q,
-        "curate_corpus": curate_corpus_q,
-        "tfidf_terms": tfidf_q,
-        "approx_quantiles": approx_quantiles_q,
-        "customers_without_events": customers_without_events_q,
-        "repetition_metrics": repetition_q,
-        "sample_per_lang": sample_per_lang_q,
-        "scrub_text": scrub_text_q,
-        "chunk_docs": chunk_docs_q,
-        "pack_sequences": pack_sequences_q,
-        "decontaminate_bloom": decontaminate_bloom_q,
-        "length_clip": length_clip_q,
-        "approx_distinct_grouped": approx_distinct_grouped_q,
-        "topk_tokens_per_lang": topk_tokens_per_lang_q,
-        "doc_rank": doc_rank_q,
-        # -- changed in round 3 (new goldens / Arrow kernels / perf) --
-        "extract_refs": extract_refs_q,
-        "extract_fields": extract_fields_q,
-        "extract_coordinates": extract_coordinates_q,
-        "provenance_counts": provenance_counts_q,
-        "refs_per_doc": refs_per_doc_q,
-        "route_counts": route_counts_q,
-        "latest_versions": latest_versions_q,
-        "span_stats": span_stats_q,
-        "result_view": result_view_q,
-        "doc_xml": doc_xml_q,
-        "ocr_lines": ocr_lines_q,
-        "segment_lookup": segment_lookup_q,
-        "ocr_line_counts": ocr_line_counts_q,
-        "media_features": media_features_q,
-        "page_overlays": page_overlays_q,
-        "token_counts": token_counts_q,
-        "quality_metrics": quality_metrics_q,
-        "lang_guess": lang_guess_q,
-        "doc_fingerprint": fingerprint_q,
-        "quality_filter": quality_filter_q,
-        "dedup_jaccard": dedup_jaccard_q,
-        "dedup_minhash": dedup_minhash_q,
-        "dedup_simhash": dedup_simhash_q,
+        # -- driver-checked last in r2; round-4 rotation puts them
+        #    inside the cap (top_customers also changed this round) --
         "top_customers": top_customers_q,
         "weighted_sample": weighted_sample_q,
-        # -- twice-green and untouched (beyond the driver cap is OK) --
         "dedup_exact": dedup_exact_q,
         "dedup_incremental": dedup_incremental_q,
         "dedup_components": dedup_components_q,
@@ -733,6 +685,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": distinct_users_q,
         "value_quantiles": value_quantiles_q,
         "hash_split": hash_split_q,
+        # -- changed in round 4 (vectorized kernels / widened parsers) --
+        "decontaminate_bloom": decontaminate_bloom_q,
+        "extract_fields": extract_fields_q,
+        "exact_sample": exact_sample_q,
+        "dedup_simhash": dedup_simhash_q,
+        "dedup_minhash": dedup_minhash_q,
+        # -- r3-green, unchanged this round --
+        "semantic_dedup": semantic_dedup_q,
+        "dedup_corpus": dedup_corpus_q,
+        "scrub_dup_lines": scrub_dup_lines_q,
+        "dup_gram_fraction": dup_gram_fraction_q,
+        "shuffle_rank": shuffle_rank_q,
+        "topk_tokens": topk_tokens_q,
+        "approx_distinct": approx_distinct_q,
+        "kmeans_clusters": kmeans_q,
+        "events_range_join": events_range_join_q,
+        "decontaminate": decontaminate_q,
+        "top_per_lang": top_per_lang_q,
+        "mixture_sample": mixture_sample_q,
+        "curate_corpus": curate_corpus_q,
+        "tfidf_terms": tfidf_q,
+        "approx_quantiles": approx_quantiles_q,
+        "customers_without_events": customers_without_events_q,
+        "repetition_metrics": repetition_q,
+        "sample_per_lang": sample_per_lang_q,
+        # ---- driver cap (~50) usually lands here ----
+        "scrub_text": scrub_text_q,
+        "chunk_docs": chunk_docs_q,
+        "pack_sequences": pack_sequences_q,
+        "length_clip": length_clip_q,
+        "approx_distinct_grouped": approx_distinct_grouped_q,
+        "topk_tokens_per_lang": topk_tokens_per_lang_q,
+        "doc_rank": doc_rank_q,
+        "extract_refs": extract_refs_q,
+        "extract_coordinates": extract_coordinates_q,
+        "provenance_counts": provenance_counts_q,
+        "refs_per_doc": refs_per_doc_q,
+        "route_counts": route_counts_q,
+        "latest_versions": latest_versions_q,
+        "span_stats": span_stats_q,
+        "result_view": result_view_q,
+        "doc_xml": doc_xml_q,
+        "ocr_lines": ocr_lines_q,
+        "segment_lookup": segment_lookup_q,
+        "ocr_line_counts": ocr_line_counts_q,
+        "media_features": media_features_q,
+        "page_overlays": page_overlays_q,
+        "token_counts": token_counts_q,
+        "quality_metrics": quality_metrics_q,
+        "lang_guess": lang_guess_q,
+        "doc_fingerprint": fingerprint_q,
+        "quality_filter": quality_filter_q,
+        "dedup_jaccard": dedup_jaccard_q,
     }
 
 

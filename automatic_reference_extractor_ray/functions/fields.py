@@ -140,6 +140,7 @@ def _split_authors(auth: str) -> list[str]:
     (bare-surname comma list) → individual name strings (the TEI
     mapper emits one <author> per name; this is the flat-string
     equivalent)."""
+    in_and_list = bool(re.search(r",? and ", auth))
     auth = re.sub(r",? and ", "\x00", auth)
     parts: list[str] = []
     for chunk in _AUTH_SPLIT_RE.split(auth):
@@ -151,9 +152,14 @@ def _split_authors(auth: str) -> list[str]:
                 # no initials anywhere: the commas can only be LIST
                 # separators of bare surnames ("Miller, Schmidt"), not
                 # "Surname, F." inversions — but only when every piece
-                # looks like a surname ("Miller, A" stays one name)
+                # looks like a surname ("Miller, A" stays one name) AND
+                # the string is recognizably a LIST: >= 3 pieces or an
+                # "and"-joined tail (the bare-surname shape the corpus
+                # generates).  A lone dotless "Miller, Anne" is a fully
+                # spelled inverted single name and must stay one author.
                 pieces = [x.strip() for x in p.split(",")]
-                if all(_SURNAME_RE.fullmatch(x) for x in pieces):
+                if ((len(pieces) >= 3 or in_and_list)
+                        and all(_SURNAME_RE.fullmatch(x) for x in pieces)):
                     parts.extend(pieces)
                     continue
             parts.append(p)

@@ -215,9 +215,12 @@ def exact_sample(ds, id_col: str, n: int, salt: str = "exact"):
         hs = sorted(_digest(v) for v in b[id_col].tolist())[:n]
         return pd.DataFrame({"__h": pd.Series(hs, dtype="object")})
 
+    # candidate pass sees ONLY the id column — the digest fold would
+    # otherwise re-execute the full upstream with every column in flight
     acc: list[str] = []
-    for part in ds.map_batches(cand, batch_format="pandas").iter_batches(
-            batch_format="pandas", batch_size=4096):
+    for part in (ds.select_columns([id_col])
+                 .map_batches(cand, batch_format="pandas")
+                 .iter_batches(batch_format="pandas", batch_size=4096)):
         acc.extend(part["__h"].tolist())
         if len(acc) > 4 * n:
             acc = sorted(acc)[:n]

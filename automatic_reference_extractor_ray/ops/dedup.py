@@ -723,7 +723,13 @@ def minhash_lsh_pairs(docs, tau: float = 0.9):
     Returns verified pairs (a, b) as doc ids.  Recall is the banding
     curve's — candidates missed by every band are lost, so this is
     rows-only checked (compared against ``jaccard_pairs`` in tests,
-    not an SQL oracle).
+    not an SQL oracle).  Additionally, a band group past ``_STAR_CAP``
+    members emits star edges only (see ``_int_pairs_of_groups``):
+    standalone-PAIR recall between two non-min members of such a group
+    relies on another band catching them — mitigated in practice by
+    the 63-bit band hash making oversized groups near-clone sets, and
+    immaterial for the components/removal consumers, which only need
+    connectivity.
     """
     raw_int_ids = _doc_key_dtype(docs) == "int64"
 
@@ -779,12 +785,86 @@ def _hash64_full(tokens: list[str] | np.ndarray) -> np.ndarray:
     return pd.util.hash_array(np.asarray(tokens, dtype=object))
 
 
+def _hamming64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of XORed 64-bit fingerprints."""
+    ham = np.zeros(len(x), np.int64)
+    for shift in range(0, 64, 8):
+        ham += _POPCNT8[(x >> np.uint64(shift)) & np.uint64(0xFF)]
+    return ham
+
+
+def _simhash_pairs_of_bucket(pdf: pd.DataFrame, max_hamming: int,
+                             star_cap: int = _STAR_CAP) -> pd.DataFrame:
+    """Hamming-verified candidate pairs for one hash bucket of
+    (band, chunk, simhash, h) rows — module-level so the clone-aware
+    cap below is unit-testable with synthetic fingerprints.
+
+    Groups past ``star_cap`` apply a CLONE-AWARE cap: each identical-
+    fingerprint set collapses to intra-set star edges on its min id
+    (those pairs are Hamming-0 clones by construction), while the full
+    banding comparison still runs across every DISTINCT fingerprint via
+    one min-id representative per set — an oversized bucket of
+    unrelated docs loses no near-dup recall.  Only > ``star_cap``
+    DISTINCT fingerprints in one group degrades to a verified star
+    over representatives."""
+    outs_a, outs_b = [], []
+    for _, g in pdf.groupby(["band", "chunk"], sort=False):
+        g = g.drop_duplicates("h").sort_values("h")
+        ids = g["h"].to_numpy()
+        if len(ids) < 2:
+            continue
+        shs = g["simhash"].to_numpy().view(np.uint64)
+        if len(ids) > star_cap:
+            uniq_sh, inv = np.unique(shs, return_inverse=True)
+            order = np.argsort(inv, kind="stable")
+            first = order[np.unique(inv[order], return_index=True)[1]]
+            rep_of = ids[first][inv]         # min id of own fp set
+            m = ids != rep_of                # intra-set star edges
+            if m.any():
+                outs_a.append(rep_of[m]); outs_b.append(ids[m])
+            reps, rep_shs = ids[first], uniq_sh
+            ro = np.argsort(reps)
+            reps, rep_shs = reps[ro], rep_shs[ro]
+            if len(reps) < 2:
+                continue
+            if len(reps) > star_cap:
+                ai = np.zeros(len(reps) - 1, dtype=np.intp)
+                bi = np.arange(1, len(reps), dtype=np.intp)
+            else:
+                ai, bi = np.triu_indices(len(reps), k=1)
+            keep = _hamming64(rep_shs[ai] ^ rep_shs[bi]) <= max_hamming
+            if keep.any():
+                outs_a.append(reps[ai[keep]])
+                outs_b.append(reps[bi[keep]])
+            continue
+        ai, bi = np.triu_indices(len(ids), k=1)
+        keep = _hamming64(shs[ai] ^ shs[bi]) <= max_hamming
+        if keep.any():
+            outs_a.append(ids[ai[keep]]); outs_b.append(ids[bi[keep]])
+    if not outs_a:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
+    return pd.DataFrame({"a": np.concatenate(outs_a),
+                         "b": np.concatenate(outs_b)}).drop_duplicates()
+
+
 def simhash_pairs(docs, max_hamming: int = 8):
     """SimHash near-dup: 64-bit fingerprints, banded into 4 x 16-bit
     chunks (pigeonhole: the 4-band scheme guarantees recall for
     hamming <= 3; wider radii may miss spread bit-flips — banding
     parameters are explicit).  Exact Hamming verified per candidate;
     final pair set deduped through the bounded-bucket shuffle.
+
+    Buckets larger than ``_STAR_CAP`` collapse each IDENTICAL
+    fingerprint set to its min-id representative (intra-set edges
+    become a star — those pairs are Hamming-0 clones) while the
+    banding comparison still runs over every DISTINCT fingerprint, so
+    the hamming<=3 guarantee holds at representative granularity: a
+    non-rep clone connects to cross-set matches through its rep, which
+    is what components/removal consume.  Only a bucket with more than
+    ``_STAR_CAP`` *distinct* fingerprints (16-bit chunks collide freely
+    past ~270M docs, i.e. > 10^9-doc corpora) degrades to a verified
+    star over representatives.
 
     Int-keyed corpora skip the id-decode join entirely: pairs travel
     and emit as the raw int64 doc ids (sorted, so a < b holds)."""
@@ -808,34 +888,7 @@ def simhash_pairs(docs, max_hamming: int = 8):
     bands = docs.map_batches(sigs, batch_format="pandas")
 
     def pairs_of_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        outs_a, outs_b = [], []
-        for _, g in pdf.groupby(["band", "chunk"], sort=False):
-            g = g.drop_duplicates("h").sort_values("h")
-            ids = g["h"].to_numpy()
-            if len(ids) < 2:
-                continue
-            shs = g["simhash"].to_numpy().view(np.uint64)
-            if len(ids) > _STAR_CAP:
-                # pathological clone cluster: star edges to the min id
-                # (see _int_pairs_of_groups) — O(c) instead of O(c²),
-                # still Hamming-verified below
-                ai = np.zeros(len(ids) - 1, dtype=np.intp)
-                bi = np.arange(1, len(ids), dtype=np.intp)
-            else:
-                ai, bi = np.triu_indices(len(ids), k=1)
-            # vectorized popcount of XORed fingerprints
-            x = shs[ai] ^ shs[bi]
-            ham = np.zeros(len(x), np.int64)
-            for shift in range(0, 64, 8):
-                ham += _POPCNT8[(x >> np.uint64(shift)) & np.uint64(0xFF)]
-            keep = ham <= max_hamming
-            if keep.any():
-                outs_a.append(ids[ai[keep]]); outs_b.append(ids[bi[keep]])
-        if not outs_a:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"a": np.concatenate(outs_a),
-                             "b": np.concatenate(outs_b)}).drop_duplicates()
+        return _simhash_pairs_of_bucket(pdf, max_hamming)
 
     cands = bucketed_distinct(
         bucketed_groupby(bands, ["band", "chunk"], pairs_of_bucket),
@@ -927,8 +980,13 @@ def _emb_planes(table: int, dim: int, planes: int) -> np.ndarray:
     return _emb_plane_cache[key]
 
 
+EMB_LSH_MAX_TABLES = 48    # default-call ceiling; see emb_lsh_params
+
+
 def emb_lsh_params(n_vectors: int, tau: float,
-                   target_recall: float = 0.95) -> tuple[int, int]:
+                   target_recall: float = 0.95,
+                   max_tables: int | None = EMB_LSH_MAX_TABLES
+                   ) -> tuple[int, int]:
     """(n_planes, n_tables) for sign-random-projection LSH sized to the
     corpus: planes grow log2(n / target_group) so a signature group
     stays ~EMB_LSH_TARGET_GROUP vectors (the per-group pair work is
@@ -937,9 +995,15 @@ def emb_lsh_params(n_vectors: int, tau: float,
     then restore ``target_recall`` at the ``tau`` collision probability
     p = (1 - θ/π)^planes, T = ln(1-recall)/ln(1-p).  Floors match the
     small-corpus defaults (3 planes / 16 tables) so test-scale behavior
-    is unchanged.  Honest cost note: at LOW tau and web-scale n the
-    required T explodes — hyperplane LSH is an expensive regime there;
-    ``semantic_dedup`` (k-means partitioning) is the alternative."""
+    is unchanged.
+
+    Honest cost note: at LOW tau and web-scale n the required T
+    explodes — hyperplane LSH is an expensive regime there.  A default
+    call therefore CAPS tables at ``max_tables`` (signature-row volume
+    is linear in T) and logs the achieved theoretical recall, pointing
+    at ``semantic_dedup`` (k-means partitioning) for the low-tau
+    regime; pass ``max_tables=None`` (or explicit ``n_tables``) to opt
+    into the uncapped sweep."""
     import math
     planes = max(EMB_LSH_PLANES,
                  math.ceil(math.log2(max(n_vectors, 1)
@@ -950,13 +1014,25 @@ def emb_lsh_params(n_vectors: int, tau: float,
         return planes, EMB_LSH_TABLES
     tables = max(EMB_LSH_TABLES,
                  math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p)))
+    if max_tables is not None and tables > max_tables:
+        import logging
+        achieved = 1.0 - (1.0 - p) ** max_tables
+        logging.getLogger(__name__).warning(
+            "emb_lsh_params: tau=%.2f over %d vectors wants %d hash "
+            "tables for %.2f recall; capping at %d (theoretical recall "
+            "%.2f). Low-tau near-dup over a large corpus is cheaper via "
+            "semantic_dedup (k-means partitioning), or pass an explicit "
+            "n_tables / max_tables=None to uncap.",
+            tau, n_vectors, tables, target_recall, max_tables, achieved)
+        tables = max_tables
     return planes, tables
 
 
 def embedding_dup_pairs_lsh(embeddings, tau: float = 0.4,
                             n_tables: int | None = None,
                             n_planes: int | None = None,
-                            num_buckets: int | None = None):
+                            num_buckets: int | None = None,
+                            n_vectors: int | None = None):
     """Bucketed embedding near-dup — the partitioned path the
     brute-force matmul can't take:
 
@@ -983,7 +1059,10 @@ def embedding_dup_pairs_lsh(embeddings, tau: float = 0.4,
     rows-only checked; recall vs ``embedding_dup_pairs`` measured in
     tests.  Precision is 1 (exact verification)."""
     if n_planes is None or n_tables is None:
-        ap, at = emb_lsh_params(embeddings.count(), tau)
+        # pass n_vectors when the caller already knows the corpus size —
+        # saves the auto-param count() pass over the dataset
+        ap, at = emb_lsh_params(
+            n_vectors if n_vectors is not None else embeddings.count(), tau)
         n_planes = n_planes if n_planes is not None else ap
         n_tables = n_tables if n_tables is not None else at
 

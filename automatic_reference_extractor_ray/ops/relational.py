@@ -96,11 +96,14 @@ def top_customers_by_revenue(orders, customer, k: int = 10):
 
     keys = set(top["o_custkey"].tolist())
 
-    def pick_names(batch: pd.DataFrame) -> pd.DataFrame:
-        m = batch["c_custkey"].isin(keys)
-        return batch.loc[m, ["c_custkey", "c_name"]]
+    key_arr = pa.array(sorted(keys), type=pa.int64())
 
-    names = (customer.map_batches(pick_names, batch_format="pandas")
+    def pick_names(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = pc.is_in(batch["c_custkey"], value_set=key_arr)
+        return batch.select(["c_custkey", "c_name"]).filter(m)
+
+    names = (customer.map_batches(pick_names, batch_format="pyarrow")
              .to_pandas())                        # ≤ k rows
     lookup = dict(zip(names["c_custkey"], names["c_name"]))
     top["c_name"] = top["o_custkey"].map(lookup)

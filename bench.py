@@ -41,7 +41,13 @@ def run_bench() -> dict:
                  logging_level="ERROR")
     import logging
     # the streaming executor warns on every empty pandas block ("new
-    # schema: names=[]") — cosmetic, and at bench scale it floods the log
+    # schema: names=[]") — cosmetic, and at bench scale it floods the
+    # log.  setLevel on the parent doesn't take (Ray pins explicit
+    # levels on the child loggers), so attach targeted filters to the
+    # emitting loggers — they drop ONLY the two benign message shapes
+    from automatic_reference_extractor_ray.logquiet import (
+        install_benign_log_filters)
+    install_benign_log_filters()
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     from ray.data import DataContext
     ctx = DataContext.get_current()

@@ -54,6 +54,9 @@ def main() -> int:
     import ray
     if not ray.is_initialized():                 # driver owns the session
         ray.init(address=os.environ.get("RAY_ADDRESS", "auto"))
+    from automatic_reference_extractor_ray.logquiet import (
+        install_benign_log_filters)
+    install_benign_log_filters()
 
     import pyarrow as pa
 
@@ -94,10 +97,15 @@ def main() -> int:
         "removed_docs": int(n_in - n_kept),
         "elapsed_sec": round(time.perf_counter() - t0, 3),
     }
-    with open(os.path.join(tmp, "_META.json"), "w") as f:
-        json.dump(meta, f)
     shutil.rmtree(final, ignore_errors=True)
     os.rename(tmp, final)
+    # meta is a SIBLING of the output dir (not inside it): parquet-dir
+    # readers that glob every file would try to parse an in-dir json;
+    # written via tmp+replace so a crash never leaves a torn meta
+    meta_tmp = final + "_META.json.tmp"
+    with open(meta_tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(meta_tmp, final + "_META.json")
     print(json.dumps(meta))
     ray.shutdown()
     return 0

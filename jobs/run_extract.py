@@ -58,6 +58,9 @@ def main() -> int:
     import ray
     if not ray.is_initialized():                     # driver owns the session
         ray.init(address=os.environ.get("RAY_ADDRESS", "auto"))
+    from automatic_reference_extractor_ray.logquiet import (
+        install_benign_log_filters)
+    install_benign_log_filters()
 
     from automatic_reference_extractor_ray.state.lineage import (
         fingerprint_dir, run_resumable_extract)

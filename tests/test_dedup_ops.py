@@ -313,7 +313,60 @@ def test_emb_lsh_params_scale_with_corpus():
     assert emb_lsh_params(500, 0.4) == (3, 16)       # sf scale: unchanged
     p6, t6 = emb_lsh_params(1_000_000, 0.9)
     assert p6 == 11 and t6 >= 16                      # near-dup regime: cheap
-    pl, tl = emb_lsh_params(1_000_000, 0.4)
+    pl, tl = emb_lsh_params(1_000_000, 0.4, max_tables=None)
     assert pl == 11 and tl > 100                      # low-tau: honest blow-up
     # expected group size n / 2^planes stays near the target
     assert 1_000_000 / 2 ** pl <= 2 * 512
+    # a DEFAULT call caps the sweep (+ logs a pointer at semantic_dedup)
+    from automatic_reference_extractor_ray.ops.dedup import (
+        EMB_LSH_MAX_TABLES)
+    pc, tc = emb_lsh_params(1_000_000, 0.4)
+    assert pc == pl and tc == EMB_LSH_MAX_TABLES
+
+
+def test_simhash_clone_aware_star_cap():
+    """Past star_cap, identical-fingerprint sets collapse to intra-set
+    stars while DISTINCT fingerprints keep the full banding comparison
+    — near-dup pairs between two clone SETS survive the cap (the
+    round-3 cap dropped them whenever the group mixed fingerprints)."""
+    import numpy as np
+    import pandas as pd
+
+    from automatic_reference_extractor_ray.ops.dedup import (
+        _simhash_pairs_of_bucket)
+
+    fp_a = np.uint64(0)
+    fp_b = np.uint64(0b11)                 # hamming 2 from fp_a
+    fp_c = np.uint64((1 << 30) - 1)        # hamming 30 from both
+    rows = []
+    for i in range(1, 6):
+        rows.append((i, fp_a))             # clone set A: ids 1..5
+    for i in range(6, 11):
+        rows.append((i, fp_b))             # clone set B: ids 6..10
+    for i in range(11, 13):
+        rows.append((i, fp_c))             # far set C: ids 11..12
+    pdf = pd.DataFrame({
+        "band": np.zeros(len(rows), np.int64),
+        "chunk": np.zeros(len(rows), np.int64),
+        "simhash": np.array([f for _, f in rows],
+                            np.uint64).view(np.int64),
+        "h": np.array([i for i, _ in rows], np.int64)})
+
+    out = _simhash_pairs_of_bucket(pdf, max_hamming=8, star_cap=6)
+    got = set(zip(out["a"].tolist(), out["b"].tolist()))
+    # intra-set stars on each set's min id
+    assert {(1, i) for i in range(2, 6)} <= got
+    assert {(6, i) for i in range(7, 11)} <= got
+    assert (11, 12) in got
+    # the cross-set near-dup edge the old cap lost: rep(A)-rep(B)
+    assert (1, 6) in got
+    # far fingerprints stay unpaired
+    assert not any(a in (11, 12) or b in (11, 12)
+                   for a, b in got - {(11, 12)})
+    # below the cap the same input yields full verified triu pairs
+    full = _simhash_pairs_of_bucket(pdf, max_hamming=8, star_cap=100)
+    fg = set(zip(full["a"].tolist(), full["b"].tolist()))
+    assert {(a, b) for a in range(1, 11) for b in range(a + 1, 11)} == {
+        (a, b) for a, b in fg if a < 11 and b < 11}
+    # cap vs no-cap: identical CONNECTIVITY over the near-dup component
+    assert got <= fg | {(1, 6)}

@@ -47,8 +47,11 @@ def main():
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     import logging
-    # the streaming executor warns on every empty pandas block ("new
-    # schema: names=[]") — cosmetic, and at bench scale it floods the log
+    sys.path.insert(0, "/root/repo")
+
+    from automatic_reference_extractor_ray.logquiet import (
+        install_benign_log_filters)
+    install_benign_log_filters()
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
