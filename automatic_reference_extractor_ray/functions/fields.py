@@ -82,6 +82,20 @@ _T7 = re.compile(
     rf"^{_AUTH} {_YEAR}{_TITLE}(?P<journal>[^,.]+), "
     r"(?P<vol>\d+), (?P<p1>\d+)-(?P<p2>\d+)\.$")
 
+# T16 marker-prefixed page RANGE: "..., 12(3), pp. 45-67." (APA-ish
+# "pp.") and "..., 12(3), S. 45-67." (European "Seiten") — both are
+# surface forms of the same biblScope from/to pair T1 maps
+_T16 = re.compile(
+    rf"^{_AUTH} {_YEAR}{_TITLE}(?P<journal>[^,.]+), "
+    r"(?P<vol>\d+)\((?P<iss>\d+)\), (?:pp\.|S\.) (?P<p1>\d+)-(?P<p2>\d+)\.$")
+
+# T17 quoted title: 'Last, A. (1999). "Title". Journal, 12(3), 45-67.'
+# — the quotes are surface decoration; the mapped title drops them.
+# Tried BEFORE T1, whose [^.]+ title would keep the quotes.
+_T17 = re.compile(
+    rf"^{_AUTH} {_YEAR}\"(?P<title>[^\"]+)\"\. (?P<journal>[^,.]+), "
+    r"(?P<vol>\d+)\((?P<iss>\d+)\), (?P<p1>\d+)-(?P<p2>\d+)\.$")
+
 # T9 chapter in an edited volume:
 #   "Last, A. (1999). Chapter title. In: Ed, E. (ed.), Book Title,
 #    Publisher, City, 11-22."
@@ -140,8 +154,9 @@ def _split_authors(auth: str) -> list[str]:
     (bare-surname comma list) → individual name strings (the TEI
     mapper emits one <author> per name; this is the flat-string
     equivalent)."""
-    in_and_list = bool(re.search(r",? and ", auth))
-    auth = re.sub(r",? and ", "\x00", auth)
+    # "&" is the APA rendering of the final "and" ("A., B., & C.")
+    in_and_list = bool(re.search(r",? (?:and|&) ", auth))
+    auth = re.sub(r",? (?:and|&) ", "\x00", auth)
     parts: list[str] = []
     for chunk in _AUTH_SPLIT_RE.split(auth):
         for p in chunk.split("\x00"):
@@ -180,33 +195,57 @@ def parse_fields(raw: str) -> dict[str, object]:
     """Tokenize one raw reference string into the BibStructured field
     dict.  Deterministic; unknown shapes degrade to best-effort
     year/sentence heuristics with empty remaining fields."""
+    return parse_fields_ex(raw)[0]
+
+
+def parse_fields_ex(raw: str) -> tuple[dict[str, object], str]:
+    """``parse_fields`` plus the matched template shape ("T1".."T17",
+    or "fallback") — the fallback-path hit-rate counter lineage metrics
+    report feeds on the second element (a rising fallback rate over a
+    real corpus is the parser-coverage regression signal)."""
     s = strip_marker(raw).strip()
     f = dict(EMPTY_FIELDS)
+    m = _T17.match(s)
+    if m:
+        # quoted title (quotes dropped) — before T1, whose [^.]+ title
+        # would keep them
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 journal=m["journal"], date=_date_of(m), volume=m["vol"],
+                 issue=m["iss"], pages=f"{m['p1']}-{m['p2']}")
+        return f, "T17"
     m = _T1.match(s)
     if m:
         f.update(authors=_split_authors(m["auth"]), title=m["title"],
                  journal=m["journal"], date=_date_of(m), volume=m["vol"],
                  issue=m["iss"], pages=f"{m['p1']}-{m['p2']}")
-        return f
+        return f, "T1"
     m = _T6.match(s)
     if m:
         f.update(authors=_split_authors(m["auth"]), title=m["title"],
                  journal=m["journal"], date=_date_of(m), volume=m["vol"],
                  issue=m["iss"], pages=m["p1"])
-        return f
+        return f, "T6"
     m = _T14.match(s)
     if m:
         # "p. 45" page marker — same mapped fields as T6's lone from
         f.update(authors=_split_authors(m["auth"]), title=m["title"],
                  journal=m["journal"], date=_date_of(m), volume=m["vol"],
                  issue=m["iss"], pages=m["p1"])
-        return f
+        return f, "T14"
+    m = _T16.match(s)
+    if m:
+        # "pp. 45-67" / "S. 45-67" page-range markers — the biblScope
+        # from/to pair under another surface form
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 journal=m["journal"], date=_date_of(m), volume=m["vol"],
+                 issue=m["iss"], pages=f"{m['p1']}-{m['p2']}")
+        return f, "T16"
     m = _T7.match(s)
     if m:
         f.update(authors=_split_authors(m["auth"]), title=m["title"],
                  journal=m["journal"], date=_date_of(m), volume=m["vol"],
                  pages=f"{m['p1']}-{m['p2']}")
-        return f
+        return f, "T7"
     m = _T9.match(s)
     if m:
         # chapter (level a) wins title; book title (level m) dropped;
@@ -214,31 +253,31 @@ def parse_fields(raw: str) -> dict[str, object]:
         f.update(authors=_split_authors(m["auth"]), title=m["title"],
                  date=_date_of(m), publisher=m["publisher"],
                  location=m["loc"], pages=f"{m['p1']}-{m['p2']}")
-        return f
+        return f, "T9"
     m = _T5.match(s)
     if m:
         # editors ignored (TEI mapper reads <author> only) → authors []
         f.update(title=m["title"], date=_date_of(m),
                  publisher=m["publisher"], location=m["loc"])
-        return f
+        return f, "T5"
     m = _T2.match(s)
     if m:
         f.update(authors=_split_authors(m["auth"]), title=m["title"],
                  date=_date_of(m), publisher=m["publisher"],
                  location=m["loc"])
-        return f
+        return f, "T2"
     m = _T3.match(s)
     if m:
         f.update(authors=_split_authors(m["auth"]), title=m["title"],
                  journal=m["journal"], date=m["year"], volume=m["vol"],
                  pages=f"{m['p1']}-{m['p2']}")
-        return f
+        return f, "T3"
     m = _T13.match(s)
     if m:
         # monograph without imprint: title level m fallback
         f.update(authors=_split_authors(m["auth"]), title=m["title"],
                  date=_date_of(m))
-        return f
+        return f, "T13"
     # Fallback: year anywhere; head before the FIRST ". " = authors,
     # the ENTIRE tail = title (partition, not split — a tail with
     # further ". " boundaries, e.g. a middle initial, stays one title,
@@ -258,4 +297,4 @@ def parse_fields(raw: str) -> dict[str, object]:
     if sep and head and tail:
         f["authors"] = _split_authors(re.sub(r"\s*\(\d{4}\)$", "", head))
         f["title"] = tail
-    return f
+    return f, "fallback"

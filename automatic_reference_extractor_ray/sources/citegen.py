@@ -2,7 +2,7 @@
 fields (FIXTURES.md: "templated citations … so the field tokenizer has
 deterministic ground truth").
 
-Fifteen template shapes (T1-T14 below), matching the shapes
+Eighteen template shapes (T1-T17 below), matching the shapes
 ``functions.fields.parse_fields`` recognizes exactly; the generator
 returns both the raw string and the expected BibStructured field dict,
 so field extraction has an analytic oracle that never calls the parser.
@@ -100,8 +100,15 @@ def gen_citation(rng: np.random.Generator) -> Citation:
            Title.") — title level m fallback, no journal marker
       14   T14 page-marker from-only page ("..., 12(3), p. 45.") —
            the other surface form of biblScope unit="page"
+      15   T15 APA ampersand author list ("Miller, A., Schmidt, B., &
+           Tanaka, C.") — "&" as the final-name separator
+      16   T16 marker-prefixed page range ("..., 12(3), pp. 45-67." or
+           the European "S. 45-67") — biblScope from/to under another
+           surface form
+      17   T17 quoted title ('... (1999). "Title". Journal, ...') —
+           quotes are surface decoration, the mapped title drops them
     """
-    t = int(rng.integers(0, 15))
+    t = int(rng.integers(0, 18))
     year = str(int(rng.integers(1970, 2024)))
     title = _title(rng)
     f = dict(EMPTY_FIELDS)
@@ -215,13 +222,38 @@ def gen_citation(rng: np.random.Generator) -> Citation:
         authors = [_author(rng)]
         raw = f"{authors[0]} ({year}). {title}."
         f.update(authors=authors)
-    else:  # T14 page-marker from-only page
+    elif t == 14:  # T14 page-marker from-only page
         authors = [_author(rng)]
         journal, vol, iss, p1 = journal_bits()
         raw = (f"{authors[0]} ({year}). {title}. {journal}, "
                f"{vol}({iss}), p. {p1}.")
         f.update(authors=authors, journal=journal, volume=vol, issue=iss,
                  pages=str(p1))
+    elif t == 15:  # T15 APA "&"-joined author list
+        authors = [_author(rng) for _ in range(3)]
+        journal, vol, iss, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f"{authors[0]}, {authors[1]}, & {authors[2]} ({year}). "
+               f"{title}. {journal}, {vol}({iss}), {p1}-{p2}.")
+        f.update(authors=authors, journal=journal, volume=vol, issue=iss,
+                 pages=f"{p1}-{p2}")
+    elif t == 16:  # T16 "pp."/"S." page-range marker
+        authors = [_author(rng)]
+        journal, vol, iss, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        marker = "pp." if int(rng.integers(0, 2)) else "S."
+        raw = (f"{authors[0]} ({year}). {title}. {journal}, "
+               f"{vol}({iss}), {marker} {p1}-{p2}.")
+        f.update(authors=authors, journal=journal, volume=vol, issue=iss,
+                 pages=f"{p1}-{p2}")
+    else:  # T17 quoted title (mapped title drops the quotes)
+        authors = [_author(rng)]
+        journal, vol, iss, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f'{authors[0]} ({year}). "{title}". {journal}, '
+               f"{vol}({iss}), {p1}-{p2}.")
+        f.update(authors=authors, journal=journal, volume=vol, issue=iss,
+                 pages=f"{p1}-{p2}")
     return Citation(raw=raw, fields=f)
 
 

@@ -112,6 +112,49 @@ def test_t14_page_marker():
     assert f["journal"] == "Archive Science Quarterly"
 
 
+def test_t15_apa_ampersand_authors():
+    f = parse_fields("Miller, A., Schmidt, B., & Tanaka, C. (2005). "
+                     "Sparse graph inference. Journal of Document "
+                     "Analysis, 12(3), 45-67.")
+    assert f["authors"] == ["Miller, A.", "Schmidt, B.", "Tanaka, C."]
+    assert f["pages"] == "45-67"
+
+
+def test_t16_page_range_markers():
+    f = parse_fields("Silva, D. (2010). Streaming analysis. "
+                     "Archive Science Quarterly, 3(1), pp. 45-67.")
+    assert f["pages"] == "45-67" and f["issue"] == "1"
+    # European "Seiten" marker
+    f = parse_fields("Weber, E. (1995). Neural retrieval. "
+                     "Information Processing Letters, 44(2), S. 5-9.")
+    assert f["pages"] == "5-9" and f["volume"] == "44"
+
+
+def test_t17_quoted_title_drops_quotes():
+    f = parse_fields('Okafor, S. (2013). "Neural retrieval methods". '
+                     "Journal of Document Analysis, 7(2), 10-19.")
+    assert f["title"] == "Neural retrieval methods"
+    assert f["journal"] == "Journal of Document Analysis"
+
+
+def test_inverted_fullname_stays_single_author():
+    # ADVICE r3: a lone dotless "Surname, Forename" is ONE fully
+    # spelled inverted name, not a two-surname list
+    f = parse_fields("Miller, Anne (2003). Graph inference. "
+                     "Data Engineering Bulletin, 5(2), 8-19.")
+    assert f["authors"] == ["Miller, Anne"]
+
+
+def test_parse_fields_ex_shape_labels():
+    from automatic_reference_extractor_ray.functions.fields import (
+        parse_fields_ex)
+    assert parse_fields_ex(
+        "Miller, A. (1999). Sparse graphs. Journal of Document "
+        "Analysis, 12(3), 45-67.")[1] == "T1"
+    assert parse_fields_ex("Some unparseable thing from 2004. With "
+                           "stuff.")[1] == "fallback"
+
+
 def test_fallback_keeps_year():
     f = parse_fields("Some unparseable thing from 2004. With stuff.")
     assert f["date"] == "2004"

@@ -35,6 +35,15 @@ def test_resume_skips_completed_and_matches(ray_session, tmp_path):
     assert len(lineage) == 4
     assert sum(r["n_refs"] for r in lineage) == len(full)
     assert all(r["provenance"] for r in lineage if r["n_refs"])
+    # parser-coverage signal (r3 VERDICT task 5): every partition tallies
+    # the matched template shapes and its fallback-path hit rate, and the
+    # run metrics roll them up
+    assert all("field_shapes" in r and "fallback_rate" in r
+               for r in lineage)
+    assert m1["refs_parsed"] == sum(
+        sum(r["field_shapes"].values()) for r in lineage)
+    assert m1["refs_fallback"] == sum(
+        r["field_shapes"].get("fallback", 0) for r in lineage)
 
     # simulate a crash that lost partitions 1 and 3
     import shutil
