@@ -29,9 +29,14 @@ from __future__ import annotations
 import logging
 import re
 
+# the schema-less bundle renders three ways depending on block type:
+# a pandas block prints "PandasBlockSchema(names=[], types=[])", a
+# missing schema prints "None", and an EMPTY ARROW SCHEMA str()s to ""
+# (so the message reads "new schema: . This may lead ...")
 _EMPTY_SCHEMA_RE = re.compile(
     r"different schema than the previous one.*"
-    r"new schema: (PandasBlockSchema\(names=\[\], types=\[\]\)|None)",
+    r"new schema: (?:PandasBlockSchema\(names=\[\], types=\[\]\)|None|)"
+    r"\. This may lead",
     re.S)
 _SIZE0_RE = re.compile(
     r"Error calculating size for column .*size 0 inputs")
