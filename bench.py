@@ -12,6 +12,13 @@ ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32) and print ONE JSON line:
 num_cpus=8 and num_cpus=32 on the same input and report both plus the
 scaling efficiency (T8/T32)/(32/8)  — the sandbox stand-in for the
 N-vs-4N-node criterion (BASELINE.md).
+
+--scaling --protocol: the idle-host measurement protocol (round-3
+VERDICT task 3): a 1-min load-average guard (< $ARX_BENCH_LOAD_GUARD,
+default 0.5, bounded wait) runs before EVERY leg, legs alternate in a
+FIXED 8,32,8,32,... order for $ARX_BENCH_SAMPLES (default 3) rounds,
+and the efficiency is computed from the MEDIAN of each side's legs —
+no leg is discarded, every leg and its pre-leg load ships in the JSON.
 """
 
 from __future__ import annotations
@@ -291,11 +298,62 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
+    protocol = "--protocol" in sys.argv
+    guard = float(os.environ.get("ARX_BENCH_LOAD_GUARD", "0.5"))
+    loads: list[float] = []
+
+    def wait_idle() -> float:
+        """Protocol load guard: block until the 1-min load average
+        drops under the threshold (bounded wait — a busy host is
+        reported, not hidden); returns the load seen at leg start."""
+        deadline = time.time() + float(
+            os.environ.get("ARX_BENCH_GUARD_TIMEOUT_SEC", "600"))
+        load = os.getloadavg()[0]
+        while load >= guard and time.time() < deadline:
+            time.sleep(10)
+            load = os.getloadavg()[0]
+        loads.append(round(load, 2))
+        return load
+
     load_start = os.getloadavg()[0]
     runs_lo, runs_hi = [], []
+    if protocol and samples == 1:
+        samples = 3
     for _ in range(samples):
+        if protocol:
+            wait_idle()
         runs_lo.append(run(lo))
+        if protocol:
+            wait_idle()
         runs_hi.append(run(hi))
+    if protocol:
+        import statistics
+        med_lo = statistics.median(r["value"] for r in runs_lo)
+        med_hi = statistics.median(r["value"] for r in runs_hi)
+        eff = (med_lo / med_hi) / (hi / lo)
+        return {
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "protocol": "idle-host: load guard < %.2f before each leg, "
+                        "fixed 8,32 interleave, median-of-legs, "
+                        "no discards" % guard,
+            "repeat": int(repeat),
+            "samples": samples,
+            "legs_8": [r["value"] for r in runs_lo],
+            "legs_32": [r["value"] for r in runs_hi],
+            "loads_at_leg_start": loads,
+            "sec_8": med_lo, "sec_32": med_hi,
+            "pair_effs": [round((a["value"] / b["value"]) / (hi / lo), 3)
+                          for a, b in zip(runs_lo, runs_hi)],
+            "docs_per_sec_8": round(
+                statistics.median(r["docs_per_sec"] for r in runs_lo), 2),
+            "docs_per_sec_32": round(
+                statistics.median(r["docs_per_sec"] for r in runs_hi), 2),
+            "load_start": round(load_start, 2),
+            "load_end": round(os.getloadavg()[0], 2),
+            "sf": SF_DIR,
+        }
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
