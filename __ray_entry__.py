@@ -144,8 +144,9 @@ def _media_refs(sf_dir: str):
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from automatic_reference_extractor_ray.sources.readers import (
+        read_parquet_clean)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def entry() -> Any:

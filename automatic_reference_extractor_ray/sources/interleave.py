@@ -45,9 +45,11 @@ def expand_ids_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
 
 def read_interleaved_docs(sf_dir: str, repeat: int = 1,
                           override_num_blocks: int | None = None):
-    ids = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"],
-                          **({"override_num_blocks": override_num_blocks}
-                             if override_num_blocks else {}))
+    from .readers import read_parquet_clean
+    ids = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"],
+                             **({"override_num_blocks": override_num_blocks}
+                                if override_num_blocks else {}))
     return ids.map_batches(lambda b: expand_ids_batch(b, repeat),
                            batch_format="pyarrow", batch_size=64)
 
@@ -65,7 +67,9 @@ def read_interleaved_doc_ids(sf_dir: str, repeat: int = 1):
             out.extend(doc_ids_for_key(key))
         return pa.table({"doc_id": pa.array(out, pa.string())})
 
-    ids = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    from .readers import read_parquet_clean
+    ids = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
     return ids.map_batches(expand, batch_format="pyarrow", batch_size=512)
 
 

@@ -1,0 +1,36 @@
+"""``read_parquet_clean`` — ``ray.data.read_parquet`` minus the
+``b'pandas'`` schema metadata pandas-written files carry.
+
+Why it exists: ``pyarrow.Schema.__hash__`` raises ``TypeError:
+unhashable type: 'dict'`` on a schema holding pandas metadata, so every
+Ray Data block concat over such blocks falls off the hashed-schema
+dedup fast path and logs ``Failed to hash the schemas (for
+deduplication)`` from each worker — per concat, per task.  At corpus
+scale that is both log flooding the driver can't filter (worker-side
+emit) and a skipped Ray fast path on EVERY batch build.  Passing an
+explicit metadata-free ``schema=`` to ``read_parquet`` makes the read
+emit clean blocks; downstream tables built with ``pa.table`` are
+already metadata-free.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def clean_schema(paths, columns: list[str] | None = None) -> pa.Schema:
+    """The file footer's schema, metadata stripped and projected onto
+    ``columns`` (read-side projection must match the schema arg)."""
+    import pyarrow.dataset as pads
+    s = pads.dataset(paths).schema.remove_metadata()
+    if columns is not None:
+        s = pa.schema([s.field(c) for c in columns])
+    return s
+
+
+def read_parquet_clean(paths, *, columns: list[str] | None = None, **kw):
+    """Drop-in for ``ray.data.read_parquet(paths, columns=...)`` whose
+    blocks carry a metadata-free (hashable) schema."""
+    return rd.read_parquet(paths, columns=columns,
+                           schema=clean_schema(paths, columns), **kw)

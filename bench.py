@@ -105,7 +105,9 @@ def run_bench() -> dict:
         quality_metrics, token_counts)
 
     def read(t, cols=None):
-        return rd.read_parquet(f"{SF_DIR}/{t}.parquet", columns=cols)
+        from automatic_reference_extractor_ray.sources.readers import (
+            read_parquet_clean)
+        return read_parquet_clean(f"{SF_DIR}/{t}.parquet", columns=cols)
 
     if headline_only:
         result = {

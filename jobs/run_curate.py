@@ -31,7 +31,9 @@ def docs_factory(inp: str):
     if os.path.isdir(inp) and os.path.exists(
             os.path.join(inp, "documents.parquet")):
         inp = os.path.join(inp, "documents.parquet")
-    return rd.read_parquet(inp, columns=["doc_id", "text", "lang"])
+    from automatic_reference_extractor_ray.sources.readers import (
+        read_parquet_clean)
+    return read_parquet_clean(inp, columns=["doc_id", "text", "lang"])
 
 
 def main() -> int:

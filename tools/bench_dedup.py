@@ -35,8 +35,10 @@ def replicated_docs(repeat: int):
     import pandas as pd
     import ray.data as rd
 
-    base = rd.read_parquet(f"{SF_DIR}/documents.parquet",
-                           columns=["doc_id", "text"])
+    from automatic_reference_extractor_ray.sources.readers import (
+        read_parquet_clean)
+    base = read_parquet_clean(f"{SF_DIR}/documents.parquet",
+                              columns=["doc_id", "text"])
     n_ids = 10_000_000  # sf0.1 ids are < 5e3; a fixed stride keeps ids stable
 
     def expand(batch: pd.DataFrame) -> pd.DataFrame:
@@ -59,7 +61,9 @@ def replicated_embeddings(repeat: int):
     import pandas as pd
     import ray.data as rd
 
-    base = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    from automatic_reference_extractor_ray.sources.readers import (
+        read_parquet_clean)
+    base = read_parquet_clean(f"{SF_DIR}/embeddings.parquet")
     n_ids = 10_000_000
 
     def expand(batch: pd.DataFrame) -> pd.DataFrame:
