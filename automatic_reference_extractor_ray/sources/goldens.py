@@ -19,10 +19,25 @@ from .interleave import doc_keys_for_ids
 
 ORACLE_ROOT = "/tmp/arx_oracle"
 
-# bump when corpus.py / citegen.py / pagegen.py / this file change what
-# the golden tables contain — the cache marker carries it, so stale
-# goldens regenerate instead of silently mismatching
-GOLDEN_VERSION = "3"
+def _generator_version() -> str:
+    """Content hash of every module the synthetic corpus derives from.
+
+    Was a hand-bumped constant; round 4 found a citation-template change
+    that shipped WITHOUT the bump, leaving stale /tmp corpus caches that
+    silently disagreed with freshly generated goldens (bench read 3,890
+    refs where the gate's regenerated oracle said 3,892).  Deriving the
+    version from the generator sources makes that class of staleness
+    structurally impossible."""
+    import hashlib
+    d = os.path.dirname(__file__)
+    h = hashlib.md5(b"golden-v4:")
+    for name in ("corpus.py", "citegen.py", "pagegen.py", "goldens.py"):
+        with open(os.path.join(d, name), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
+GOLDEN_VERSION = _generator_version()
 
 
 def golden_rows(doc_keys: list[str]) -> list[dict]:

@@ -88,3 +88,30 @@ def test_top_level_api_exports_resolve():
         if name == "__version__":
             continue
         assert callable(getattr(arx, name)), name
+
+
+def test_golden_version_is_content_derived(tmp_path):
+    """GOLDEN_VERSION must change whenever a generator source changes —
+    a hand-bumped constant let a citation-template change ship without
+    invalidating /tmp corpus caches (round-4 staleness bug)."""
+    import re
+
+    from automatic_reference_extractor_ray.sources.goldens import (
+        GOLDEN_VERSION, _generator_version, write_oracle_tables)
+    assert re.fullmatch(r"[0-9a-f]{10}", GOLDEN_VERSION)
+    assert _generator_version() == GOLDEN_VERSION  # deterministic
+
+    # a stale marker (old hand-bumped "3", or any other version) forces
+    # regeneration
+    import os
+    out = write_oracle_tables("/root/testdata/sf0.001", str(tmp_path))
+    with open(os.path.join(out, "_DONE")) as f:
+        assert f.read().strip() == GOLDEN_VERSION
+    with open(os.path.join(out, "_DONE"), "w") as f:
+        f.write("3")
+    mt = os.path.getmtime(os.path.join(out, "golden_refs.parquet"))
+    out2 = write_oracle_tables("/root/testdata/sf0.001", str(tmp_path))
+    assert out2 == out
+    assert os.path.getmtime(os.path.join(out, "golden_refs.parquet")) >= mt
+    with open(os.path.join(out, "_DONE")) as f:
+        assert f.read().strip() == GOLDEN_VERSION
