@@ -686,9 +686,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": distinct_users_q,
         "value_quantiles": value_quantiles_q,
         "hash_split": hash_split_q,
-        # -- changed in round 4 (vectorized kernels / widened parsers) --
+        # -- changed in round 4 (vectorized kernels / widened parsers;
+        #    extract_refs rides the new citation templates too) --
         "decontaminate_bloom": decontaminate_bloom_q,
         "extract_fields": extract_fields_q,
+        "extract_refs": extract_refs_q,
         "exact_sample": exact_sample_q,
         "dedup_simhash": dedup_simhash_q,
         "dedup_minhash": dedup_minhash_q,
@@ -719,7 +721,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_grouped": approx_distinct_grouped_q,
         "topk_tokens_per_lang": topk_tokens_per_lang_q,
         "doc_rank": doc_rank_q,
-        "extract_refs": extract_refs_q,
         "extract_coordinates": extract_coordinates_q,
         "provenance_counts": provenance_counts_q,
         "refs_per_doc": refs_per_doc_q,
