@@ -38,7 +38,7 @@ def q1_pricing_summary(lineitem):
                   sum_disc_price_c=("disc_price_c", "sum"),
                   n_rows=("qty_c", "size"))
              .reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     partials = lineitem.map_batches(partial, batch_format="pyarrow",
                                     batch_size=65536)
@@ -70,7 +70,7 @@ def top_customers_by_revenue(orders, customer, k: int = 10):
         g = (df.groupby("o_custkey")
              .agg(revenue_c=("total_c", "sum"), n_orders=("total_c", "size"))
              .reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     # custkey cardinality grows with the data → bounded-bucket shuffle,
     # not Ray's per-group aggregate (see ops/shuffle.py)
@@ -123,7 +123,7 @@ def events_hourly(events):
         g = (df.groupby(["event_type", "hour"])
              .agg(n=("value_c", "size"), sum_value_c=("value_c", "sum"))
              .reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     # (type, hour) keys grow with the time range → bounded-bucket shuffle
     from .shuffle import bucketed_agg
@@ -233,7 +233,7 @@ def events_sliding(events, win_minutes: int = 30, slide_minutes: int = 10):
              .groupby(["event_type", "window_start"])
              .agg(n=("value_c", "size"), sum_value_c=("value_c", "sum"))
              .reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     from .shuffle import bucketed_agg
     return bucketed_agg(
