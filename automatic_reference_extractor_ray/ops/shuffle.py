@@ -152,6 +152,28 @@ def pad_frame(df: pd.DataFrame, schema: dict[str, str]) -> pd.DataFrame:
     return out
 
 
+def typed_empty_if_blank(df: pd.DataFrame):
+    """0-row outputs leave a bucket fn as TYPED Arrow tables.
+
+    A 0-row pandas block with object columns trips Ray's pandas size
+    estimator inside the worker ("cannot call `vectorize` on size 0
+    inputs") and ships a schema-less PandasBlockSchema — neither is
+    reachable by a driver-side log filter.  An Arrow table with string
+    columns for the objects carries its schema and sizes to 0 bytes
+    cleanly.  Non-empty frames pass through untouched (no conversion
+    cost on the hot path)."""
+    if len(df):
+        return df
+    import pyarrow as pa
+    cols = {}
+    for c in df.columns:
+        if df[c].dtype == object:
+            cols[c] = pa.array([], pa.string())
+        else:
+            cols[c] = pa.array([], pa.from_numpy_dtype(df[c].dtype))
+    return pa.table(cols)
+
+
 def canon_series(s: pd.Series, dtype: str) -> pd.Series:
     """Dtype-canonical view of a key column — equal key VALUES must
     hash equally even when blocks round-trip Arrow/pandas and flip
@@ -245,7 +267,8 @@ def bucketed_join(left, right, on: str,
                  for c in rcols if c != on}), schema)
         else:
             merged = l.merge(r, on=on, how="inner")[list(schema)]
-        return post(merged) if post is not None else merged
+        out = post(merged) if post is not None else merged
+        return typed_empty_if_blank(out)
 
     return (coalesce_blocks(lt.union(rt))
             .groupby(BUCKET_COL)
@@ -317,7 +340,8 @@ def salted_lookup_join(left, right, on: str, salt_col: str,
             merged = merged.reset_index(drop=True)
         else:
             merged = l.merge(r, on=on, how="inner")[list(schema)]
-        return post(merged) if post is not None else merged
+        out = post(merged) if post is not None else merged
+        return typed_empty_if_blank(out)
 
     return (coalesce_blocks(
                 left.map_batches(tag_left, batch_format="pandas")

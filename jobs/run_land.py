@@ -121,9 +121,17 @@ def main() -> int:
         num_parts = _index_meta(args.index)
 
         def surviving_hashes(d):
+            # return a TYPED Arrow table: a 0-row pandas block with an
+            # object column trips Ray's size estimator in the worker
+            # ("cannot call `vectorize` on size 0 inputs"), which no
+            # driver-side log filter can reach
+            import pyarrow as pa
             k = d[d["keep"] == 1][["content_hash"]].copy()
             k["bucket"] = _bucket_of_hash(k["content_hash"], num_parts)
-            return k
+            return pa.table({
+                "content_hash": pa.array(k["content_hash"], pa.string()),
+                "bucket": pa.array(k["bucket"], pa.int64()),
+            })
 
         verdicts.map_batches(
             surviving_hashes, batch_format="pandas"
