@@ -678,7 +678,9 @@ _STAR_CAP = 4096   # LSH groups past this size emit star edges only
 
 
 def _int_pairs_of_groups(pdf: pd.DataFrame, group_keys: list[str],
-                         star_cap: int | None = _STAR_CAP) -> pd.DataFrame:
+                         star_cap: int | None = _STAR_CAP,
+                         band_col: str | None = None,
+                         allband_col: str | None = None) -> pd.DataFrame:
     """Per group: sorted unique int codes → upper-triangle pairs.
 
     Groups larger than ``star_cap`` (a pathological clone cluster — a
@@ -690,17 +692,63 @@ def _int_pairs_of_groups(pdf: pd.DataFrame, group_keys: list[str],
     bucket measured: ≤ hundreds) are unaffected.  Pass
     ``star_cap=None`` when large groups are NOT clone clusters (the
     embedding-LSH signature partitions) — star edges there would gut
-    recall; fix the group size at the signature level instead."""
+    recall; fix the group size at the signature level instead.
+
+    ``band_col``/``allband_col`` switch on EXACT cross-band candidate
+    dedup at generation time: each row's ``allband_col`` carries the
+    doc's FULL per-band hash vector packed as little-endian int64
+    bytes, and a pair found in the group of band k is emitted only if
+    no earlier band j < k also collides — that band's group already
+    emitted it.  Each candidate then crosses the verify exchange once
+    instead of once per matching band (measured 3.7x fewer pair rows
+    on the sf corpus), at the cost of one tiny bytes column on the
+    (n_docs × n_bands)-row signature exchange.  Star-capped groups
+    skip the filter (their star edges stay ≤ n_bands-duplicated, and
+    the in-bucket pair DISTINCT downstream absorbs them): an earlier
+    band's group holding the same pair may itself have been capped and
+    emitted star edges instead of the pair, so "collided earlier"
+    would not imply "emitted earlier" there.  One recall nuance vs the
+    un-deduped form: a non-min pair of a CAPPED band-j group that also
+    collides in a small band-k group is now dropped at band k —
+    connectivity survives via band j's star edges (the components /
+    removal consumers are unaffected); standalone-pair recall inside
+    oversized clone clusters was already the documented cap tradeoff.
+    """
+    dedup_bands = band_col is not None and allband_col is not None
     outs_a, outs_b = [], []
     for _, g in pdf.groupby(group_keys, sort=False):
-        ids = np.unique(g["h"].to_numpy())
-        if len(ids) < 2:
+        if not dedup_bands:
+            ids = np.unique(g["h"].to_numpy())
+            if len(ids) < 2:
+                continue
+            if star_cap is not None and len(ids) > star_cap:
+                outs_a.append(np.full(len(ids) - 1, ids[0], dtype=ids.dtype))
+                outs_b.append(ids[1:])
+                continue
+            ai, bi = np.triu_indices(len(ids), k=1)
+            outs_a.append(ids[ai]); outs_b.append(ids[bi])
             continue
+        u = g.drop_duplicates(subset=["h"])
+        hv = u["h"].to_numpy()
+        if len(hv) < 2:
+            continue
+        order = np.argsort(hv, kind="stable")
+        ids = hv[order]
         if star_cap is not None and len(ids) > star_cap:
             outs_a.append(np.full(len(ids) - 1, ids[0], dtype=ids.dtype))
             outs_b.append(ids[1:])
             continue
+        k = int(u[band_col].iloc[0])
         ai, bi = np.triu_indices(len(ids), k=1)
+        if k > 0:
+            blobs = u[allband_col].to_numpy()[order]
+            M = np.frombuffer(b"".join(blobs),
+                              dtype=np.int64).reshape(len(ids), -1)
+            keep = np.ones(len(ai), dtype=bool)
+            for j in range(k):
+                colj = M[:, j]
+                np.logical_and(keep, colj[ai] != colj[bi], out=keep)
+            ai, bi = ai[keep], bi[keep]
         outs_a.append(ids[ai]); outs_b.append(ids[bi])
     if not outs_a:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
@@ -742,19 +790,28 @@ def minhash_lsh_pairs(docs, tau: float = 0.9):
         else:
             codes = np.fromiter((_doc_code(d) for d in batch["doc_id"]),
                                 np.int64, len(batch))
+        # each row also carries the doc's FULL band-hash vector (96
+        # bytes) so the pair generator can emit a pair from only its
+        # FIRST matching band — exact cross-band dedup at the source
+        blobs = np.empty(len(batch), dtype=object)
+        blobs[:] = [bh[i].tobytes() for i in range(len(batch))]
         return pd.DataFrame({
             "band": np.tile(np.arange(LSH_BANDS, dtype=np.int64),
                             len(batch)),
             "band_hash": bh.reshape(-1),
-            "h": np.repeat(codes, LSH_BANDS)})
+            "h": np.repeat(codes, LSH_BANDS),
+            "bhs": np.repeat(blobs, LSH_BANDS)})
 
     bands = docs.map_batches(signatures, batch_format="pandas")
-    # band duplicates of a pair all share bucket(b) in the verify join,
-    # so its in-bucket dedupe replaces a standalone global DISTINCT —
-    # one fewer all-to-all for <=12x 16-byte duplicate rows shipped
+    # pairs leave their FIRST matching band only (see
+    # _int_pairs_of_groups band_col/allband_col) — the verify exchange
+    # moves each candidate once, not once per matching band; the
+    # in-bucket pair DISTINCT remains to absorb star-edge duplicates
     cands = bucketed_groupby(
         bands, ["band", "band_hash"],
-        lambda p: _int_pairs_of_groups(p, ["band", "band_hash"]))
+        lambda p: _int_pairs_of_groups(p, ["band", "band_hash"],
+                                       band_col="band",
+                                       allband_col="bhs"))
     # raw int ids: keys ARE doc ids → the non-coded verifier (token
     # payload only, pairs emitted as-is); else verify + decode via the
     # doc payload riding the coded join
@@ -793,11 +850,32 @@ def _hamming64(x: np.ndarray) -> np.ndarray:
     return ham
 
 
+def _earlier_chunk_match(sa: np.ndarray, sb: np.ndarray,
+                         band: int) -> np.ndarray:
+    """True where two uint64 fingerprints share ANY 16-bit chunk below
+    ``band`` — i.e. the pair already co-grouped (and emitted) in an
+    earlier band's (band, chunk) group."""
+    m = np.zeros(len(sa), dtype=bool)
+    mask = np.uint64(0xFFFF)
+    for j in range(band):
+        sh = np.uint64(16 * j)
+        m |= ((sa >> sh) & mask) == ((sb >> sh) & mask)
+    return m
+
+
 def _simhash_pairs_of_bucket(pdf: pd.DataFrame, max_hamming: int,
                              star_cap: int = _STAR_CAP) -> pd.DataFrame:
     """Hamming-verified candidate pairs for one hash bucket of
     (band, chunk, simhash, h) rows — module-level so the clone-aware
     cap below is unit-testable with synthetic fingerprints.
+
+    Cross-band dedup is EXACT and needs no extra state: two docs share
+    a band-j group iff chunk j of their fingerprints is equal, and the
+    fingerprints already ride every row — so a band-k group emits a
+    pair only when no chunk below k matches (``_earlier_chunk_match``),
+    and identical-fingerprint pairs (all four chunks equal) emit at
+    band 0 only.  Output rows are therefore globally DISTINCT and the
+    caller needs no standalone pair-distinct shuffle.
 
     Groups past ``star_cap`` apply a CLONE-AWARE cap: each identical-
     fingerprint set collapses to intra-set star edges on its min id
@@ -806,22 +884,28 @@ def _simhash_pairs_of_bucket(pdf: pd.DataFrame, max_hamming: int,
     one min-id representative per set — an oversized bucket of
     unrelated docs loses no near-dup recall.  Only > ``star_cap``
     DISTINCT fingerprints in one group degrades to a verified star
-    over representatives."""
+    over representatives (and then a rep pair absorbed into an earlier
+    band's star keeps connectivity through that star rather than
+    re-emitting — the documented cap tradeoff)."""
     outs_a, outs_b = [], []
     for _, g in pdf.groupby(["band", "chunk"], sort=False):
         g = g.drop_duplicates("h").sort_values("h")
         ids = g["h"].to_numpy()
         if len(ids) < 2:
             continue
+        band = int(g["band"].iloc[0])
         shs = g["simhash"].to_numpy().view(np.uint64)
         if len(ids) > star_cap:
             uniq_sh, inv = np.unique(shs, return_inverse=True)
             order = np.argsort(inv, kind="stable")
             first = order[np.unique(inv[order], return_index=True)[1]]
-            rep_of = ids[first][inv]         # min id of own fp set
-            m = ids != rep_of                # intra-set star edges
-            if m.any():
-                outs_a.append(rep_of[m]); outs_b.append(ids[m])
+            if band == 0:
+                # identical fps co-group in EVERY band: band 0 owns
+                # their intra-set star edges
+                rep_of = ids[first][inv]     # min id of own fp set
+                m = ids != rep_of
+                if m.any():
+                    outs_a.append(rep_of[m]); outs_b.append(ids[m])
             reps, rep_shs = ids[first], uniq_sh
             ro = np.argsort(reps)
             reps, rep_shs = reps[ro], rep_shs[ro]
@@ -833,12 +917,17 @@ def _simhash_pairs_of_bucket(pdf: pd.DataFrame, max_hamming: int,
             else:
                 ai, bi = np.triu_indices(len(reps), k=1)
             keep = _hamming64(rep_shs[ai] ^ rep_shs[bi]) <= max_hamming
+            if band > 0:
+                keep &= ~_earlier_chunk_match(rep_shs[ai], rep_shs[bi],
+                                              band)
             if keep.any():
                 outs_a.append(reps[ai[keep]])
                 outs_b.append(reps[bi[keep]])
             continue
         ai, bi = np.triu_indices(len(ids), k=1)
         keep = _hamming64(shs[ai] ^ shs[bi]) <= max_hamming
+        if band > 0:
+            keep &= ~_earlier_chunk_match(shs[ai], shs[bi], band)
         if keep.any():
             outs_a.append(ids[ai[keep]]); outs_b.append(ids[bi[keep]])
     if not outs_a:
@@ -853,7 +942,10 @@ def simhash_pairs(docs, max_hamming: int = 8):
     chunks (pigeonhole: the 4-band scheme guarantees recall for
     hamming <= 3; wider radii may miss spread bit-flips — banding
     parameters are explicit).  Exact Hamming verified per candidate;
-    final pair set deduped through the bounded-bucket shuffle.
+    each pair is emitted from its FIRST matching band only (the
+    fingerprint on every row makes earlier-band collision computable
+    in-bucket), so the output is distinct WITHOUT a standalone
+    pair-DISTINCT all-to-all.
 
     Buckets larger than ``_STAR_CAP`` collapse each IDENTICAL
     fingerprint set to its min-id representative (intra-set edges
@@ -890,9 +982,10 @@ def simhash_pairs(docs, max_hamming: int = 8):
     def pairs_of_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         return _simhash_pairs_of_bucket(pdf, max_hamming)
 
-    cands = bucketed_distinct(
-        bucketed_groupby(bands, ["band", "chunk"], pairs_of_bucket),
-        ["a", "b"])
+    # pair rows are globally distinct by construction (each pair leaves
+    # its FIRST matching band only — _earlier_chunk_match), so the
+    # former standalone pair-DISTINCT all-to-all is gone
+    cands = bucketed_groupby(bands, ["band", "chunk"], pairs_of_bucket)
     if raw_int_ids:
         return cands
     return _decode_pairs_join(cands, docs)
@@ -1071,23 +1164,33 @@ def embedding_dup_pairs_lsh(embeddings, tau: float = 0.4,
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         ids = b["vec_id"].astype("int64").to_numpy()
         tables, ss, hh = [], [], []
+        sig_mat = np.empty((len(ids), n_tables), dtype=np.int64)
         for t in range(n_tables):
             bits = (m @ _emb_planes(t, m.shape[1], n_planes).T) > 0
             sig = (bits * (1 << np.arange(n_planes, dtype=np.int64))
                    ).sum(axis=1)
+            sig_mat[:, t] = sig
             tables.append(np.full(len(ids), t, dtype=np.int64))
             ss.append(sig.astype(np.int64))
             hh.append(ids)
+        # full per-table signature vector rides each row so the pair
+        # generator emits a pair from its FIRST matching table only
+        blobs = np.empty(len(ids), dtype=object)
+        blobs[:] = [sig_mat[i].tobytes() for i in range(len(ids))]
         return pd.DataFrame({"table": np.concatenate(tables),
                              "sig": np.concatenate(ss),
-                             "h": np.concatenate(hh)})
+                             "h": np.concatenate(hh),
+                             "tbs": np.tile(blobs, n_tables)})
 
     bands = embeddings.map_batches(sigs, batch_format="pandas")
-    # cross-table duplicate pairs dedupe inside the verify join
-    # (bucket(b)-local = global), skipping a standalone DISTINCT pass
+    # pairs leave their first matching table only (exact cross-table
+    # dedup at generation — see _int_pairs_of_groups); the in-bucket
+    # DISTINCT in the verify join stays as a no-op safety net
     cands = bucketed_groupby(
         bands, ["table", "sig"],
-        lambda p: _int_pairs_of_groups(p, ["table", "sig"], star_cap=None),
+        lambda p: _int_pairs_of_groups(p, ["table", "sig"], star_cap=None,
+                                       band_col="table",
+                                       allband_col="tbs"),
         num_buckets)
 
     def emb_side(b: pd.DataFrame) -> pd.DataFrame:

@@ -370,3 +370,94 @@ def test_simhash_clone_aware_star_cap():
         (a, b) for a, b in fg if a < 11 and b < 11}
     # cap vs no-cap: identical CONNECTIVITY over the near-dup component
     assert got <= fg | {(1, 6)}
+
+
+def test_simhash_first_matching_band_dedup():
+    """A pair colliding in several bands is emitted from the FIRST
+    matching band only — and identical fingerprints (all four chunks
+    equal) emit at band 0 only, so the union over band groups is
+    globally distinct without a standalone pair DISTINCT."""
+    import numpy as np
+    import pandas as pd
+
+    from automatic_reference_extractor_ray.ops.dedup import (
+        _simhash_pairs_of_bucket)
+
+    # fp_a and fp_b share chunks 0 and 2; differ in chunks 1, 3
+    fp_a = np.uint64(0)
+    fp_b = np.uint64((1 << 16) | (1 << 48))
+
+    def group(band, fps_ids):
+        return pd.DataFrame({
+            "band": np.full(len(fps_ids), band, np.int64),
+            "chunk": np.array(
+                [int((f >> np.uint64(16 * band)) & np.uint64(0xFFFF))
+                 for f, _ in fps_ids], np.int64),
+            "simhash": np.array([f for f, _ in fps_ids],
+                                np.uint64).view(np.int64),
+            "h": np.array([i for _, i in fps_ids], np.int64)})
+
+    both = [(fp_a, 1), (fp_b, 2)]
+    # band 0 group (chunk match) emits the pair ...
+    out0 = _simhash_pairs_of_bucket(group(0, both), max_hamming=8)
+    assert set(zip(out0["a"], out0["b"])) == {(1, 2)}
+    # ... band 2 group (also a chunk match) does NOT re-emit it
+    out2 = _simhash_pairs_of_bucket(group(2, both), max_hamming=8)
+    assert len(out2) == 0
+
+    # identical fingerprints: emitted at band 0, suppressed at 1..3
+    clones = [(fp_a, 5), (fp_a, 6)]
+    assert len(_simhash_pairs_of_bucket(group(0, clones),
+                                        max_hamming=8)) == 1
+    for band in (1, 2, 3):
+        assert len(_simhash_pairs_of_bucket(group(band, clones),
+                                            max_hamming=8)) == 0
+
+    # capped group at band > 0: intra-set stars stay suppressed
+    # (band 0 owns them) while NEW rep pairs still emit
+    rows = [(fp_a, i) for i in range(1, 6)] + [(fp_b, i)
+                                               for i in range(6, 11)]
+    out_cap = _simhash_pairs_of_bucket(group(2, rows), max_hamming=8,
+                                       star_cap=6)
+    got = set(zip(out_cap["a"], out_cap["b"]))
+    assert not any(a in (1, 6) and b in (2, 3, 4, 5, 7, 8, 9, 10)
+                   and a != 1 or False for a, b in got)  # no intra stars
+    # chunks 0 and 2 of fp_a/fp_b match -> rep pair (1, 6) was band 0's
+    assert (1, 6) not in got and len(got) == 0
+    # same capped group at band 1 (fp chunks differ there) would not
+    # co-group at all -- nothing to assert; band 3 mirrors band 2
+    out_cap0 = _simhash_pairs_of_bucket(group(0, rows), max_hamming=8,
+                                        star_cap=6)
+    got0 = set(zip(out_cap0["a"], out_cap0["b"]))
+    assert {(1, i) for i in range(2, 6)} <= got0
+    assert {(6, i) for i in range(7, 11)} <= got0
+    assert (1, 6) in got0
+
+
+def test_minhash_band_vector_dedup_pairs_distinct():
+    """_int_pairs_of_groups with band_col/allband_col emits each pair
+    from its first matching band only."""
+    import numpy as np
+    import pandas as pd
+
+    from automatic_reference_extractor_ray.ops.dedup import (
+        _int_pairs_of_groups)
+
+    # docs 1 and 2 share band hashes at bands 1 and 3 (not 0, 2)
+    bh1 = np.array([10, 77, 30, 99], np.int64)
+    bh2 = np.array([11, 77, 31, 99], np.int64)
+
+    def rows(band):
+        return pd.DataFrame({
+            "band": np.array([band, band], np.int64),
+            "band_hash": np.array([bh1[band], bh2[band]], np.int64),
+            "h": np.array([1, 2], np.int64),
+            "bhs": np.array([bh1.tobytes(), bh2.tobytes()],
+                            dtype=object)})
+
+    out1 = _int_pairs_of_groups(rows(1), ["band", "band_hash"],
+                                band_col="band", allband_col="bhs")
+    assert list(zip(out1["a"], out1["b"])) == [(1, 2)]
+    out3 = _int_pairs_of_groups(rows(3), ["band", "band_hash"],
+                                band_col="band", allband_col="bhs")
+    assert len(out3) == 0
