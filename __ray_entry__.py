@@ -336,12 +336,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def dedup_embedding_q(sf):
         from automatic_reference_extractor_ray.ops.dedup import embedding_dup_pairs
-        return embedding_dup_pairs(_read(sf, "embeddings"), tau=EMB_TAU)
+        return embedding_dup_pairs(_read(sf, "embeddings", ["vec_id", "embedding"]), tau=EMB_TAU)
 
     def dedup_embedding_lsh_q(sf):
         from automatic_reference_extractor_ray.ops.dedup import (
             embedding_dup_pairs_lsh)
-        return embedding_dup_pairs_lsh(_read(sf, "embeddings"), tau=EMB_TAU)
+        return embedding_dup_pairs_lsh(_read(sf, "embeddings", ["vec_id", "embedding"]), tau=EMB_TAU)
 
     def dedup_components_q(sf):
         from automatic_reference_extractor_ray.ops.dedup import (
@@ -351,7 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def semantic_dedup_q(sf):
         from automatic_reference_extractor_ray.ops.dedup import semantic_dedup
-        return semantic_dedup(_read(sf, "embeddings"), k=8, n_iter=5,
+        return semantic_dedup(_read(sf, "embeddings", ["vec_id", "embedding"]), k=8, n_iter=5,
                               tau=EMB_TAU)
 
     def dedup_corpus_q(sf):
@@ -386,15 +386,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ---- similarity search ----
     def ann_topk_q(sf):
         from automatic_reference_extractor_ray.ops.ann import brute_force_topk
-        return brute_force_topk(_read(sf, "embeddings"), ANN_QUERY_IDS, k=10)
+        return brute_force_topk(_read(sf, "embeddings", ["vec_id", "embedding"]), ANN_QUERY_IDS, k=10)
 
     def ann_lsh_q(sf):
         from automatic_reference_extractor_ray.ops.ann import lsh_topk
-        return lsh_topk(_read(sf, "embeddings"), ANN_QUERY_IDS, k=10)
+        return lsh_topk(_read(sf, "embeddings", ["vec_id", "embedding"]), ANN_QUERY_IDS, k=10)
 
     def ann_ivf_q(sf):
         from automatic_reference_extractor_ray.ops.ann import ivf_topk
-        return ivf_topk(_read(sf, "embeddings"), ANN_QUERY_IDS, k=10)
+        return ivf_topk(_read(sf, "embeddings", ["vec_id", "embedding"]), ANN_QUERY_IDS, k=10)
 
     # ---- relational primitives ----
     def q1_pricing_q(sf):

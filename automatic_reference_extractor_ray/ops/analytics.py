@@ -30,9 +30,12 @@ TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 # ----------------------------------------------------- distinct count
 
-def grouped_distinct_count(ds, key: str, val: str, out_col: str = "n_distinct",
+def grouped_distinct_count(ds, key: str | list[str], val: str,
+                           out_col: str = "n_distinct",
                            num_buckets: int | None = None):
-    """Exact COUNT(DISTINCT val) GROUP BY key → (key, out_col).
+    """Exact COUNT(DISTINCT val) GROUP BY key → (key..., out_col).
+    ``key`` may be a list (composite keys, e.g. a 128-bit hash split
+    over two int64 columns).
 
     Skew-safe end to end: per-batch local distinct shrinks the stream,
     the global DISTINCT buckets on (key, val) — a hot key's values
@@ -42,14 +45,16 @@ def grouped_distinct_count(ds, key: str, val: str, out_col: str = "n_distinct",
     millions of distinct values never re-concentrates its pair rows
     into one task.
     """
+    keys = [key] if isinstance(key, str) else list(key)
     pairs = ds.map_batches(
-        lambda b: b[[key, val]].drop_duplicates(), batch_format="pandas")
-    distinct = bucketed_distinct(pairs, [key, val], num_buckets)
+        lambda b: b[keys + [val]].drop_duplicates(), batch_format="pandas")
+    distinct = bucketed_distinct(pairs, keys + [val], num_buckets)
     partial = distinct.map_batches(
-        lambda b: b.groupby(key, sort=False).size()
+        lambda b: b.groupby(keys, sort=False).size()
                    .rename("__n").reset_index(),
         batch_format="pandas")
-    return bucketed_agg(partial, key, {out_col: ("__n", "sum")}, num_buckets)
+    return bucketed_agg(partial, keys, {out_col: ("__n", "sum")},
+                        num_buckets)
 
 
 # -------------------------------------------------- discrete quantiles

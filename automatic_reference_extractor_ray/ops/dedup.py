@@ -1193,9 +1193,17 @@ def embedding_dup_pairs_lsh(embeddings, tau: float = 0.4,
                                        allband_col="tbs"),
         num_buckets)
 
+    # embeddings travel the pair join as float32 BYTES blobs: a column
+    # of raw ndarrays flips between pandas object dtype and Ray's
+    # tensor-extension dtype across blocks (a real schema divergence
+    # the executor warns on every bundle about); bytes stay uniformly
+    # object-typed and pack tighter through the exchange
     def emb_side(b: pd.DataFrame) -> pd.DataFrame:
+        blobs = np.empty(len(b), dtype=object)
+        blobs[:] = [np.asarray(e, dtype=np.float32).tobytes()
+                    for e in b["embedding"].to_numpy()]
         return pd.DataFrame({"key": b["vec_id"].astype("int64").to_numpy(),
-                             "emb": b["embedding"]})
+                             "emb": blobs})
 
     side = embeddings.map_batches(emb_side, batch_format="pandas")
 
@@ -1204,8 +1212,10 @@ def embedding_dup_pairs_lsh(embeddings, tau: float = 0.4,
             return _pairs_frame([], [], "int64")
         av = pairs["a"].to_numpy()
         bv = pairs["b"].to_numpy()
-        ea = np.stack([amap[a][0] for a in av]).astype(np.float64)
-        eb = np.stack([bmap[b][0] for b in bv]).astype(np.float64)
+        ea = np.frombuffer(b"".join(amap[a][0] for a in av), np.float32
+                           ).reshape(len(av), -1).astype(np.float64)
+        eb = np.frombuffer(b"".join(bmap[b][0] for b in bv), np.float32
+                           ).reshape(len(bv), -1).astype(np.float64)
         ea /= np.linalg.norm(ea, axis=1, keepdims=True)
         eb /= np.linalg.norm(eb, axis=1, keepdims=True)
         keep = np.einsum("ij,ij->i", ea, eb) >= tau

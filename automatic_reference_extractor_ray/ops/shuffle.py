@@ -191,6 +191,19 @@ def buckets_for_values(s: pd.Series, dtype: str,
                       ["k"], num_buckets)
 
 
+def buckets_for_key_cols(df: pd.DataFrame, cols: list[str],
+                         schema: dict[str, str],
+                         num_buckets: int) -> np.ndarray:
+    """``buckets_for_values`` over a COMPOSITE key — the row hash runs
+    on the dtype-canonical view of every key column, so both sides of
+    a multi-key join land in the same bucket regardless of Arrow/pandas
+    dtype round-trips."""
+    if not len(df):
+        return np.array([], dtype=np.int64)
+    kf = pd.DataFrame({c: canon_series(df[c], schema[c]) for c in cols})
+    return _bucket_of(kf, cols, num_buckets)
+
+
 def _pad_to_schema(df: pd.DataFrame, schema: dict[str, str],
                    side: int) -> pd.DataFrame:
     out = pad_frame(df, schema)
@@ -275,7 +288,7 @@ def bucketed_join(left, right, on: str,
             .map_groups(merge_bucket, batch_format="pandas"))
 
 
-def salted_lookup_join(left, right, on: str, salt_col: str,
+def salted_lookup_join(left, right, on: str | list[str], salt_col: str,
                        left_schema: dict[str, str],
                        right_schema: dict[str, str],
                        num_buckets: int | None = None, salts: int = 4,
@@ -302,21 +315,27 @@ def salted_lookup_join(left, right, on: str, salt_col: str,
     equal the unsalted join because a left row meets every replica of
     its key's right row.  ``salts`` is the skew dial: raise it when a
     single key's rows exceed a task heap even at 1/4 spread.
+
+    ``on`` may be a LIST of columns — the composite-key form the
+    hashed-gram exchanges use (two int64 halves of a 128-bit gram
+    hash): buckets come from the canonical row hash over all key
+    columns and the semi/anti membership test runs on the key tuple.
     """
     if how not in ("inner", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
-    overlap = (set(left_schema) & set(right_schema)) - {on}
+    on_cols = [on] if isinstance(on, str) else list(on)
+    overlap = (set(left_schema) & set(right_schema)) - set(on_cols)
     if overlap:
         raise ValueError(f"non-key columns present on both sides: {overlap}")
     schema = {**left_schema, **{k: v for k, v in right_schema.items()
-                                if k != on}}
+                                if k not in on_cols}}
     lcols = list(left_schema)
     rcols = list(right_schema)
     nb = num_buckets or auto_num_buckets()
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         out = _pad_to_schema(df, schema, 0)
-        b0 = buckets_for_values(df[on], left_schema[on], nb)
+        b0 = buckets_for_key_cols(df, on_cols, left_schema, nb)
         salt = (pd.util.hash_array(df[salt_col].to_numpy()) % salts
                 ).astype(np.int64)
         out[BUCKET_COL] = (b0 * salts + salt) % nb
@@ -325,7 +344,7 @@ def salted_lookup_join(left, right, on: str, salt_col: str,
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
         rep = df.loc[df.index.repeat(salts)].reset_index(drop=True)
         out = _pad_to_schema(rep, schema, 1)
-        b0 = buckets_for_values(rep[on], right_schema[on], nb)
+        b0 = buckets_for_key_cols(rep, on_cols, right_schema, nb)
         out[BUCKET_COL] = (b0 * salts + np.tile(
             np.arange(salts, dtype=np.int64), len(df))) % nb
         return out
@@ -335,11 +354,15 @@ def salted_lookup_join(left, right, on: str, salt_col: str,
         l = g[g[SIDE_COL] == 0][lcols]
         r = g[g[SIDE_COL] == 1][rcols]
         if how in ("semi", "anti"):
-            matched = l[on].isin(set(r[on]))
+            if len(on_cols) == 1:
+                matched = l[on_cols[0]].isin(set(r[on_cols[0]]))
+            else:
+                matched = pd.MultiIndex.from_frame(l[on_cols]).isin(
+                    pd.MultiIndex.from_frame(r[on_cols].drop_duplicates()))
             merged = l[matched if how == "semi" else ~matched]
             merged = merged.reset_index(drop=True)
         else:
-            merged = l.merge(r, on=on, how="inner")[list(schema)]
+            merged = l.merge(r, on=on_cols, how="inner")[list(schema)]
         out = post(merged) if post is not None else merged
         return typed_empty_if_blank(out)
 

@@ -282,27 +282,25 @@ def decontaminate(docs, n: int = 4, eval_frac: float = 0.1,
     _side = _side_fn(eval_frac, holdout)
     dt = _doc_key_dtype(docs)
 
-    def _doc_grams(t) -> set:
-        toks = _tokens(t)
-        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
-
+    # grams cross every exchange as 128-bit hashes (two int64 columns,
+    # _doc_gram_hashes128) — 16 fixed bytes per gram instead of a
+    # variable-length string column, md5-class collision odds, and the
+    # per-doc gram-set Python loops become one vectorized pass
     def train_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        gs, dids = [], []
-        for d, t in zip(batch["doc_id"], batch["text"]):
-            if _side(d) != 1:
-                continue
-            g = _doc_grams(t)
-            gs.extend(g)
-            dids.extend([d] * len(g))
-        return pd.DataFrame({"gram": pd.Series(gs, dtype=object),
-                             "doc_id": pd.Series(dids, dtype=dt)})
+        side = np.fromiter((_side(d) for d in batch["doc_id"]),
+                           np.int64, len(batch))
+        tb = batch[side == 1]
+        dv, g1, g2 = _doc_gram_hashes128(tb["text"].tolist(), n)
+        return pd.DataFrame({
+            "g1": g1, "g2": g2,
+            "doc_id": pd.Series(tb["doc_id"].to_numpy()[dv], dtype=dt)})
 
     def eval_grams(batch: pd.DataFrame) -> pd.DataFrame:
-        acc: set = set()
-        for d, t in zip(batch["doc_id"], batch["text"]):
-            if _side(d) == 0:
-                acc |= _doc_grams(t)
-        return pd.DataFrame({"gram": pd.Series(sorted(acc), dtype=object)})
+        side = np.fromiter((_side(d) for d in batch["doc_id"]),
+                           np.int64, len(batch))
+        eb = batch[side == 0]
+        _, g1, g2 = _doc_gram_hashes128(eb["text"].tolist(), n)
+        return pd.DataFrame({"g1": g1, "g2": g2}).drop_duplicates()
 
     # per-batch-distinct only: semi-join membership tolerates duplicate
     # right rows, so the global DISTINCT exchange would be pure cost
@@ -310,9 +308,9 @@ def decontaminate(docs, n: int = 4, eval_frac: float = 0.1,
 
     hits = salted_lookup_join(
         docs.map_batches(train_rows, batch_format="pandas"), eval_set,
-        on="gram", salt_col="doc_id",
-        left_schema={"gram": "object", "doc_id": dt},
-        right_schema={"gram": "object"},
+        on=["g1", "g2"], salt_col="doc_id",
+        left_schema={"g1": "int64", "g2": "int64", "doc_id": dt},
+        right_schema={"g1": "int64", "g2": "int64"},
         num_buckets=num_buckets, how="semi")
 
     # (gram, doc) rows are globally distinct (per-doc sets, one batch
@@ -455,6 +453,59 @@ def _batch_gram_hashes(texts, n: int):
     gh = _splitmix64(gh)
     valid = di[:m] == di[n - 1:]          # gram lies inside one doc
     return di[:m][valid], gh[valid]
+
+
+_GRAM_KEY2 = "arx.gram.lane-2!"          # 16 chars, pandas hash_array key
+_GRAM_Q = np.uint64(0x9E3779B97F4A7C15)  # lane-2 combine multiplier
+
+
+def _doc_gram_hashes128(texts, n: int):
+    """Per text: its DISTINCT word-``n``-gram identities as 128-bit
+    hashes, fully vectorized — the exchange-key form of
+    ``_batch_gram_hashes``.
+
+    Two independent 64-bit lanes (pandas' C siphash under two fixed
+    keys, positional-polynomial combine with a distinct odd multiplier
+    per lane, splitmix-finalized) identify a gram to ~2^-128 collision
+    odds — the same exactness class as the md5 ``content_hash``
+    convention, so ops that exchange (g1, g2) int64 pairs instead of
+    gram STRINGS stay oracle-exact while moving 16 fixed bytes per
+    gram through the shuffle instead of a variable-length object
+    column.
+
+    → (doc_idx int64, g1 int64, g2 int64), one row per distinct gram
+    per doc (per-doc dedup via one lexsort); grams spanning a document
+    boundary are masked out, docs shorter than ``n`` tokens contribute
+    nothing.
+    """
+    toks = [_tokens(t) for t in texts]
+    lens = np.fromiter((len(t) for t in toks), np.int64, len(toks))
+    flat = [w for ts in toks for w in ts]
+    total = int(lens.sum())
+    if total < n:
+        return _EMPTY_I64, _EMPTY_I64, _EMPTY_I64
+    arr = np.asarray(flat, dtype=object)
+    h1 = pd.util.hash_array(arr)
+    h2 = pd.util.hash_array(arr, hash_key=_GRAM_KEY2)
+    di = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+    m = total - n + 1
+    g1 = np.zeros(m, dtype=np.uint64)
+    g2 = np.zeros(m, dtype=np.uint64)
+    for j in range(n):
+        g1 = g1 * _GRAM_P + h1[j:j + m]
+        g2 = g2 * _GRAM_Q + h2[j:j + m]
+    g1, g2 = _splitmix64(g1), _splitmix64(g2)
+    valid = di[:m] == di[n - 1:]          # gram lies inside one doc
+    dv, g1, g2 = di[:m][valid], g1[valid], g2[valid]
+    if not len(dv):
+        return _EMPTY_I64, _EMPTY_I64, _EMPTY_I64
+    order = np.lexsort((g2, g1, dv))
+    dv, g1, g2 = dv[order], g1[order], g2[order]
+    keep = np.ones(len(dv), dtype=bool)
+    keep[1:] = ((dv[1:] != dv[:-1]) | (g1[1:] != g1[:-1])
+                | (g2[1:] != g2[:-1]))
+    return (dv[keep], g1[keep].view(np.int64).copy(),
+            g2[keep].view(np.int64).copy())
 
 
 def _bloom_positions(gh: np.ndarray, m_bits: int, k: int):
@@ -864,6 +915,10 @@ def scrub_dup_lines(docs, min_docs: int = 2, min_chars: int = 1,
 
     dt = _doc_key_dtype(docs)
 
+    # a line's identity in the count/removal exchanges is its 128-bit
+    # hash (two int64 columns, the _doc_gram_hashes128 convention) —
+    # the distinct-count and anti-join keys stay fixed-width numeric;
+    # the line TEXT itself only travels where the re-stitch needs it
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         out = b[["doc_id"]].copy()
         out["line"] = b["text"].fillna("").str.split(delimiter, regex=False)
@@ -871,26 +926,32 @@ def scrub_dup_lines(docs, min_docs: int = 2, min_chars: int = 1,
         out["line"] = out["line"].astype(object)
         out["i"] = (out.groupby("doc_id", sort=False).cumcount() + 1
                     ).astype("int64")
-        return out[["doc_id", "i", "line"]]
+        arr = out["line"].to_numpy()
+        out["g1"] = _splitmix64(pd.util.hash_array(arr)).view(np.int64)
+        out["g2"] = _splitmix64(
+            pd.util.hash_array(arr, hash_key=_GRAM_KEY2)).view(np.int64)
+        return out[["doc_id", "i", "line", "g1", "g2"]]
 
     lines = docs.map_batches(explode, batch_format="pandas")
 
     def countable(b: pd.DataFrame) -> pd.DataFrame:
         m = b["line"].str.len() >= min_chars
-        return b.loc[m, ["line", "doc_id"]]
+        return b.loc[m, ["g1", "g2", "doc_id"]]
 
     counts = grouped_distinct_count(
         lines.map_batches(countable, batch_format="pandas"),
-        "line", "doc_id", out_col="nd", num_buckets=num_buckets)
+        ["g1", "g2"], "doc_id", out_col="nd", num_buckets=num_buckets)
     removal = counts.map_batches(
-        lambda d: d.loc[d["nd"] >= min_docs, ["line"]],
+        lambda d: d.loc[d["nd"] >= min_docs, ["g1", "g2"]],
         batch_format="pandas")
 
     kept = salted_lookup_join(
-        lines, removal, on="line", salt_col="doc_id",
-        left_schema={"doc_id": dt, "i": "int64", "line": "object"},
-        right_schema={"line": "object"},
-        num_buckets=num_buckets, salts=_SCRUB_SALTS, how="anti")
+        lines, removal, on=["g1", "g2"], salt_col="doc_id",
+        left_schema={"doc_id": dt, "i": "int64", "line": "object",
+                     "g1": "int64", "g2": "int64"},
+        right_schema={"g1": "int64", "g2": "int64"},
+        num_buckets=num_buckets, salts=_SCRUB_SALTS, how="anti",
+        post=lambda d: d[["doc_id", "i", "line"]])
 
     def stub(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -964,33 +1025,30 @@ def dup_gram_fraction(docs, n: int = 8, num_buckets: int | None = None):
 
     dt = _doc_key_dtype(docs)
 
-    def _gram_set(t) -> set:
-        toks = _tokens(t)
-        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
-
+    # grams cross every exchange as 128-bit hashes (two int64 columns,
+    # _doc_gram_hashes128); a doc's per-doc gram total falls out of the
+    # same vectorized pass as its gram rows
     def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        gs, dids = [], []
-        for d, t in zip(batch["doc_id"], batch["text"]):
-            g = _gram_set(t)
-            gs.extend(g)
-            dids.extend([d] * len(g))
-        return pd.DataFrame({"gram": pd.Series(gs, dtype=object),
-                             "doc_id": pd.Series(dids, dtype=dt)})
+        dv, g1, g2 = _doc_gram_hashes128(batch["text"].tolist(), n)
+        return pd.DataFrame({
+            "g1": g1, "g2": g2,
+            "doc_id": pd.Series(batch["doc_id"].to_numpy()[dv], dtype=dt)})
 
     grams = docs.map_batches(gram_rows, batch_format="pandas")
 
     nd_partial = grams.map_batches(
-        lambda b: b.groupby("gram", sort=False).size()
+        lambda b: b.groupby(["g1", "g2"], sort=False).size()
                    .rename("nd").reset_index(),
         batch_format="pandas")
-    nd = bucketed_agg(nd_partial, "gram", {"nd": ("nd", "sum")}, num_buckets)
-    shared = nd.map_batches(lambda d: d.loc[d["nd"] >= 2, ["gram"]],
+    nd = bucketed_agg(nd_partial, ["g1", "g2"], {"nd": ("nd", "sum")},
+                      num_buckets)
+    shared = nd.map_batches(lambda d: d.loc[d["nd"] >= 2, ["g1", "g2"]],
                             batch_format="pandas")
 
     hits = salted_lookup_join(
-        grams, shared, on="gram", salt_col="doc_id",
-        left_schema={"gram": "object", "doc_id": dt},
-        right_schema={"gram": "object"},
+        grams, shared, on=["g1", "g2"], salt_col="doc_id",
+        left_schema={"g1": "int64", "g2": "int64", "doc_id": dt},
+        right_schema={"g1": "int64", "g2": "int64"},
         num_buckets=num_buckets, how="semi")
 
     def hit_partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -1000,11 +1058,11 @@ def dup_gram_fraction(docs, n: int = 8, num_buckets: int | None = None):
         return out[["doc_id", "n_grams", "n_dup_grams"]]
 
     def totals(batch: pd.DataFrame) -> pd.DataFrame:
+        dv, _, _ = _doc_gram_hashes128(batch["text"].tolist(), n)
         return pd.DataFrame({
             "doc_id": batch["doc_id"],
-            "n_grams": np.fromiter(
-                (len(_gram_set(t)) for t in batch["text"]),
-                np.int64, len(batch)),
+            "n_grams": np.bincount(dv, minlength=len(batch)
+                                   ).astype(np.int64),
             "n_dup_grams": np.zeros(len(batch), dtype=np.int64)})
 
     merged = (hits.map_batches(hit_partial, batch_format="pandas")

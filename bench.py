@@ -239,12 +239,12 @@ def run_bench() -> dict:
     timed("dedup_simhash", lambda: simhash_pairs(
         read("documents", ["doc_id", "text"])).count())
     timed("dedup_emb_lsh", lambda: embedding_dup_pairs_lsh(
-        read("embeddings")).count())
+        read("embeddings", ["vec_id", "embedding"])).count())
     timed("ann_topk", lambda: brute_force_topk(
-        read("embeddings"), [0, 1, 2, 3, 4, 5, 6, 7]).count())
+        read("embeddings", ["vec_id", "embedding"]), [0, 1, 2, 3, 4, 5, 6, 7]).count())
     from automatic_reference_extractor_ray.ops.dedup import semantic_dedup
     timed("semantic_dedup", lambda: semantic_dedup(
-        read("embeddings"), k=8, n_iter=5).count())
+        read("embeddings", ["vec_id", "embedding"]), k=8, n_iter=5).count())
     from automatic_reference_extractor_ray.ops.analytics import (
         exact_sample, shuffle_rank)
     from automatic_reference_extractor_ray.ops.textstats import (

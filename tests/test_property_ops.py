@@ -199,3 +199,40 @@ def test_scrub_dup_lines_paragraph_mode(ray_session):
     assert got["text"].tolist() == [
         "unique one", "unique two",
         "terms of use\nbut in one paragraph only"]
+
+
+def test_doc_gram_hashes128_matches_string_grams():
+    """The 128-bit gram-hash kernel is a bijection of the string gram
+    set in practice: per-doc distinct counts match exact string sets,
+    equal grams hash equal ACROSS docs, boundary-straddling windows
+    are masked, and sub-n-token / null docs contribute nothing."""
+    from automatic_reference_extractor_ray.ops.textstats import (
+        _doc_gram_hashes128, _tokens)
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(0, 30))))
+             for _ in range(40)] + [None, "", "one two"]
+    for n in (2, 4):
+        dv, g1, g2 = _doc_gram_hashes128(texts, n)
+        # per-doc distinct string-gram reference
+        ref = {}
+        for i, t in enumerate(texts):
+            tk = _tokens(t)
+            ref[i] = {" ".join(tk[j:j + n]) for j in range(len(tk) - n + 1)}
+        got_counts = dict(zip(*np.unique(dv, return_counts=True)))
+        for i, gs in ref.items():
+            assert got_counts.get(i, 0) == len(gs), (n, i)
+        # cross-doc equality: same gram string -> same (g1, g2);
+        # distinct gram strings in this corpus -> distinct hashes
+        key_of = {}
+        for i in range(len(texts)):
+            tk = _tokens(texts[i])
+            grams_i = [" ".join(tk[j:j + n])
+                       for j in range(len(tk) - n + 1)]
+            mask = dv == i
+            hset = set(zip(g1[mask].tolist(), g2[mask].tolist()))
+            assert len(hset) == len(set(grams_i))
+        all_strings = set().union(*ref.values()) if ref else set()
+        all_hashes = set(zip(g1.tolist(), g2.tolist()))
+        assert len(all_hashes) == len(all_strings)
