@@ -30,8 +30,11 @@ date = "1999-03", the full date@when value the mapper stores,
 imgProcessing.py:889-894), book, editor book, monograph without an
 imprint (title level m fallback when no journal marker), chapter in
 an edited volume ("In: Ed (ed.), Book, ..." — book title is TEI
-level m and drops), surname-style.  Anything else degrades to
-year/sentence heuristics.
+level m and drops), surname-style, "et al."-suffixed author lists
+(the unnamed tail maps to no <author> tag), and trailing DOIs
+("doi:10..." / doi.org URLs — Grobid's <idno>, which the mapper
+never reads, so the identifier is stripped and dropped).  Anything
+else degrades to year/sentence heuristics.
 """
 
 from __future__ import annotations
@@ -143,6 +146,18 @@ _SURNAME_RE = re.compile(r"[A-Z][A-Za-z]+")
 # comma inside "Last, A." does not
 _AUTH_SPLIT_RE = re.compile(r"(?<=\.)\s*,\s+(?=[A-Z])")
 
+# trailing "et al." on an author list: the unnamed tail produces NO
+# <author> tags in the TEI, so only the named lead author(s) map
+_ETAL_RE = re.compile(r",?\s*et\s+al\.?\s*$")
+
+# trailing DOI ("doi:10.NNNN/..." or a doi.org URL): Grobid emits it
+# as <idno>, which the reference's field mapper never reads
+# (imgProcessing.py:801-968 maps authors/title/journal/date/volume/
+# issue/pages only) — stripped before template matching so the
+# identifier can't break the shape, and dropped from the fields
+_DOI_TAIL_RE = re.compile(
+    r"\s+(?:doi:\s*|https?://(?:dx\.)?doi\.org/)10\.\S+$", re.IGNORECASE)
+
 
 def strip_marker(raw: str) -> str:
     return MARKER_PREFIX_RE.sub("", raw, count=1)
@@ -154,6 +169,9 @@ def _split_authors(auth: str) -> list[str]:
     (bare-surname comma list) → individual name strings (the TEI
     mapper emits one <author> per name; this is the flat-string
     equivalent)."""
+    # a trailing "et al." maps to no <author> tag — drop it before
+    # any list-shape analysis so the named lead author(s) split clean
+    auth = _ETAL_RE.sub("", auth)
     # "&" is the APA rendering of the final "and" ("A., B., & C.")
     in_and_list = bool(re.search(r",? (?:and|&) ", auth))
     auth = re.sub(r",? (?:and|&) ", "\x00", auth)
@@ -200,10 +218,20 @@ def parse_fields(raw: str) -> dict[str, object]:
 
 def parse_fields_ex(raw: str) -> tuple[dict[str, object], str]:
     """``parse_fields`` plus the matched template shape ("T1".."T17",
-    or "fallback") — the fallback-path hit-rate counter lineage metrics
+    "+doi"-suffixed when a trailing DOI was stripped, or "fallback")
+    — the fallback-path hit-rate counter lineage metrics
     report feeds on the second element (a rising fallback rate over a
     real corpus is the parser-coverage regression signal)."""
     s = strip_marker(raw).strip()
+    # a trailing DOI is surface decoration to the mapped field set
+    # (see _DOI_TAIL_RE); note its presence in the reported shape so
+    # lineage metrics can still see the identifier-carrying share
+    s, n_doi = _DOI_TAIL_RE.subn("", s)
+    f, shape = _match_templates(s)
+    return f, (shape + "+doi") if n_doi else shape
+
+
+def _match_templates(s: str) -> tuple[dict[str, object], str]:
     f = dict(EMPTY_FIELDS)
     m = _T17.match(s)
     if m:

@@ -49,7 +49,14 @@ def reference_region_lines(lines: list[str]) -> list[int]:
 
 
 def _group_by_markers(idxs: list[int], lines: list[str]) -> list[list[int]] | None:
-    marker_positions = [i for i in idxs if MARKER_LINE_RE.match(lines[i])]
+    # a line directly after a hyphen-ending line is the wrapped tail of
+    # the previous reference (the join_lines_repaired rule) no matter
+    # how marker-like it looks — "...277-\n286. doi:10..." must not
+    # start a new segment at "286."
+    marker_positions = [
+        i for i in idxs
+        if MARKER_LINE_RE.match(lines[i])
+        and not (i > 0 and lines[i - 1].rstrip().endswith("-"))]
     if len(marker_positions) < 2:
         return None
     groups: list[list[int]] = []

@@ -2,7 +2,7 @@
 fields (FIXTURES.md: "templated citations … so the field tokenizer has
 deterministic ground truth").
 
-Eighteen template shapes (T1-T17 below), matching the shapes
+Twenty template shapes (T1-T19 below), matching the shapes
 ``functions.fields.parse_fields`` recognizes exactly; the generator
 returns both the raw string and the expected BibStructured field dict,
 so field extraction has an analytic oracle that never calls the parser.
@@ -107,8 +107,15 @@ def gen_citation(rng: np.random.Generator) -> Citation:
            surface form
       17   T17 quoted title ('... (1999). "Title". Journal, ...') —
            quotes are surface decoration, the mapped title drops them
+      18   T18 "et al." author list ("Miller, A., et al. (1999) ...")
+           — the unnamed tail produces NO <author> tags, so truth
+           keeps only the named lead author(s)
+      19   T19 trailing DOI ("..., 45-67. doi:10.NNNN/..." or a
+           doi.org URL) — Grobid maps it to <idno>, which the TEI
+           field mapper never reads (imgProcessing.py:801-968), so
+           the mapped fields are T1's and the identifier drops
     """
-    t = int(rng.integers(0, 18))
+    t = int(rng.integers(0, 20))
     year = str(int(rng.integers(1970, 2024)))
     title = _title(rng)
     f = dict(EMPTY_FIELDS)
@@ -246,12 +253,33 @@ def gen_citation(rng: np.random.Generator) -> Citation:
                f"{vol}({iss}), {marker} {p1}-{p2}.")
         f.update(authors=authors, journal=journal, volume=vol, issue=iss,
                  pages=f"{p1}-{p2}")
-    else:  # T17 quoted title (mapped title drops the quotes)
+    elif t == 17:  # T17 quoted title (mapped title drops the quotes)
         authors = [_author(rng)]
         journal, vol, iss, p1 = journal_bits()
         p2 = p1 + int(rng.integers(2, 40))
         raw = (f'{authors[0]} ({year}). "{title}". {journal}, '
                f"{vol}({iss}), {p1}-{p2}.")
+        f.update(authors=authors, journal=journal, volume=vol, issue=iss,
+                 pages=f"{p1}-{p2}")
+    elif t == 18:  # T18 "et al." list — only the NAMED authors map
+        named = [_author(rng) for _ in range(int(rng.integers(1, 3)))]
+        journal, vol, iss, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f"{', '.join(named)}, et al. ({year}). {title}. {journal}, "
+               f"{vol}({iss}), {p1}-{p2}.")
+        f.update(authors=named, journal=journal, volume=vol, issue=iss,
+                 pages=f"{p1}-{p2}")
+    else:  # T19 trailing DOI — the identifier is TEI <idno>, which the
+        # reference mapper never reads: mapped fields are T1's
+        authors = [_author(rng)]
+        journal, vol, iss, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        slug = int(rng.integers(1000, 10000))
+        doi = (f"doi:10.{slug}/jda.{year}.{vol}"
+               if int(rng.integers(0, 2))
+               else f"https://doi.org/10.{slug}/jda.{year}.{vol}")
+        raw = (f"{authors[0]} ({year}). {title}. {journal}, "
+               f"{vol}({iss}), {p1}-{p2}. {doi}.")
         f.update(authors=authors, journal=journal, volume=vol, issue=iss,
                  pages=f"{p1}-{p2}")
     return Citation(raw=raw, fields=f)

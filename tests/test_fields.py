@@ -202,3 +202,37 @@ def test_new_template_hand_cases():
     f = parse_fields("Weber, E. (1995). Neural retrieval. "
                      "Information Processing Letters, 44, 5-9.")
     assert f["volume"] == "44" and f["issue"] == "" and f["pages"] == "5-9"
+
+
+def test_etal_author_list():
+    # T18: the unnamed "et al." tail maps to NO <author> tags — only
+    # the named lead author(s) survive
+    f = parse_fields("Miller, A., et al. (1999). Sparse graph inference. "
+                     "Journal of Document Analysis, 12(3), 45-67.")
+    assert f["authors"] == ["Miller, A."]
+    assert f["journal"] == "Journal of Document Analysis"
+    assert f["pages"] == "45-67"
+    f = parse_fields("Miller, A., Kim, B., et al. (2003). Neural "
+                     "retrieval. Data Engineering Bulletin, 5(2), 8-19.")
+    assert f["authors"] == ["Miller, A.", "Kim, B."]
+
+
+def test_trailing_doi_stripped():
+    # T19: the DOI is TEI <idno>, never read by the reference mapper
+    # (imgProcessing.py:801-968) — fields come out as the T1 shape's
+    from automatic_reference_extractor_ray.functions.fields import (
+        parse_fields_ex)
+    base = ("Miller, A. (1999). Sparse graph inference. "
+            "Journal of Document Analysis, 12(3), 45-67.")
+    want = parse_fields(base)
+    for doi in (" doi:10.1234/jda.1999.12.",
+                " https://doi.org/10.1234/jda.1999.12.",
+                " http://dx.doi.org/10.5555/x7."):
+        f, shape = parse_fields_ex(base + doi)
+        assert f == want, doi
+        assert shape == "T1+doi", doi
+    # a DOI on a non-journal shape strips the same way
+    f = parse_fields("Silva, D. (2010). Streaming analysis. "
+                     "Archive Science Quarterly, 3(1), 77. "
+                     "doi:10.9999/asq.77.")
+    assert f["pages"] == "77" and f["issue"] == "1"
