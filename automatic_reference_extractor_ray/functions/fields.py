@@ -99,6 +99,17 @@ _T17 = re.compile(
     rf"^{_AUTH} {_YEAR}\"(?P<title>[^\"]+)\"\. (?P<journal>[^,.]+), "
     r"(?P<vol>\d+)\((?P<iss>\d+)\), (?P<p1>\d+)-(?P<p2>\d+)\.$")
 
+# T20 conference paper: "Last, A. (1999). Paper title. In Proceedings
+# of the 5th Conference on X, pages 45-67."  TEI semantics mirror T9:
+# the paper title is level a and wins; the proceedings name is the
+# monogr's level-m title and is DROPPED (journal reads level j only);
+# pages map as usual.  MUST be tried before T2, whose lazy groups
+# would read "In Proceedings of ..." as a publisher and "pages 45-67"
+# as a location.
+_T20 = re.compile(
+    rf"^{_AUTH} {_YEAR}{_TITLE}In Proceedings of (?P<conf>[^,]+), "
+    r"pages (?P<p1>\d+)-(?P<p2>\d+)\.$")
+
 # T9 chapter in an edited volume:
 #   "Last, A. (1999). Chapter title. In: Ed, E. (ed.), Book Title,
 #    Publisher, City, 11-22."
@@ -274,6 +285,13 @@ def _match_templates(s: str) -> tuple[dict[str, object], str]:
                  journal=m["journal"], date=_date_of(m), volume=m["vol"],
                  pages=f"{m['p1']}-{m['p2']}")
         return f, "T7"
+    m = _T20.match(s)
+    if m:
+        # paper (level a) wins title; the proceedings name (level m)
+        # drops — same rule as T9's book title
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 date=_date_of(m), pages=f"{m['p1']}-{m['p2']}")
+        return f, "T20"
     m = _T9.match(s)
     if m:
         # chapter (level a) wins title; book title (level m) dropped;

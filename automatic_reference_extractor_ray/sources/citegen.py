@@ -2,7 +2,7 @@
 fields (FIXTURES.md: "templated citations … so the field tokenizer has
 deterministic ground truth").
 
-Twenty template shapes (T1-T19 below), matching the shapes
+Twenty-one template shapes (T1-T20 below), matching the shapes
 ``functions.fields.parse_fields`` recognizes exactly; the generator
 returns both the raw string and the expected BibStructured field dict,
 so field extraction has an analytic oracle that never calls the parser.
@@ -32,6 +32,8 @@ JOURNALS = ["Journal of Document Analysis", "Information Processing Letters",
 PUBLISHERS = ["Springer", "Elsevier", "Academic Press", "MIT Press",
               "Cambridge Press"]
 CITIES = ["Berlin", "Boston", "Tokyo", "Oslo", "Madrid", "Leiden"]
+CONF_TOPICS = ["Document Analysis", "Web Search", "Data Engineering",
+               "Digital Libraries", "Information Retrieval"]
 BODY_WORDS = ["the", "proposed", "approach", "combines", "structural",
               "features", "and", "lexical", "cues", "to", "identify",
               "reference", "regions", "within", "noisy", "page", "text",
@@ -114,8 +116,12 @@ def gen_citation(rng: np.random.Generator) -> Citation:
            doi.org URL) — Grobid maps it to <idno>, which the TEI
            field mapper never reads (imgProcessing.py:801-968), so
            the mapped fields are T1's and the identifier drops
+      20   T20 conference paper ("... In Proceedings of the 5th
+           Conference on X, pages 45-67.") — the proceedings name is
+           the monogr's level-m title and DROPS (same rule as T9's
+           book title); pages map as usual
     """
-    t = int(rng.integers(0, 20))
+    t = int(rng.integers(0, 21))
     year = str(int(rng.integers(1970, 2024)))
     title = _title(rng)
     f = dict(EMPTY_FIELDS)
@@ -269,8 +275,8 @@ def gen_citation(rng: np.random.Generator) -> Citation:
                f"{vol}({iss}), {p1}-{p2}.")
         f.update(authors=named, journal=journal, volume=vol, issue=iss,
                  pages=f"{p1}-{p2}")
-    else:  # T19 trailing DOI — the identifier is TEI <idno>, which the
-        # reference mapper never reads: mapped fields are T1's
+    elif t == 19:  # T19 trailing DOI — the identifier is TEI <idno>,
+        # which the reference mapper never reads: mapped fields are T1's
         authors = [_author(rng)]
         journal, vol, iss, p1 = journal_bits()
         p2 = p1 + int(rng.integers(2, 40))
@@ -282,6 +288,16 @@ def gen_citation(rng: np.random.Generator) -> Citation:
                f"{vol}({iss}), {p1}-{p2}. {doi}.")
         f.update(authors=authors, journal=journal, volume=vol, issue=iss,
                  pages=f"{p1}-{p2}")
+    else:  # T20 conference paper — proceedings name (level m) drops
+        authors = [_author(rng)]
+        nth = int(rng.integers(4, 21))            # 4th..20th: all "th"
+        conf = (f"the {nth}th Conference on "
+                f"{_pick(rng, CONF_TOPICS)}")
+        p1 = int(rng.integers(1, 400))
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f"{authors[0]} ({year}). {title}. In Proceedings of "
+               f"{conf}, pages {p1}-{p2}.")
+        f.update(authors=authors, pages=f"{p1}-{p2}")
     return Citation(raw=raw, fields=f)
 
 

@@ -236,3 +236,17 @@ def test_trailing_doi_stripped():
                      "Archive Science Quarterly, 3(1), 77. "
                      "doi:10.9999/asq.77.")
     assert f["pages"] == "77" and f["issue"] == "1"
+
+
+def test_conference_proceedings():
+    # T20: the proceedings name is the monogr's level-m title and
+    # drops (same rule as T9's book title); pages still map.  Must
+    # not fall through to T2, which would read "In Proceedings of
+    # ..." as a publisher.
+    f = parse_fields("Miller, A. (1999). Sparse graph inference. "
+                     "In Proceedings of the 5th Conference on "
+                     "Document Analysis, pages 45-67.")
+    assert f["authors"] == ["Miller, A."]
+    assert f["title"] == "Sparse graph inference"
+    assert f["journal"] == "" and f["publisher"] == ""
+    assert f["pages"] == "45-67" and f["date"] == "1999"
