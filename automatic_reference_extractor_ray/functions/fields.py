@@ -169,6 +169,12 @@ _ETAL_RE = re.compile(r",?\s*et\s+al\.?\s*$")
 _DOI_TAIL_RE = re.compile(
     r"\s+(?:doi:\s*|https?://(?:dx\.)?doi\.org/)10\.\S+$", re.IGNORECASE)
 
+# trailing retrieval URL ("Retrieved from http://..." / "Available
+# at: http://..."): Grobid's <ptr target=...>, likewise never read by
+# the reference mapper — stripped the same way as a DOI tail
+_URL_TAIL_RE = re.compile(
+    r"\s+(?:Retrieved from|Available at:?)\s+https?://\S+$", re.IGNORECASE)
+
 
 def strip_marker(raw: str) -> str:
     return MARKER_PREFIX_RE.sub("", raw, count=1)
@@ -238,8 +244,13 @@ def parse_fields_ex(raw: str) -> tuple[dict[str, object], str]:
     # (see _DOI_TAIL_RE); note its presence in the reported shape so
     # lineage metrics can still see the identifier-carrying share
     s, n_doi = _DOI_TAIL_RE.subn("", s)
+    s, n_url = _URL_TAIL_RE.subn("", s)
     f, shape = _match_templates(s)
-    return f, (shape + "+doi") if n_doi else shape
+    if n_doi:
+        shape += "+doi"
+    if n_url:
+        shape += "+url"
+    return f, shape
 
 
 def _match_templates(s: str) -> tuple[dict[str, object], str]:

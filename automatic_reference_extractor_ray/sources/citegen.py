@@ -2,7 +2,7 @@
 fields (FIXTURES.md: "templated citations … so the field tokenizer has
 deterministic ground truth").
 
-Twenty-one template shapes (T1-T20 below), matching the shapes
+Twenty-two template shapes (T1-T21 below), matching the shapes
 ``functions.fields.parse_fields`` recognizes exactly; the generator
 returns both the raw string and the expected BibStructured field dict,
 so field extraction has an analytic oracle that never calls the parser.
@@ -120,8 +120,11 @@ def gen_citation(rng: np.random.Generator) -> Citation:
            Conference on X, pages 45-67.") — the proceedings name is
            the monogr's level-m title and DROPS (same rule as T9's
            book title); pages map as usual
+      21   T21 trailing retrieval URL ("... Retrieved from
+           http://...") — Grobid's <ptr target>, never read by the
+           mapper; stripped like a DOI tail
     """
-    t = int(rng.integers(0, 21))
+    t = int(rng.integers(0, 22))
     year = str(int(rng.integers(1970, 2024)))
     title = _title(rng)
     f = dict(EMPTY_FIELDS)
@@ -288,7 +291,7 @@ def gen_citation(rng: np.random.Generator) -> Citation:
                f"{vol}({iss}), {p1}-{p2}. {doi}.")
         f.update(authors=authors, journal=journal, volume=vol, issue=iss,
                  pages=f"{p1}-{p2}")
-    else:  # T20 conference paper — proceedings name (level m) drops
+    elif t == 20:  # T20 conference paper — proceedings name drops
         authors = [_author(rng)]
         nth = int(rng.integers(4, 21))            # 4th..20th: all "th"
         conf = (f"the {nth}th Conference on "
@@ -298,6 +301,18 @@ def gen_citation(rng: np.random.Generator) -> Citation:
         raw = (f"{authors[0]} ({year}). {title}. In Proceedings of "
                f"{conf}, pages {p1}-{p2}.")
         f.update(authors=authors, pages=f"{p1}-{p2}")
+    else:  # T21 trailing retrieval URL — <ptr target>, unmapped
+        authors = [_author(rng)]
+        journal, vol, iss, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        slug = int(rng.integers(100, 1000))
+        marker = ("Retrieved from" if int(rng.integers(0, 2))
+                  else "Available at:")
+        raw = (f"{authors[0]} ({year}). {title}. {journal}, "
+               f"{vol}({iss}), {p1}-{p2}. {marker} "
+               f"http://archive.example.org/p/{slug}.")
+        f.update(authors=authors, journal=journal, volume=vol, issue=iss,
+                 pages=f"{p1}-{p2}")
     return Citation(raw=raw, fields=f)
 
 

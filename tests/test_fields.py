@@ -250,3 +250,19 @@ def test_conference_proceedings():
     assert f["title"] == "Sparse graph inference"
     assert f["journal"] == "" and f["publisher"] == ""
     assert f["pages"] == "45-67" and f["date"] == "1999"
+
+
+def test_trailing_retrieval_url_stripped():
+    # T21: "Retrieved from <url>" / "Available at: <url>" is Grobid's
+    # <ptr target>, never read by the reference mapper — stripped like
+    # a DOI tail, shape suffixed "+url"
+    from automatic_reference_extractor_ray.functions.fields import (
+        parse_fields_ex)
+    base = ("Miller, A. (1999). Sparse graph inference. "
+            "Journal of Document Analysis, 12(3), 45-67.")
+    want = parse_fields(base)
+    for tail in (" Retrieved from http://archive.example.org/p/123.",
+                 " Available at: https://archive.example.org/p/9."):
+        f, shape = parse_fields_ex(base + tail)
+        assert f == want, tail
+        assert shape == "T1+url", tail
