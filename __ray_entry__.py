@@ -284,7 +284,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data as rd
         refs = rd.from_pandas(
             _refs_df(sf).assign(
-                authors=lambda d: d["authors"].map(lambda a: "\x1f".join(a))))
+                authors=lambda d: d["authors"].map(
+                    # \x1f-TERMINATED (see pipelines/results.py): ""
+                    # = no authors, "\x1f" = the org-author [""]
+                    lambda a: "\x1f".join(a) + "\x1f" if len(a) else "")))
         out = doc_xml(refs).to_pandas()
         import hashlib
         out["xml_md5"] = out["xml"].map(

@@ -31,9 +31,16 @@ imgProcessing.py:889-894), book, editor book, monograph without an
 imprint (title level m fallback when no journal marker), chapter in
 an edited volume ("In: Ed (ed.), Book, ..." — book title is TEI
 level m and drops), surname-style, "et al."-suffixed author lists
-(the unnamed tail maps to no <author> tag), and trailing DOIs
+(the unnamed tail maps to no <author> tag), trailing DOIs
 ("doi:10..." / doi.org URLs — Grobid's <idno>, which the mapper
-never reads, so the identifier is stripped and dropped).  Anything
+never reads, so the identifier is stripped and dropped),
+Vancouver/NLM ("Miller A, Schmidt B. Title. Journal. 1999;12(3):
+45-67."), IEEE ('A. Miller, "Title," Journal, vol. 12, no. 3,
+pp. 45-67, 1999.'), APA edited-book chapters ("In E. Editor (Ed.),
+Book (pp. 45-67). Publisher." — book title level m drops), and
+organizational authors ("World Health Organization. (2020). …" —
+the forename/surname-only name join renders an orgName author as
+ONE EMPTY <author> string, imgProcessing.py:816-846).  Anything
 else degrades to year/sentence heuristics.
 """
 
@@ -145,6 +152,42 @@ _T3 = re.compile(
     r"(?P<title>[^.]+)\. (?P<journal>.+?) "
     r"(?P<vol>\d+):(?P<p1>\d+)-(?P<p2>\d+), (?P<year>(?:19|20)\d{2})\.$")
 
+# T22 Vancouver/NLM: "Miller A, Schmidt B. Title. Journal Name.
+# 1999;12(3):45-67." — dotless "Surname AB" author tokens, the year
+# AFTER the journal, and the ;vol(iss):pages run.  Same TEI field set
+# as T1 under the medical-literature surface form; authors split on
+# the list commas (no inversions exist in this shape).
+_T22 = re.compile(
+    r"^(?P<auth>[A-Z][A-Za-z]+ [A-Z]{1,2}(?:, [A-Z][A-Za-z]+ [A-Z]{1,2})*)\. "
+    r"(?P<title>[^.]+)\. (?P<journal>[^.;]+)\. "
+    r"(?P<year>(?:19|20)\d{2});(?P<vol>\d+)\((?P<iss>\d+)\):"
+    r"(?P<p1>\d+)-(?P<p2>\d+)\.$")
+
+# T23 IEEE: 'A. Miller and B. Schmidt, "Title," Journal Name, vol. 12,
+# no. 3, pp. 45-67, 1999.' — forename-first authors before a comma,
+# the title quoted with the comma INSIDE the quotes, vol./no./pp.
+# markers, year last.  Quotes and markers are surface decoration; the
+# mapped fields are T1's.
+_T23 = re.compile(
+    r"^(?P<auth>.+?), \"(?P<title>[^\"]+),\" (?P<journal>[^,]+), "
+    r"vol\. (?P<vol>\d+), no\. (?P<iss>\d+), "
+    r"pp\. (?P<p1>\d+)-(?P<p2>\d+), (?P<year>(?:19|20)\d{2})\.$")
+# IEEE author lists: "A. Miller", "A. Miller and B. Miller",
+# "A. Miller, B. Schmidt, and C. Tanaka" — plain list separators (the
+# inversion-aware _AUTH_SPLIT_RE would keep "A. Miller, B. Schmidt"
+# fused because the commas don't follow a period)
+_IEEE_AUTH_SPLIT_RE = re.compile(r", and |, | and ")
+
+# T24 APA edited-book chapter: "Last, A. (1999). Chapter title. In
+# E. Editor (Ed.), Book title (pp. 45-67). Publisher."  TEI semantics
+# mirror T9: chapter title is level a and wins, the book title is
+# level m and DROPS, the editor maps to no <author>, pages and
+# publisher map as usual (no pubPlace in this shape).
+_T24 = re.compile(
+    rf"^{_AUTH} {_YEAR}{_TITLE}"
+    r"In (?P<eds>[^,]+?) \(Eds?\.\), (?P<book>.+?) "
+    r"\(pp\. (?P<p1>\d+)-(?P<p2>\d+)\)\. (?P<publisher>[^,.]+)\.$")
+
 _YEAR_RE = re.compile(r"\b(19|20)\d{2}\b")
 # full when-style year-month value (a T10 date piece in a <cite> twin)
 _YM_RE = re.compile(r"\b(?:19|20)\d{2}-(?:0[1-9]|1[0-2])\b")
@@ -175,6 +218,25 @@ _DOI_TAIL_RE = re.compile(
 _URL_TAIL_RE = re.compile(
     r"\s+(?:Retrieved from|Available at:?)\s+https?://\S+$", re.IGNORECASE)
 
+# Organizational author ("World Health Organization. (2020). ...").
+# Grobid tags a corporate author as <author><orgName>…</orgName>
+# </author>; the reference's name join reads ONLY forename/surname
+# children (imgProcessing.py:816-846), so fname and lname stay empty
+# and temp_name.strip() appends an EMPTY string — the mapped output is
+# one empty <author> element, NOT the org name and NOT an absent
+# authors list.  Detection is rule-based: a comma-free head of >= 2
+# capitalized words (lowercase connectors of/for/the allowed) whose
+# last word is a recognizable institution noun.  "and"-joined person
+# lists ("Miller and Schmidt") never match because "and" is not an
+# allowed connector.
+_ORG_SUFFIXES = frozenset({
+    "Organization", "Organisation", "Institute", "Institution",
+    "Association", "Commission", "Consortium", "Society", "Agency",
+    "Bureau", "Committee", "Foundation", "Council", "Centre", "Center",
+    "University", "Ministry", "Department", "Archives", "Library",
+    "Office"})
+_ORG_WORD_RE = re.compile(r"[A-Z][A-Za-z]+|of|for|the")
+
 
 def strip_marker(raw: str) -> str:
     return MARKER_PREFIX_RE.sub("", raw, count=1)
@@ -189,6 +251,14 @@ def _split_authors(auth: str) -> list[str]:
     # a trailing "et al." maps to no <author> tag — drop it before
     # any list-shape analysis so the named lead author(s) split clean
     auth = _ETAL_RE.sub("", auth)
+    # organizational author → ONE EMPTY name string (the reference's
+    # forename/surname-only join over an orgName author, see
+    # _ORG_SUFFIXES above) — checked before any list splitting
+    org_words = auth.rstrip(". ").split()
+    if (len(org_words) >= 2 and "," not in auth
+            and org_words[-1] in _ORG_SUFFIXES
+            and all(_ORG_WORD_RE.fullmatch(w) for w in org_words)):
+        return [""]
     # "&" is the APA rendering of the final "and" ("A., B., & C.")
     in_and_list = bool(re.search(r",? (?:and|&) ", auth))
     auth = re.sub(r",? (?:and|&) ", "\x00", auth)
@@ -234,7 +304,7 @@ def parse_fields(raw: str) -> dict[str, object]:
 
 
 def parse_fields_ex(raw: str) -> tuple[dict[str, object], str]:
-    """``parse_fields`` plus the matched template shape ("T1".."T17",
+    """``parse_fields`` plus the matched template shape ("T1".."T24",
     "+doi"-suffixed when a trailing DOI was stripped, or "fallback")
     — the fallback-path hit-rate counter lineage metrics
     report feeds on the second element (a rising fallback rate over a
@@ -303,6 +373,32 @@ def _match_templates(s: str) -> tuple[dict[str, object], str]:
         f.update(authors=_split_authors(m["auth"]), title=m["title"],
                  date=_date_of(m), pages=f"{m['p1']}-{m['p2']}")
         return f, "T20"
+    m = _T22.match(s)
+    if m:
+        # Vancouver: dotless "Surname AB" tokens — commas are pure
+        # list separators here (no inversions exist in this shape)
+        f.update(authors=m["auth"].split(", "), title=m["title"],
+                 journal=m["journal"], date=m["year"], volume=m["vol"],
+                 issue=m["iss"], pages=f"{m['p1']}-{m['p2']}")
+        return f, "T22"
+    m = _T23.match(s)
+    if m:
+        # IEEE: quoted title loses its quotes AND the in-quote comma;
+        # vol./no./pp. markers are surface forms of T1's biblScopes
+        f.update(authors=[a for a in _IEEE_AUTH_SPLIT_RE.split(m["auth"])
+                          if a],
+                 title=m["title"], journal=m["journal"], date=m["year"],
+                 volume=m["vol"], issue=m["iss"],
+                 pages=f"{m['p1']}-{m['p2']}")
+        return f, "T23"
+    m = _T24.match(s)
+    if m:
+        # chapter (level a) wins title; book title (level m) dropped;
+        # the editor maps to no <author> tag
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 date=_date_of(m), publisher=m["publisher"],
+                 pages=f"{m['p1']}-{m['p2']}")
+        return f, "T24"
     m = _T9.match(s)
     if m:
         # chapter (level a) wins title; book title (level m) dropped;

@@ -31,7 +31,14 @@ def render_bibstructured(rec: dict) -> str:
                  f"{escape(str(rec['text']))}</rawString>")
     authors = rec.get("authors", [])
     if isinstance(authors, str):
-        authors = [a for a in authors.split("\x1f") if a]
+        # \x1f-TERMINATED convention (one separator per author, so
+        # "" = no authors but "\x1f" = [""]): an organizational
+        # author maps to one EMPTY name string (the reference's
+        # forename/surname-only join over an orgName author,
+        # imgProcessing.py:816-846) and must still render its empty
+        # <author></author> element, exactly as len(tempAuthors) > 0
+        # does in the reference writer
+        authors = authors.split("\x1f")[:-1] if authors else []
     if len(authors):
         parts.append("<authors>" + "".join(
             f"<author>{escape(str(a))}</author>" for a in authors) + "</authors>")

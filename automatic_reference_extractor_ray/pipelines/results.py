@@ -56,11 +56,16 @@ def doc_xml(refs, fname_of=None):
         return pd.DataFrame(rows, columns=["doc_id", "n_refs", "xml"])
 
     # pandas path is safe here: the nested authors column is converted
-    # to tuples before the shuffle so it survives the round-trip
+    # to a flat string before the shuffle so it survives the
+    # round-trip.  \x1f-TERMINATED (one separator per author): an
+    # empty list flattens to "" while the org-author quirk's [""]
+    # flattens to "\x1f" — the two must stay distinct so the empty
+    # <author></author> element still renders (see xmlout).
     def flatten_authors(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.copy()
         pdf["authors"] = pdf["authors"].map(
-            lambda a: "\x1f".join(a) if not isinstance(a, str) else a)
+            lambda a: a if isinstance(a, str)
+            else "\x1f".join(a) + "\x1f" if len(a) else "")
         return pdf
 
     prepped = refs.map_batches(flatten_authors, batch_format="pandas")

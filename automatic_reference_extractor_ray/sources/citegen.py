@@ -2,7 +2,7 @@
 fields (FIXTURES.md: "templated citations … so the field tokenizer has
 deterministic ground truth").
 
-Twenty-two template shapes (T1-T21 below), matching the shapes
+Twenty-six template shapes (T1-T25 below), matching the shapes
 ``functions.fields.parse_fields`` recognizes exactly; the generator
 returns both the raw string and the expected BibStructured field dict,
 so field extraction has an analytic oracle that never calls the parser.
@@ -34,6 +34,11 @@ PUBLISHERS = ["Springer", "Elsevier", "Academic Press", "MIT Press",
 CITIES = ["Berlin", "Boston", "Tokyo", "Oslo", "Madrid", "Leiden"]
 CONF_TOPICS = ["Document Analysis", "Web Search", "Data Engineering",
                "Digital Libraries", "Information Retrieval"]
+# organizational authors (T25) — last word is a recognizable
+# institution noun (functions.fields._ORG_SUFFIXES)
+ORGS = ["World Health Organization", "National Archives Council",
+        "International Records Institute", "Federal Statistics Bureau",
+        "European Documentation Centre"]
 BODY_WORDS = ["the", "proposed", "approach", "combines", "structural",
               "features", "and", "lexical", "cues", "to", "identify",
               "reference", "regions", "within", "noisy", "page", "text",
@@ -123,8 +128,23 @@ def gen_citation(rng: np.random.Generator) -> Citation:
       21   T21 trailing retrieval URL ("... Retrieved from
            http://...") — Grobid's <ptr target>, never read by the
            mapper; stripped like a DOI tail
+      22   T22 Vancouver/NLM ("Miller A, Schmidt B. Title. Journal.
+           1999;12(3):45-67.") — dotless "Surname AB" author tokens,
+           year after the journal; same TEI field set as T1
+      23   T23 IEEE ('A. Miller, "Title," Journal, vol. 12, no. 3,
+           pp. 45-67, 1999.') — quoted title keeps its comma inside
+           the quotes; vol./no./pp. markers; year last
+      24   T24 APA edited-book chapter ("... In E. Editor (Ed.),
+           Book title (pp. 45-67). Publisher.") — chapter title
+           (level a) wins, book title (level m) DROPS, the editor
+           maps to no <author>
+      25   T25 organizational author ("World Health Organization.
+           (2020). ...") — Grobid tags an orgName author, whose
+           forename/surname-only name join renders as ONE EMPTY
+           author string (imgProcessing.py:816-846): ground truth
+           is [""] — present but empty, unlike T5's absent editors
     """
-    t = int(rng.integers(0, 22))
+    t = int(rng.integers(0, 26))
     year = str(int(rng.integers(1970, 2024)))
     title = _title(rng)
     f = dict(EMPTY_FIELDS)
@@ -301,7 +321,7 @@ def gen_citation(rng: np.random.Generator) -> Citation:
         raw = (f"{authors[0]} ({year}). {title}. In Proceedings of "
                f"{conf}, pages {p1}-{p2}.")
         f.update(authors=authors, pages=f"{p1}-{p2}")
-    else:  # T21 trailing retrieval URL — <ptr target>, unmapped
+    elif t == 21:  # T21 trailing retrieval URL — <ptr target>, unmapped
         authors = [_author(rng)]
         journal, vol, iss, p1 = journal_bits()
         p2 = p1 + int(rng.integers(2, 40))
@@ -313,6 +333,53 @@ def gen_citation(rng: np.random.Generator) -> Citation:
                f"http://archive.example.org/p/{slug}.")
         f.update(authors=authors, journal=journal, volume=vol, issue=iss,
                  pages=f"{p1}-{p2}")
+    elif t == 22:  # T22 Vancouver/NLM — "Surname AB" tokens, year
+        # after the journal, ;vol(iss):pages run
+        n = int(rng.integers(1, 4))
+        authors = [f"{_pick(rng, SURNAMES)} {_pick(rng, INITIALS)}"
+                   for _ in range(n)]
+        journal, vol, iss, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f"{', '.join(authors)}. {title}. {journal}. "
+               f"{year};{vol}({iss}):{p1}-{p2}.")
+        f.update(authors=authors, journal=journal, volume=vol, issue=iss,
+                 pages=f"{p1}-{p2}")
+    elif t == 23:  # T23 IEEE — forename-first list, quoted title with
+        # its comma inside the quotes, vol./no./pp. markers, year last
+        n = int(rng.integers(1, 4))
+        authors = [f"{_pick(rng, INITIALS)}. {_pick(rng, SURNAMES)}"
+                   for _ in range(n)]
+        if n == 1:
+            alist = authors[0]
+        elif n == 2:
+            alist = f"{authors[0]} and {authors[1]}"
+        else:
+            alist = f"{authors[0]}, {authors[1]}, and {authors[2]}"
+        journal, vol, iss, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f'{alist}, "{title}," {journal}, vol. {vol}, '
+               f"no. {iss}, pp. {p1}-{p2}, {year}.")
+        f.update(authors=authors, journal=journal, volume=vol, issue=iss,
+                 pages=f"{p1}-{p2}")
+    elif t == 24:  # T24 APA edited-book chapter — book title (level m)
+        # drops, editor maps to no <author>
+        authors = [_author(rng)]
+        editor = f"{_pick(rng, INITIALS)}. {_pick(rng, SURNAMES)}"
+        book = _title(rng)
+        publisher = _pick(rng, PUBLISHERS)
+        p1 = int(rng.integers(1, 400))
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f"{authors[0]} ({year}). {title}. In {editor} (Ed.), "
+               f"{book} (pp. {p1}-{p2}). {publisher}.")
+        f.update(authors=authors, publisher=publisher, pages=f"{p1}-{p2}")
+    else:  # T25 organizational author — the orgName author joins to
+        # ONE EMPTY name string (imgProcessing.py:816-846 reads
+        # forename/surname children only)
+        org = _pick(rng, ORGS)
+        publisher = _pick(rng, PUBLISHERS)
+        city = _pick(rng, CITIES)
+        raw = f"{org}. ({year}). {title}. {publisher}, {city}."
+        f.update(authors=[""], publisher=publisher, location=city)
     return Citation(raw=raw, fields=f)
 
 

@@ -266,3 +266,65 @@ def test_trailing_retrieval_url_stripped():
         f, shape = parse_fields_ex(base + tail)
         assert f == want, tail
         assert shape == "T1+url", tail
+
+
+def test_vancouver_style():
+    # T22: dotless "Surname AB" tokens, year after the journal,
+    # ;vol(iss):pages run — the NLM/medical surface form of T1
+    f, shape = __import__(
+        "automatic_reference_extractor_ray.functions.fields",
+        fromlist=["parse_fields_ex"]).parse_fields_ex(
+        "Miller A, Schmidt B, Tanaka C. Adaptive spectral methods. "
+        "Journal of Document Analysis. 1999;12(3):45-67.")
+    assert shape == "T22"
+    assert f["authors"] == ["Miller A", "Schmidt B", "Tanaka C"]
+    assert f["journal"] == "Journal of Document Analysis"
+    assert f["date"] == "1999" and f["volume"] == "12"
+    assert f["issue"] == "3" and f["pages"] == "45-67"
+
+
+def test_ieee_style():
+    # T23: quoted title keeps its comma inside the quotes; vol./no./pp.
+    # markers; year last.  Mapped fields are T1's.
+    from automatic_reference_extractor_ray.functions.fields import (
+        parse_fields_ex)
+    f, shape = parse_fields_ex(
+        'A. Miller, B. Schmidt, and C. Tanaka, "Robust segmentation '
+        'in scanned documents," Archive Science Quarterly, vol. 30, '
+        "no. 11, pp. 200-230, 2020.")
+    assert shape == "T23"
+    assert f["authors"] == ["A. Miller", "B. Schmidt", "C. Tanaka"]
+    assert f["title"] == "Robust segmentation in scanned documents"
+    assert f["journal"] == "Archive Science Quarterly"
+    assert f["date"] == "2020" and f["volume"] == "30"
+    assert f["issue"] == "11" and f["pages"] == "200-230"
+
+
+def test_apa_edited_chapter():
+    # T24: chapter title (level a) wins, book title (level m) DROPS,
+    # the editor maps to no <author> — same TEI rules as T9 under the
+    # APA "(Ed.), ... (pp. N-M)" surface form
+    f = parse_fields(
+        "Miller, A. (1999). Sparse graph inference. In B. Schmidt "
+        "(Ed.), Historical records analysis (pp. 45-67). Springer.")
+    assert f["authors"] == ["Miller, A."]
+    assert f["title"] == "Sparse graph inference"
+    assert f["journal"] == "" and f["publisher"] == "Springer"
+    assert f["pages"] == "45-67" and f["date"] == "1999"
+
+
+def test_org_author_maps_to_one_empty_name():
+    # T25: Grobid tags a corporate author as <author><orgName>…</…>;
+    # the reference's name join reads forename/surname children ONLY
+    # (imgProcessing.py:816-846), so the org author maps to ONE EMPTY
+    # name string — present but empty, unlike T5's absent editors
+    f = parse_fields("World Health Organization. (2020). Automated "
+                     "citation extraction. Springer, Berlin.")
+    assert f["authors"] == [""]
+    assert f["publisher"] == "Springer" and f["location"] == "Berlin"
+    assert f["date"] == "2020"
+    # person names and "and"-joined lists never trip the org branch
+    from automatic_reference_extractor_ray.functions.fields import (
+        _split_authors)
+    assert _split_authors("Miller and Schmidt") == ["Miller", "Schmidt"]
+    assert _split_authors("Anne Miller") == ["Anne Miller"]

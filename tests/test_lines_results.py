@@ -192,3 +192,24 @@ def test_quality_filter_rules(ray_session):
     assert bool(out.loc[3, "flag_bad_word_len"]) or \
         bool(out.loc[3, "flag_low_stopwords"])
     assert bool(out.loc[4, "flag_bad_word_len"]) and not out.loc[4, "keep"]
+
+
+def test_render_bibstructured_author_string_convention():
+    # \x1f-TERMINATED flat-string authors: "" = no authors,
+    # "A\x1fB\x1f" = ["A", "B"], and "\x1f" = [""] — the org-author
+    # quirk (an orgName author joins to an empty name,
+    # imgProcessing.py:816-846) must still render its empty
+    # <author></author> element, exactly like the list form does
+    from automatic_reference_extractor_ray.functions.xmlout import (
+        render_bibstructured)
+    base = dict(text="t", detector="D", namer="N", x1=0, y1=0, x2=1, y2=1,
+                title="", journal="", date="", publisher="", location="",
+                volume="", issue="", pages="")
+    for lst, flat in ([], ""), (["A", "B"], "A\x1fB\x1f"), ([""], "\x1f"):
+        as_list = render_bibstructured({**base, "authors": lst})
+        as_flat = render_bibstructured({**base, "authors": flat})
+        assert as_list == as_flat, (lst, flat)
+    org = render_bibstructured({**base, "authors": [""]})
+    assert "<authors><author></author></authors>" in org
+    none = render_bibstructured({**base, "authors": []})
+    assert "<authors>" not in none
