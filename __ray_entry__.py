@@ -74,6 +74,12 @@ def _scrub_dup_lines_sql() -> str:
     return scrub_dup_lines_sql(min_docs=2)
 
 
+def _scrub_dup_windows_sql() -> str:
+    from automatic_reference_extractor_ray.ops.textstats import (
+        scrub_dup_windows_sql)
+    return scrub_dup_windows_sql(k=8, min_docs=2)
+
+
 def _pack_sql() -> str:
     from automatic_reference_extractor_ray.ops.textstats import pack_sql
     return pack_sql()
@@ -365,6 +371,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from automatic_reference_extractor_ray.ops.textstats import (
             scrub_dup_lines)
         return scrub_dup_lines(_docs_table(sf), min_docs=2)
+
+    def scrub_dup_windows_q(sf):
+        from automatic_reference_extractor_ray.ops.textstats import (
+            scrub_dup_windows)
+        return scrub_dup_windows(_docs_table(sf), k=8, min_docs=2)
 
     def dup_gram_fraction_q(sf):
         from automatic_reference_extractor_ray.ops.textstats import (
@@ -701,6 +712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": semantic_dedup_q,
         "dedup_corpus": dedup_corpus_q,
         "scrub_dup_lines": scrub_dup_lines_q,
+        "scrub_dup_windows": scrub_dup_windows_q,
         "dup_gram_fraction": dup_gram_fraction_q,
         "shuffle_rank": shuffle_rank_q,
         "topk_tokens": topk_tokens_q,
@@ -1222,6 +1234,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": _chunk_sql(),
         "pack_sequences": _pack_sql(),
         "scrub_dup_lines": _scrub_dup_lines_sql(),
+        "scrub_dup_windows": _scrub_dup_windows_sql(),
         "weighted_sample": _weighted_sql(),
         "normalize_text": _normalize_sql(),
         "events_retention": """

@@ -999,6 +999,198 @@ def scrub_dup_lines_sql(min_docs: int = 2, min_chars: int = 1,
     FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
 
+# ------------------------------------- corpus-wide window scrub
+
+def _window_hash_rows(texts, k: int):
+    """Every k-token rolling window of every text with its START
+    position, as 128-bit hashes — the positional sibling of
+    ``_doc_gram_hashes128`` (same two-lane siphash + positional
+    polynomial + splitmix scheme, NO per-doc dedup: the scrubber needs
+    every occurrence with its offset).
+
+    → (doc_idx int64, ws int64, g1 int64, g2 int64); windows spanning
+    a document boundary are masked out, docs shorter than ``k`` tokens
+    contribute nothing."""
+    toks = [_tokens(t) for t in texts]
+    lens = np.fromiter((len(t) for t in toks), np.int64, len(toks))
+    flat = [w for ts in toks for w in ts]
+    total = int(lens.sum())
+    if total < k:
+        return (_EMPTY_I64, _EMPTY_I64, _EMPTY_I64, _EMPTY_I64)
+    arr = np.asarray(flat, dtype=object)
+    h1 = pd.util.hash_array(arr)
+    h2 = pd.util.hash_array(arr, hash_key=_GRAM_KEY2)
+    di = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+    m = total - k + 1
+    g1 = np.zeros(m, dtype=np.uint64)
+    g2 = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        g1 = g1 * _GRAM_P + h1[j:j + m]
+        g2 = g2 * _GRAM_Q + h2[j:j + m]
+    g1, g2 = _splitmix64(g1), _splitmix64(g2)
+    valid = di[:m] == di[k - 1:]          # window lies inside one doc
+    starts = np.zeros(len(toks) + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    ws = np.arange(m, dtype=np.int64) - starts[di[:m]]
+    return (di[:m][valid], ws[valid],
+            g1[valid].view(np.int64).copy(),
+            g2[valid].view(np.int64).copy())
+
+
+def scrub_dup_windows(docs, k: int = 8, min_docs: int = 2,
+                      num_buckets: int | None = None):
+    """Corpus-wide duplicated-WINDOW scrub — the token-level ExactSubstr
+    dedup of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better"): every token covered by ANY k-token
+    window whose exact token sequence occurs in >= ``min_docs``
+    DISTINCT documents is deleted from every document, wherever in the
+    document it sits (line/paragraph alignment not required — the gap
+    ``scrub_dup_lines`` cannot close).  Unlike the suffix-array
+    original, duplication is detected at fixed window size k: any
+    shared substring of >= k tokens is the union of its k-windows, so
+    coverage of shared spans >= k tokens is identical; shorter shared
+    runs are deliberately kept.
+
+    → (doc_id, text, n_tokens, n_removed), one row per input document.
+    The output text is TOKEN-CANONICAL (lowercased ``[a-z0-9]+``
+    tokens re-joined by single spaces — the ``_tokens`` convention),
+    for every document, scrubbed or not.
+
+    Scale shape (the ``scrub_dup_lines`` skeleton at window
+    granularity): (1) window occurrences leave each batch as fixed-
+    width (doc_id, ws, g1, g2) rows — the 128-bit hash identifies the
+    window to ~2^-128, the oracle-exactness class; (2) per-window
+    distinct-doc counts via the two-level ``grouped_distinct_count``
+    (hot boilerplate windows spread over every bucket); (3) a SALTED
+    semi join flags occurrences of corpus-duplicated windows (the
+    removal set stays a Dataset, never a broadcast; hot windows split
+    across ``_SCRUB_SALTS`` doc-salt shards); (4) one doc-bucketed
+    re-stitch unions the flagged offsets with the doc text and rebuilds
+    survivors under a vectorized difference-array coverage mask.
+    """
+    from .analytics import grouped_distinct_count
+    from .dedup import _doc_key_dtype
+    from .shuffle import bucketed_groupby, salted_lookup_join
+
+    dt = _doc_key_dtype(docs)
+
+    def window_rows(b: pd.DataFrame) -> pd.DataFrame:
+        dv, ws, g1, g2 = _window_hash_rows(b["text"].tolist(), k)
+        return pd.DataFrame({
+            "doc_id": pd.Series(b["doc_id"].to_numpy()[dv], dtype=dt),
+            "ws": ws, "g1": g1, "g2": g2})
+
+    windows = docs.map_batches(window_rows, batch_format="pandas")
+
+    counts = grouped_distinct_count(
+        windows.map_batches(lambda b: b[["g1", "g2", "doc_id"]],
+                            batch_format="pandas"),
+        ["g1", "g2"], "doc_id", out_col="nd", num_buckets=num_buckets)
+    removal = counts.map_batches(
+        lambda d: d.loc[d["nd"] >= min_docs, ["g1", "g2"]],
+        batch_format="pandas")
+
+    flagged = salted_lookup_join(
+        windows, removal, on=["g1", "g2"], salt_col="doc_id",
+        left_schema={"doc_id": dt, "ws": "int64", "g1": "int64",
+                     "g2": "int64"},
+        right_schema={"g1": "int64", "g2": "int64"},
+        num_buckets=num_buckets, salts=_SCRUB_SALTS, how="semi",
+        post=lambda d: d[["doc_id", "ws"]])
+
+    # one union carries both streams into the doc-bucketed stitch:
+    # flagged offsets as ws >= 0, the doc text payload as a ws = -1 row
+    # (every document gets exactly one, so unscrubbed docs still emit)
+    def doc_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "ws": np.full(len(b), -1, dtype=np.int64),
+            "text": b["text"].fillna("").astype(object)})
+
+    def flag_rows(d: pd.DataFrame) -> pd.DataFrame:
+        out = d[["doc_id", "ws"]].copy()
+        out["text"] = pd.Series([""] * len(d), dtype=object)
+        return out
+
+    allrows = (flagged.map_batches(flag_rows, batch_format="pandas")
+               .union(docs.map_batches(doc_rows, batch_format="pandas")))
+
+    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, texts, n_tok, n_rm = [], [], [], []
+        for d, g in pdf.groupby("doc_id", sort=False):
+            payload = g.loc[g["ws"] < 0, "text"]
+            toks = np.asarray(
+                _tokens(payload.iloc[0] if len(payload) else ""),
+                dtype=object)
+            n = len(toks)
+            ws = g.loc[g["ws"] >= 0, "ws"].to_numpy(np.int64)
+            if n and len(ws):
+                cov = np.zeros(n + 1, dtype=np.int64)
+                np.add.at(cov, ws, 1)
+                np.add.at(cov, np.minimum(ws + k, n), -1)
+                mask = np.cumsum(cov[:n]) > 0
+            else:
+                mask = np.zeros(n, dtype=bool)
+            ids.append(d)
+            texts.append(" ".join(toks[~mask]))
+            n_tok.append(n)
+            n_rm.append(int(mask.sum()))
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
+            "text": pd.Series(texts, dtype=object),
+            "n_tokens": np.asarray(n_tok, dtype=np.int64),
+            "n_removed": np.asarray(n_rm, dtype=np.int64)})
+
+    return bucketed_groupby(allrows, "doc_id", stitch, num_buckets)
+
+
+def scrub_dup_windows_sql(k: int = 8, min_docs: int = 2) -> str:
+    """DuckDB oracle mirroring ``scrub_dup_windows`` byte-for-byte
+    (windows as literal space-joined token strings where the pipeline
+    exchanges 128-bit hashes)."""
+    tok = "regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+')"
+    return f"""
+    WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+    w AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(toks) - {k} + 1, 0))) AS ws,
+             toks
+      FROM t),
+    wg AS (
+      SELECT doc_id, ws,
+             array_to_string(toks[ws + 1 : ws + {k}], ' ') AS gram
+      FROM w),
+    dup AS (
+      SELECT gram FROM wg GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= {min_docs}),
+    cov AS (
+      SELECT DISTINCT f.doc_id, f.ws + u.ti AS i
+      FROM (SELECT doc_id, ws FROM wg
+            WHERE gram IN (SELECT gram FROM dup)) f
+      CROSS JOIN (SELECT unnest(range(0, {k})) AS ti) u),
+    tokpos AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(range(0, len(toks))) AS i
+      FROM t),
+    kept AS (
+      SELECT tp.doc_id, tp.tok, tp.i
+      FROM tokpos tp LEFT JOIN cov c
+        ON tp.doc_id = c.doc_id AND tp.i = c.i
+      WHERE c.doc_id IS NULL),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, len(toks) AS n_tokens FROM t)
+    SELECT d.doc_id, COALESCE(a.text, '') AS text,
+           CAST(tot.n_tokens AS BIGINT) AS n_tokens,
+           CAST(tot.n_tokens - COALESCE(a.n_kept, 0) AS BIGINT)
+             AS n_removed
+    FROM documents d
+    JOIN tot USING (doc_id)
+    LEFT JOIN agg a USING (doc_id)"""
+
+
 # ------------------------------------- per-doc duplication fraction
 
 def dup_gram_fraction(docs, n: int = 8, num_buckets: int | None = None):

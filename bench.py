@@ -248,8 +248,10 @@ def run_bench() -> dict:
     from automatic_reference_extractor_ray.ops.analytics import (
         exact_sample, shuffle_rank)
     from automatic_reference_extractor_ray.ops.textstats import (
-        dup_gram_fraction, scrub_dup_lines)
+        dup_gram_fraction, scrub_dup_lines, scrub_dup_windows)
     timed("scrub_dup_lines", lambda: scrub_dup_lines(
+        read("documents", ["doc_id", "text"])).count())
+    timed("scrub_dup_windows", lambda: scrub_dup_windows(
         read("documents", ["doc_id", "text"])).count())
     timed("dup_gram_fraction", lambda: dup_gram_fraction(
         read("documents", ["doc_id", "text"])).count())

@@ -236,3 +236,77 @@ def test_doc_gram_hashes128_matches_string_grams():
         all_strings = set().union(*ref.values()) if ref else set()
         all_hashes = set(zip(g1.tolist(), g2.tolist()))
         assert len(all_hashes) == len(all_strings)
+
+
+def _local_window_scrub(df: pd.DataFrame, k: int, min_docs: int):
+    """Straight-line ExactSubstr reference: cover every token under a
+    k-window whose token tuple appears in >= min_docs distinct docs."""
+    from automatic_reference_extractor_ray.ops.textstats import _tokens
+    toks = {d: _tokens(t) for d, t in zip(df["doc_id"], df["text"])}
+    owner: dict[tuple, set] = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - k + 1):
+            owner.setdefault(tuple(ts[i:i + k]), set()).add(d)
+    out = {}
+    for d, ts in toks.items():
+        cov = [False] * len(ts)
+        for i in range(len(ts) - k + 1):
+            if len(owner[tuple(ts[i:i + k])]) >= min_docs:
+                cov[i:i + k] = [True] * k
+        out[d] = (" ".join(t for t, c in zip(ts, cov) if not c),
+                  len(ts), sum(cov))
+    return out
+
+
+def test_scrub_dup_windows_matches_local_reference(ray_session):
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.textstats import (
+        scrub_dup_windows)
+
+    for seed in (1, 7, 23):
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i}" for i in range(20)]
+        shared = " ".join(rng.choice(vocab, 9))     # > k shared run
+        texts = []
+        for i in range(40):
+            body = " ".join(rng.choice(vocab, int(rng.integers(0, 30))))
+            if i % 3 == 0:
+                body = f"{body} {shared} tail{i}"
+            texts.append(body if i % 11 else None)
+        df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                           "text": texts})
+        exp = _local_window_scrub(df, 6, 2)
+        ds = rd.from_pandas(df).repartition(int(rng.integers(1, 6)))
+        got = scrub_dup_windows(ds, k=6, min_docs=2).to_pandas()
+        assert len(got) == len(df), seed
+        for r in got.itertuples():
+            assert (r.text, r.n_tokens, r.n_removed) == exp[r.doc_id], (
+                seed, r.doc_id)
+
+
+def test_scrub_dup_windows_edges(ray_session):
+    """Sub-k docs and empty corpora pass through; a mid-document
+    shared run is cut wherever it sits (no line alignment needed) and
+    the cut is exactly the union of its k-windows."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.textstats import (
+        scrub_dup_windows)
+
+    run = "a b c d e f"                            # 6 shared tokens
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype="int64"),
+        "text": [f"left1 {run} right1", f"left2 left2b {run} right2",
+                 "tiny"],
+    })
+    got = (scrub_dup_windows(rd.from_pandas(df), k=4, min_docs=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["text"].tolist() == ["left1 right1",
+                                    "left2 left2b right2", "tiny"]
+    assert got["n_removed"].tolist() == [6, 6, 0]
+
+    empty = rd.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "text": pd.Series([], dtype=object)}))
+    assert scrub_dup_windows(empty).count() == 0
