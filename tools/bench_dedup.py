@@ -113,6 +113,12 @@ def main() -> None:
     timed("dedup_simhash", lambda: simhash_pairs(docs).count())
     timed("dedup_emb_lsh", lambda: embedding_dup_pairs_lsh(embs).count())
     timed("decontaminate_bloom", lambda: decontaminate_bloom(docs).count())
+    from automatic_reference_extractor_ray.ops.textstats import (
+        scrub_dup_windows)
+    # every replica shares replica 0's full text, so each base doc's
+    # entire k-window set is corpus-duplicated — the intended worst
+    # case: removal volume scales with repeat
+    timed("scrub_dup_windows", lambda: scrub_dup_windows(docs).count())
 
     print(json.dumps({"metric": "dedup_family_sec", "unit": "sec",
                       "sf": SF_DIR, "num_cpus": NUM_CPUS,
