@@ -188,6 +188,27 @@ _T24 = re.compile(
     r"In (?P<eds>[^,]+?) \(Eds?\.\), (?P<book>.+?) "
     r"\(pp\. (?P<p1>\d+)-(?P<p2>\d+)\)\. (?P<publisher>[^,.]+)\.$")
 
+# T26 Chicago bibliography article: 'Miller, Anne. "Title." Journal
+# Name 12, no. 3 (1999): 45-67.' — fully-spelled inverted name
+# (stays ONE author), quoted title with its period INSIDE the quotes
+# (both drop), "no." issue marker, parenthesized year after the
+# volume, colon pages.  Single-author form only: the multi-author
+# Chicago list ("Miller, Anne, and Ben Schmidt") is surface-ambiguous
+# with the bare-surname comma list and degrades to the fallback.
+_T26 = re.compile(
+    r"^(?P<auth>.+?)\. \"(?P<title>[^\"]+)\.\" (?P<journal>[^,]+?) "
+    r"(?P<vol>\d+), no\. (?P<iss>\d+) \((?P<year>(?:19|20)\d{2})\): "
+    r"(?P<p1>\d+)-(?P<p2>\d+)\.$")
+
+# T27 Chicago bibliography book: "Miller, Anne. Title. Boston: MIT
+# Press, 1999." — the "City: Publisher, year." imprint (pubPlace
+# BEFORE publisher, year last).  The place may not carry digits and
+# the check runs AFTER T3, so the surname-style "Journal Name
+# 12:45-67, 1999." tail can never read as an imprint.
+_T27 = re.compile(
+    r"^(?P<auth>.+?)\. (?P<title>[^.]+)\. (?P<loc>[^:,.\d]+): "
+    r"(?P<publisher>[^,]+), (?P<year>(?:19|20)\d{2})\.$")
+
 _YEAR_RE = re.compile(r"\b(19|20)\d{2}\b")
 # full when-style year-month value (a T10 date piece in a <cite> twin)
 _YM_RE = re.compile(r"\b(?:19|20)\d{2}-(?:0[1-9]|1[0-2])\b")
@@ -425,6 +446,21 @@ def _match_templates(s: str) -> tuple[dict[str, object], str]:
                  journal=m["journal"], date=m["year"], volume=m["vol"],
                  pages=f"{m['p1']}-{m['p2']}")
         return f, "T3"
+    m = _T26.match(s)
+    if m:
+        # Chicago article: the quoted title loses quotes AND its
+        # in-quote period; "Miller, Anne" stays one inverted name
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 journal=m["journal"], date=m["year"], volume=m["vol"],
+                 issue=m["iss"], pages=f"{m['p1']}-{m['p2']}")
+        return f, "T26"
+    m = _T27.match(s)
+    if m:
+        # Chicago book: "City: Publisher, year." imprint
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 date=m["year"], publisher=m["publisher"],
+                 location=m["loc"])
+        return f, "T27"
     m = _T13.match(s)
     if m:
         # monograph without imprint: title level m fallback

@@ -2,7 +2,7 @@
 fields (FIXTURES.md: "templated citations … so the field tokenizer has
 deterministic ground truth").
 
-Twenty-six template shapes (T1-T25 below), matching the shapes
+Twenty-eight template shapes (T1-T27 below), matching the shapes
 ``functions.fields.parse_fields`` recognizes exactly; the generator
 returns both the raw string and the expected BibStructured field dict,
 so field extraction has an analytic oracle that never calls the parser.
@@ -39,6 +39,10 @@ CONF_TOPICS = ["Document Analysis", "Web Search", "Data Engineering",
 ORGS = ["World Health Organization", "National Archives Council",
         "International Records Institute", "Federal Statistics Bureau",
         "European Documentation Centre"]
+# fully-spelled forenames for the Chicago inverted-name shapes
+# (T26/T27): "Miller, Anne" — dotless, must stay ONE author
+FORENAMES = ["Anne", "Ben", "Chika", "Dana", "Emil", "Farah",
+             "Grete", "Hiro"]
 BODY_WORDS = ["the", "proposed", "approach", "combines", "structural",
               "features", "and", "lexical", "cues", "to", "identify",
               "reference", "regions", "within", "noisy", "page", "text",
@@ -143,8 +147,15 @@ def gen_citation(rng: np.random.Generator) -> Citation:
            forename/surname-only name join renders as ONE EMPTY
            author string (imgProcessing.py:816-846): ground truth
            is [""] — present but empty, unlike T5's absent editors
+      26   T26 Chicago bibliography article ('Miller, Anne. "Title."
+           Journal 12, no. 3 (1999): 45-67.') — fully-spelled
+           inverted single author, quoted title with its period
+           inside the quotes (both drop)
+      27   T27 Chicago bibliography book ("Miller, Anne. Title.
+           Boston: MIT Press, 1999.") — "City: Publisher, year."
+           imprint, pubPlace before publisher
     """
-    t = int(rng.integers(0, 26))
+    t = int(rng.integers(0, 28))
     year = str(int(rng.integers(1970, 2024)))
     title = _title(rng)
     f = dict(EMPTY_FIELDS)
@@ -372,14 +383,29 @@ def gen_citation(rng: np.random.Generator) -> Citation:
         raw = (f"{authors[0]} ({year}). {title}. In {editor} (Ed.), "
                f"{book} (pp. {p1}-{p2}). {publisher}.")
         f.update(authors=authors, publisher=publisher, pages=f"{p1}-{p2}")
-    else:  # T25 organizational author — the orgName author joins to
-        # ONE EMPTY name string (imgProcessing.py:816-846 reads
-        # forename/surname children only)
+    elif t == 25:  # T25 organizational author — the orgName author
+        # joins to ONE EMPTY name string (imgProcessing.py:816-846
+        # reads forename/surname children only)
         org = _pick(rng, ORGS)
         publisher = _pick(rng, PUBLISHERS)
         city = _pick(rng, CITIES)
         raw = f"{org}. ({year}). {title}. {publisher}, {city}."
         f.update(authors=[""], publisher=publisher, location=city)
+    elif t == 26:  # T26 Chicago article — inverted full name stays
+        # ONE author; quoted title drops quotes + in-quote period
+        authors = [f"{_pick(rng, SURNAMES)}, {_pick(rng, FORENAMES)}"]
+        journal, vol, iss, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f'{authors[0]}. "{title}." {journal} {vol}, '
+               f"no. {iss} ({year}): {p1}-{p2}.")
+        f.update(authors=authors, journal=journal, volume=vol, issue=iss,
+                 pages=f"{p1}-{p2}")
+    else:  # T27 Chicago book — "City: Publisher, year." imprint
+        authors = [f"{_pick(rng, SURNAMES)}, {_pick(rng, FORENAMES)}"]
+        publisher = _pick(rng, PUBLISHERS)
+        city = _pick(rng, CITIES)
+        raw = f"{authors[0]}. {title}. {city}: {publisher}, {year}."
+        f.update(authors=authors, publisher=publisher, location=city)
     return Citation(raw=raw, fields=f)
 
 

@@ -328,3 +328,38 @@ def test_org_author_maps_to_one_empty_name():
         _split_authors)
     assert _split_authors("Miller and Schmidt") == ["Miller", "Schmidt"]
     assert _split_authors("Anne Miller") == ["Anne Miller"]
+
+
+def test_chicago_article():
+    # T26: fully-spelled inverted name stays ONE author; the quoted
+    # title drops its quotes AND the in-quote period
+    from automatic_reference_extractor_ray.functions.fields import (
+        parse_fields_ex)
+    f, shape = parse_fields_ex(
+        'Miller, Anne. "Adaptive spectral methods." Journal of '
+        "Document Analysis 12, no. 3 (1999): 45-67.")
+    assert shape == "T26"
+    assert f["authors"] == ["Miller, Anne"]
+    assert f["title"] == "Adaptive spectral methods"
+    assert f["journal"] == "Journal of Document Analysis"
+    assert f["date"] == "1999" and f["volume"] == "12"
+    assert f["issue"] == "3" and f["pages"] == "45-67"
+
+
+def test_chicago_book():
+    # T27: "City: Publisher, year." imprint — pubPlace before
+    # publisher; must NOT shadow the surname-style T3 (whose
+    # "Journal 12:45-67, 1999." tail also carries a colon)
+    from automatic_reference_extractor_ray.functions.fields import (
+        parse_fields_ex)
+    f, shape = parse_fields_ex(
+        "Miller, Anne. Adaptive spectral methods. Boston: "
+        "MIT Press, 1999.")
+    assert shape == "T27"
+    assert f["authors"] == ["Miller, Anne"]
+    assert f["publisher"] == "MIT Press" and f["location"] == "Boston"
+    assert f["date"] == "1999"
+    f, shape = parse_fields_ex(
+        "Miller and Schmidt. Sparse graph inference. Journal of "
+        "Document Analysis 12:45-67, 1999.")
+    assert shape == "T3" and f["volume"] == "12"
