@@ -293,13 +293,32 @@ def run_scaling() -> dict:
     repeat = os.environ.get("ARX_BENCH_REPEAT", "24")
     samples = int(os.environ.get("ARX_BENCH_SAMPLES", "1"))
 
+    def read_steal():
+        """(steal ticks, total ticks) from the host's aggregate cpu
+        line — hypervisor steal is the one throttle source the load
+        average can NOT see, and it's what makes wide legs swing on
+        this class of host (measured 9.3% steal during a 32-CPU leg
+        that ran 59.8 s vs 39-48 s in a clean window)."""
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            vals = [int(x) for x in parts[1:11]]
+            return vals[7], sum(vals)
+        except (OSError, ValueError, IndexError):
+            return 0, 0
+
     def run(ncpu: int) -> dict:
+        st0, tot0 = read_steal()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    ARX_BENCH_REPEAT=repeat, ARX_BENCH_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        leg = json.loads(out.strip().splitlines()[-1])
+        st1, tot1 = read_steal()
+        leg["steal_frac"] = (round((st1 - st0) / max(tot1 - tot0, 1), 4)
+                            if tot1 > tot0 else None)
+        return leg
 
     lo, hi = 8, 32
     protocol = "--protocol" in sys.argv
@@ -346,6 +365,8 @@ def run_scaling() -> dict:
             "samples": samples,
             "legs_8": [r["value"] for r in runs_lo],
             "legs_32": [r["value"] for r in runs_hi],
+            "steal_8": [r.get("steal_frac") for r in runs_lo],
+            "steal_32": [r.get("steal_frac") for r in runs_hi],
             "loads_at_leg_start": loads,
             "sec_8": med_lo, "sec_32": med_hi,
             "pair_effs": [round((a["value"] / b["value"]) / (hi / lo), 3)
@@ -371,6 +392,8 @@ def run_scaling() -> dict:
         # of silently folded into the best-of
         "legs_8": [r["value"] for r in runs_lo],
         "legs_32": [r["value"] for r in runs_hi],
+        "steal_8": [r.get("steal_frac") for r in runs_lo],
+        "steal_32": [r.get("steal_frac") for r in runs_hi],
         "sec_8": r_lo["value"], "sec_32": r_hi["value"],
         "docs_per_sec_8": r_lo["docs_per_sec"],
         "docs_per_sec_32": r_hi["docs_per_sec"],
