@@ -363,3 +363,29 @@ def test_chicago_book():
         "Miller and Schmidt. Sparse graph inference. Journal of "
         "Document Analysis 12:45-67, 1999.")
     assert shape == "T3" and f["volume"] == "12"
+
+
+def test_adversarial_strings_never_mismatch_a_template():
+    # Wrong-template matches are worse than fallback: strings NEAR a
+    # template shape but semantically outside it must degrade to the
+    # year/sentence fallback (or hit the genuinely-correct template),
+    # never bind fields from the wrong grammar.
+    from automatic_reference_extractor_ray.functions.fields import (
+        parse_fields_ex)
+    falls = [
+        # abbreviation period inside the title breaks T1's title atom
+        "Smith, J. (2020). Title with Abbrev. Inside. Journal, 3(2), 1-5.",
+        # lowercase initials are not Vancouver author tokens
+        "miller a, schmidt b. Title. Journal. 1999;12(3):45-67.",
+        # IEEE shape without the trailing year
+        'A. Miller, "Title," Journal, vol. 12, no. 3, pp. 45-67.',
+        # digits in the place forbid the Chicago-book imprint
+        "Miller, Anne. Title. Sector 7: MIT Press, 1999.",
+    ]
+    for s in falls:
+        assert parse_fields_ex(s)[1] == "fallback", s
+    # an org suffix word elsewhere in a person head must not trip the
+    # org branch (comma present -> person): normal T2, author kept
+    f, shape = parse_fields_ex(
+        "Institute Miller, A. (2001). Title. Springer, Berlin.")
+    assert shape == "T2" and f["authors"] == ["Institute Miller, A."]
