@@ -58,6 +58,12 @@ def _tfidf_sql() -> str:
     return tfidf_sql(k=5)
 
 
+def _postings_sql() -> str:
+    from automatic_reference_extractor_ray.ops.postings import (
+        build_postings_sql)
+    return build_postings_sql(k=16, min_df=1)
+
+
 def _repetition_sql() -> str:
     from automatic_reference_extractor_ray.ops.textstats import REPETITION_SQL
     return REPETITION_SQL
@@ -325,6 +331,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             quality_filter)
         return _docs_table(sf).map_batches(quality_filter,
                                            batch_format="pyarrow")
+
+    def build_postings_q(sf):
+        from automatic_reference_extractor_ray.ops.postings import (
+            build_postings)
+        return build_postings(_docs_table(sf), k=16, min_df=1)
+
+    def lm_score_q(sf):
+        # self-fit bigram LM (stupid backoff) then score every doc;
+        # approximate-by-design (float scores) -> rows-only oracle,
+        # pinned instead by tests/test_postings_lm.py against an
+        # independent pure-Python scorer
+        from automatic_reference_extractor_ray.ops.lm import (
+            fit_bigram_lm, lm_score)
+        model = fit_bigram_lm(_docs_table(sf))
+        return lm_score(_docs_table(sf), model)
 
     # ---- dedup family ----
     def dedup_exact_q(sf):
@@ -671,6 +692,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Union target: CORRECTNESS_r04 + r03 covers all 77, every entry
     # ≤ 1 round stale.
     return {
+        # -- NEW this round (never driver-checked) --
+        "build_postings": build_postings_q,
+        "lm_score": lm_score_q,
         # -- driver-checked last in r2; round-4 rotation puts them
         #    inside the cap (top_customers also changed this round) --
         "top_customers": top_customers_q,
@@ -1224,6 +1248,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(),
         "curate_corpus": _curate_sql(),
         "tfidf_terms": _tfidf_sql(),
+        "build_postings": _postings_sql(),
         "customers_without_events": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e

@@ -64,6 +64,7 @@ _EXPORTS = {
     "normalize_text": "ops.textstats",
     "scrub_text": "ops.textstats",
     "scrub_dup_lines": "ops.textstats",
+    "scrub_dup_windows": "ops.textstats",
     "duplicated_passages": "ops.textstats",
     "dup_gram_fraction": "ops.textstats",
     "decontaminate": "ops.textstats",
@@ -71,6 +72,10 @@ _EXPORTS = {
     "chunk_documents": "ops.textstats",
     "pack_sequences": "ops.textstats",
     "repetition_metrics": "ops.textstats",
+    # corpus index + LM scoring
+    "build_postings": "ops.postings",
+    "fit_bigram_lm": "ops.lm",
+    "lm_score": "ops.lm",
     # analytics / sampling
     "grouped_distinct_count": "ops.analytics",
     "grouped_quantiles": "ops.analytics",

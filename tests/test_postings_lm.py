@@ -1,0 +1,127 @@
+"""Inverted-index (build_postings) and bigram-LM scoring (lm_score)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _docs(rows):
+    import ray.data as rd
+    return rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+
+
+CORPUS = [
+    {"doc_id": 1, "text": "the cat sat on the mat"},
+    {"doc_id": 2, "text": "the dog sat on the log"},
+    {"doc_id": 3, "text": "cats and dogs and cats"},
+    {"doc_id": 4, "text": "THE CAT the cat the cat"},
+    {"doc_id": 5, "text": ""},
+    {"doc_id": 6, "text": None},
+    {"doc_id": 7, "text": "qzx"},
+]
+
+
+def test_build_postings_matches_duckdb(ray_session):
+    from automatic_reference_extractor_ray.ops.postings import (
+        build_postings, build_postings_sql)
+    mine = (build_postings(_docs(CORPUS), k=3, min_df=1)
+            .to_pandas().sort_values("token").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(CORPUS))
+    oracle = (con.execute(build_postings_sql(k=3, min_df=1)).fetchdf()
+              .sort_values("token").reset_index(drop=True))
+    assert list(mine["token"]) == list(oracle["token"])
+    assert list(mine["df"].astype(int)) == list(oracle["df"].astype(int))
+    assert list(mine["postings"]) == list(oracle["postings"])
+    # spot-pin the semantics: df is DISTINCT docs (doc 4 counts once
+    # for "the"/"cat"), postings are the k smallest ids ascending
+    row = mine[mine["token"] == "the"].iloc[0]
+    assert row["df"] == 3 and row["postings"] == "1,2,4"
+    row = mine[mine["token"] == "cats"].iloc[0]
+    assert row["df"] == 1 and row["postings"] == "3"
+
+
+def test_build_postings_min_df_and_cap(ray_session):
+    from automatic_reference_extractor_ray.ops.postings import build_postings
+    out = build_postings(_docs(CORPUS), k=2, min_df=2).to_pandas()
+    assert (out["df"] >= 2).all()
+    assert all(len(p.split(",")) <= 2 for p in out["postings"])
+    # hot token capped to the 2 SMALLEST ids
+    assert out.set_index("token").loc["the", "postings"] == "1,2"
+
+
+def test_build_postings_bucket_invariant(ray_session):
+    from automatic_reference_extractor_ray.ops.postings import build_postings
+    a = (build_postings(_docs(CORPUS), k=4, num_buckets=2)
+         .to_pandas().sort_values("token").reset_index(drop=True))
+    b = (build_postings(_docs(CORPUS), k=4, num_buckets=37)
+         .to_pandas().sort_values("token").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+# --------------------------------------------------------------- LM
+
+LM_CORPUS = [
+    {"doc_id": i, "text": "the quick brown fox jumps over the lazy dog "
+                          "and the quick brown fox runs"}
+    for i in range(1, 9)
+] + [
+    {"doc_id": 9, "text": "zzq wvk jjx qqp mmz"},          # gibberish
+    {"doc_id": 10, "text": "the quick brown fox"},          # fluent
+    {"doc_id": 11, "text": "fox the over dog quick"},       # scrambled
+    {"doc_id": 12, "text": "single"},                       # no bigram
+    {"doc_id": 13, "text": ""},
+]
+
+
+def test_lm_score_matches_pure_python_reference(ray_session):
+    from automatic_reference_extractor_ray.ops.lm import (
+        fit_bigram_lm, lm_score, lm_score_reference)
+    ds = _docs(LM_CORPUS)
+    model = fit_bigram_lm(ds, vocab_size=64, max_bigrams=256)
+    got = (lm_score(_docs(LM_CORPUS), model).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pdf = pd.DataFrame(LM_CORPUS)
+    ref = lm_score_reference(list(pdf["text"]), list(pdf["doc_id"]), model)
+    assert list(got["n_bigrams"]) == list(ref["n_bigrams"])
+    np.testing.assert_allclose(got["logprob"], ref["logprob"],
+                               rtol=0, atol=1e-10)
+
+
+def test_lm_score_orders_fluent_above_gibberish(ray_session):
+    from automatic_reference_extractor_ray.ops.lm import lm_score
+    got = (lm_score(_docs(LM_CORPUS), None, vocab_size=64,
+                    max_bigrams=256)
+           .to_pandas().set_index("doc_id"))
+    fluent = got.loc[10, "logprob"]
+    scrambled = got.loc[11, "logprob"]
+    gibberish = got.loc[9, "logprob"]
+    assert fluent > scrambled > gibberish
+    # degenerate docs: no pairs -> 0 bigrams, 0.0 score
+    assert got.loc[12, "n_bigrams"] == 0 and got.loc[12, "logprob"] == 0.0
+    assert got.loc[13, "n_bigrams"] == 0 and got.loc[13, "logprob"] == 0.0
+
+
+def test_lm_fit_deterministic_and_bucket_invariant(ray_session):
+    from automatic_reference_extractor_ray.ops.lm import fit_bigram_lm
+    a = fit_bigram_lm(_docs(LM_CORPUS), vocab_size=8, max_bigrams=16,
+                      num_buckets=2)
+    b = fit_bigram_lm(_docs(LM_CORPUS), vocab_size=8, max_bigrams=16,
+                      num_buckets=41)
+    assert list(a["vocab"]) == list(b["vocab"])
+    assert list(a["uni"]) == list(b["uni"])
+    assert a["total"] == b["total"]
+    assert list(a["bi_keys"]) == list(b["bi_keys"])
+    assert list(a["bi_counts"]) == list(b["bi_counts"])
+    # caps hold
+    assert len(a["vocab"]) <= 8 and len(a["bi_keys"]) <= 16
+
+
+def test_lm_fit_sample_frac_subsets_counts(ray_session):
+    from automatic_reference_extractor_ray.ops.lm import fit_bigram_lm
+    full = fit_bigram_lm(_docs(LM_CORPUS), vocab_size=64, max_bigrams=256)
+    half = fit_bigram_lm(_docs(LM_CORPUS), vocab_size=64, max_bigrams=256,
+                         sample_frac=0.5)
+    assert 0 < half["total"] < full["total"]
+    assert set(half["vocab"]) <= set(full["vocab"])
