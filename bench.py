@@ -259,6 +259,14 @@ def run_bench() -> dict:
         read("documents", ["doc_id"]), "doc_id", n=500).count())
     timed("shuffle_rank", lambda: shuffle_rank(
         read("documents", ["doc_id"]), "doc_id").count())
+    from automatic_reference_extractor_ray.ops.lm import (
+        fit_bigram_lm, lm_score)
+    from automatic_reference_extractor_ray.ops.postings import build_postings
+    timed("build_postings", lambda: build_postings(
+        read("documents", ["doc_id", "text"])).count())
+    timed("lm_score", lambda: lm_score(
+        read("documents", ["doc_id", "text"]),
+        fit_bigram_lm(read("documents", ["doc_id", "text"]))).count())
 
     result = {
         "metric": "e2e_extract_sec",
