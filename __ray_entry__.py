@@ -750,9 +750,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": tfidf_q,
         "approx_quantiles": approx_quantiles_q,
         "customers_without_events": customers_without_events_q,
+        # ---- driver cap (~50) usually lands here (the two NEW
+        #      round-4 queries at the head shift it two entries up;
+        #      everything below was green in r3 or r2+r3) ----
         "repetition_metrics": repetition_q,
         "sample_per_lang": sample_per_lang_q,
-        # ---- driver cap (~50) usually lands here ----
         "scrub_text": scrub_text_q,
         "chunk_docs": chunk_docs_q,
         "pack_sequences": pack_sequences_q,

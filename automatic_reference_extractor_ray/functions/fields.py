@@ -40,8 +40,15 @@ pp. 45-67, 1999.'), APA edited-book chapters ("In E. Editor (Ed.),
 Book (pp. 45-67). Publisher." — book title level m drops), and
 organizational authors ("World Health Organization. (2020). …" —
 the forename/surname-only name join renders an orgName author as
-ONE EMPTY <author> string, imgProcessing.py:816-846).  Anything
-else degrades to year/sentence heuristics.
+ONE EMPTY <author> string, imgProcessing.py:816-846), Harvard
+("(1999) 'Title', … pp. 45-67." — periodless year paren,
+single-quoted title), theses ("PhD thesis, University of X." — the
+degree note and institution live outside the imprint and drop),
+arXiv preprints (the identifier is <idno>, stripped like a DOI
+tail), MLA articles ('"Title." Journal, vol. 12, no. 3, 1999,
+pp. 45-67.'), and edition/report parenthetical books ("Title
+(2nd ed.)." — TEI <edition>, never read, drops).  Anything else
+degrades to year/sentence heuristics.
 """
 
 from __future__ import annotations
@@ -188,6 +195,49 @@ _T24 = re.compile(
     r"In (?P<eds>[^,]+?) \(Eds?\.\), (?P<book>.+?) "
     r"\(pp\. (?P<p1>\d+)-(?P<p2>\d+)\)\. (?P<publisher>[^,.]+)\.$")
 
+# T28 Harvard: "Miller, A. (1999) 'Title', Journal, 12(3), pp. 45-67."
+# — the year paren carries NO trailing period and the title is
+# single-quoted (quotes are surface decoration); mapped fields are
+# T1's.  The periodless year keeps it out of every _YEAR-based
+# template, so ordering is free.
+_T28 = re.compile(
+    r"^(?P<auth>.+?) \((?P<year>(?:19|20)\d{2})\) '(?P<title>[^']+)', "
+    r"(?P<journal>[^,.]+), (?P<vol>\d+)\((?P<iss>\d+)\), "
+    r"pp\. (?P<p1>\d+)-(?P<p2>\d+)\.$")
+
+# T29 thesis: "Last, A. (1999). Title. PhD thesis, University of X."
+# — Grobid renders the degree as a <note> and the awarding institution
+# OUTSIDE the imprint (no <publisher> child), and the reference mapper
+# reads imprint children only (imgProcessing.py:871-887), so the
+# whole thesis tail DROPS: mapped fields are T13's.  MUST be tried
+# before T2, whose lazy groups would read "PhD thesis" as a publisher
+# and the university as a location.
+_T29 = re.compile(
+    rf"^{_AUTH} {_YEAR}{_TITLE}(?:PhD|Master's) thesis, "
+    r"(?P<inst>[^.]+)\.$")
+
+# T31 MLA article: 'Miller, Anne. "Title." Journal, vol. 12, no. 3,
+# 1999, pp. 45-67.' — inverted full-name single author (stays ONE
+# author, the T26 rule), quoted title with its period INSIDE the
+# quotes (both drop), vol./no. markers in a comma-separated run, the
+# year mid-list.
+_T31 = re.compile(
+    r"^(?P<auth>.+?)\. \"(?P<title>[^\"]+)\.\" (?P<journal>[^,]+), "
+    r"vol\. (?P<vol>\d+), no\. (?P<iss>\d+), (?P<year>(?:19|20)\d{2}), "
+    r"pp\. (?P<p1>\d+)-(?P<p2>\d+)\.$")
+
+# T32 edition/report parenthetical book: "Last, A. (1999). Title
+# (2nd ed.). Publisher, City." / "... (Tech. Rep. No. 42). ..." —
+# the parenthetical is TEI <edition> (or a report <note>), neither of
+# which the mapper reads (imgProcessing.py:801-968), so it drops and
+# the rest maps as T2.  T2/T13 can never swallow these strings (their
+# [^.]+ title group rejects the period inside "ed.") so ordering is
+# free; kept next to T2 for readability.
+_T32 = re.compile(
+    rf"^{_AUTH} {_YEAR}(?P<title>[^.()]+) "
+    r"\((?:\d+(?:st|nd|rd|th) ed\.|Tech\. Rep\. No\. \d+)\)\. "
+    r"(?P<publisher>[^,.]+), (?P<loc>[^,.]+)\.$")
+
 # T26 Chicago bibliography article: 'Miller, Anne. "Title." Journal
 # Name 12, no. 3 (1999): 45-67.' — fully-spelled inverted name
 # (stays ONE author), quoted title with its period INSIDE the quotes
@@ -238,6 +288,13 @@ _DOI_TAIL_RE = re.compile(
 # the reference mapper — stripped the same way as a DOI tail
 _URL_TAIL_RE = re.compile(
     r"\s+(?:Retrieved from|Available at:?)\s+https?://\S+$", re.IGNORECASE)
+
+# trailing arXiv identifier ("arXiv preprint arXiv:1501.12345"):
+# Grobid maps it to <idno type="arXiv">, which the reference mapper
+# never reads — stripped like a DOI tail, typically leaving the T13
+# monograph shape
+_ARXIV_TAIL_RE = re.compile(
+    r"\s+arXiv preprint arXiv:\d{4}\.\d{4,5}(?:v\d+)?\.?$")
 
 # Organizational author ("World Health Organization. (2020). ...").
 # Grobid tags a corporate author as <author><orgName>…</orgName>
@@ -325,8 +382,9 @@ def parse_fields(raw: str) -> dict[str, object]:
 
 
 def parse_fields_ex(raw: str) -> tuple[dict[str, object], str]:
-    """``parse_fields`` plus the matched template shape ("T1".."T24",
-    "+doi"-suffixed when a trailing DOI was stripped, or "fallback")
+    """``parse_fields`` plus the matched template shape ("T1".."T32",
+    "+doi"/"+url"/"+arxiv"-suffixed when a trailing identifier was
+    stripped, or "fallback")
     — the fallback-path hit-rate counter lineage metrics
     report feeds on the second element (a rising fallback rate over a
     real corpus is the parser-coverage regression signal)."""
@@ -336,11 +394,14 @@ def parse_fields_ex(raw: str) -> tuple[dict[str, object], str]:
     # lineage metrics can still see the identifier-carrying share
     s, n_doi = _DOI_TAIL_RE.subn("", s)
     s, n_url = _URL_TAIL_RE.subn("", s)
+    s, n_arxiv = _ARXIV_TAIL_RE.subn("", s)
     f, shape = _match_templates(s)
     if n_doi:
         shape += "+doi"
     if n_url:
         shape += "+url"
+    if n_arxiv:
+        shape += "+arxiv"
     return f, shape
 
 
@@ -387,6 +448,14 @@ def _match_templates(s: str) -> tuple[dict[str, object], str]:
                  journal=m["journal"], date=_date_of(m), volume=m["vol"],
                  pages=f"{m['p1']}-{m['p2']}")
         return f, "T7"
+    m = _T28.match(s)
+    if m:
+        # Harvard: periodless year paren, single-quoted title (quotes
+        # drop) — mapped fields are T1's
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 journal=m["journal"], date=m["year"], volume=m["vol"],
+                 issue=m["iss"], pages=f"{m['p1']}-{m['p2']}")
+        return f, "T28"
     m = _T20.match(s)
     if m:
         # paper (level a) wins title; the proceedings name (level m)
@@ -434,6 +503,21 @@ def _match_templates(s: str) -> tuple[dict[str, object], str]:
         f.update(title=m["title"], date=_date_of(m),
                  publisher=m["publisher"], location=m["loc"])
         return f, "T5"
+    m = _T29.match(s)
+    if m:
+        # thesis: degree note + institution live outside the imprint,
+        # so only authors/title/date map (T13's field set)
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 date=_date_of(m))
+        return f, "T29"
+    m = _T32.match(s)
+    if m:
+        # edition/report parenthetical drops (<edition>/<note>, never
+        # read); the rest maps as T2
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 date=_date_of(m), publisher=m["publisher"],
+                 location=m["loc"])
+        return f, "T32"
     m = _T2.match(s)
     if m:
         f.update(authors=_split_authors(m["auth"]), title=m["title"],
@@ -454,6 +538,14 @@ def _match_templates(s: str) -> tuple[dict[str, object], str]:
                  journal=m["journal"], date=m["year"], volume=m["vol"],
                  issue=m["iss"], pages=f"{m['p1']}-{m['p2']}")
         return f, "T26"
+    m = _T31.match(s)
+    if m:
+        # MLA article: quoted title loses quotes and its in-quote
+        # period; vol./no. markers, mid-list year
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 journal=m["journal"], date=m["year"], volume=m["vol"],
+                 issue=m["iss"], pages=f"{m['p1']}-{m['p2']}")
+        return f, "T31"
     m = _T27.match(s)
     if m:
         # Chicago book: "City: Publisher, year." imprint

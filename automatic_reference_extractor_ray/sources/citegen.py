@@ -2,7 +2,7 @@
 fields (FIXTURES.md: "templated citations … so the field tokenizer has
 deterministic ground truth").
 
-Twenty-eight template shapes (T1-T27 below), matching the shapes
+Thirty-two template shapes (T1-T32 below), matching the shapes
 ``functions.fields.parse_fields`` recognizes exactly; the generator
 returns both the raw string and the expected BibStructured field dict,
 so field extraction has an analytic oracle that never calls the parser.
@@ -154,8 +154,27 @@ def gen_citation(rng: np.random.Generator) -> Citation:
       27   T27 Chicago bibliography book ("Miller, Anne. Title.
            Boston: MIT Press, 1999.") — "City: Publisher, year."
            imprint, pubPlace before publisher
+      28   T28 Harvard ("Miller, A. (1999) 'Title', Journal, 12(3),
+           pp. 45-67.") — year paren WITHOUT a trailing period,
+           single-quoted title (quotes drop); mapped fields are T1's
+      29   T29 thesis ("Miller, A. (1999). Title. PhD thesis,
+           University of X.") — Grobid notes the degree and puts the
+           awarding institution OUTSIDE the imprint (no <publisher>),
+           and the mapper reads imprint children only, so the whole
+           thesis tail DROPS: mapped fields are T13's
+      30   T30 arXiv preprint ("... Title. arXiv preprint
+           arXiv:1501.12345.") — the identifier is TEI <idno>, never
+           read by the mapper; stripped like a DOI tail, leaving T13
+      31   T31 MLA article ('Miller, Anne. "Title." Journal, vol. 12,
+           no. 3, 1999, pp. 45-67.') — inverted full-name single
+           author, quoted title with its period inside, vol./no.
+           markers in a comma run, year mid-list
+      32   T32 edition/report parenthetical book ("... Title
+           (2nd ed.). Publisher, City." or "... (Tech. Rep. No. 42).
+           ...") — TEI <edition>/<note>, which the mapper never
+           reads, so the parenthetical drops and the rest maps as T2
     """
-    t = int(rng.integers(0, 28))
+    t = int(rng.integers(0, 33))
     year = str(int(rng.integers(1970, 2024)))
     title = _title(rng)
     f = dict(EMPTY_FIELDS)
@@ -400,11 +419,58 @@ def gen_citation(rng: np.random.Generator) -> Citation:
                f"no. {iss} ({year}): {p1}-{p2}.")
         f.update(authors=authors, journal=journal, volume=vol, issue=iss,
                  pages=f"{p1}-{p2}")
-    else:  # T27 Chicago book — "City: Publisher, year." imprint
+    elif t == 27:  # T27 Chicago book — "City: Publisher, year." imprint
         authors = [f"{_pick(rng, SURNAMES)}, {_pick(rng, FORENAMES)}"]
         publisher = _pick(rng, PUBLISHERS)
         city = _pick(rng, CITIES)
         raw = f"{authors[0]}. {title}. {city}: {publisher}, {year}."
+        f.update(authors=authors, publisher=publisher, location=city)
+    elif t == 28:  # T28 Harvard — periodless year paren, single-quoted
+        # title; mapped fields are T1's (quotes drop)
+        authors = [_author(rng)]
+        journal, vol, iss, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f"{authors[0]} ({year}) '{title}', {journal}, "
+               f"{vol}({iss}), pp. {p1}-{p2}.")
+        f.update(authors=authors, journal=journal, volume=vol, issue=iss,
+                 pages=f"{p1}-{p2}")
+    elif t == 29:  # T29 thesis — the degree note and the awarding
+        # institution sit outside the imprint in Grobid's TEI, so the
+        # whole tail drops: mapped fields are T13's
+        authors = [_author(rng)]
+        degree = "PhD" if int(rng.integers(0, 2)) else "Master's"
+        inst = f"University of {_pick(rng, CITIES)}"
+        raw = f"{authors[0]} ({year}). {title}. {degree} thesis, {inst}."
+        f.update(authors=authors)
+    elif t == 30:  # T30 arXiv preprint — <idno>, stripped like a DOI
+        authors = [_author(rng)]
+        aid = (f"arXiv:{int(rng.integers(1000, 2400))}."
+               f"{int(rng.integers(10000, 100000))}")
+        raw = f"{authors[0]} ({year}). {title}. arXiv preprint {aid}."
+        f.update(authors=authors)
+    elif t == 31:  # T31 MLA article — inverted full-name author,
+        # quoted title (period inside), vol./no. comma run, year
+        # mid-list
+        authors = [f"{_pick(rng, SURNAMES)}, {_pick(rng, FORENAMES)}"]
+        journal, vol, iss, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f'{authors[0]}. "{title}." {journal}, vol. {vol}, '
+               f"no. {iss}, {year}, pp. {p1}-{p2}.")
+        f.update(authors=authors, journal=journal, volume=vol, issue=iss,
+                 pages=f"{p1}-{p2}")
+    else:  # T32 edition/report parenthetical book — the parenthetical
+        # is TEI <edition>/<note>, never read by the mapper: it drops
+        authors = [_author(rng)]
+        publisher = _pick(rng, PUBLISHERS)
+        city = _pick(rng, CITIES)
+        if int(rng.integers(0, 2)):
+            n = int(rng.integers(2, 6))
+            suffix = {2: "nd", 3: "rd"}.get(n, "th")
+            par = f"{n}{suffix} ed."
+        else:
+            par = f"Tech. Rep. No. {int(rng.integers(1, 200))}"
+        raw = (f"{authors[0]} ({year}). {title} ({par}). "
+               f"{publisher}, {city}.")
         f.update(authors=authors, publisher=publisher, location=city)
     return Citation(raw=raw, fields=f)
 

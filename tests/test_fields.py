@@ -389,3 +389,77 @@ def test_adversarial_strings_never_mismatch_a_template():
     f, shape = parse_fields_ex(
         "Institute Miller, A. (2001). Title. Springer, Berlin.")
     assert shape == "T2" and f["authors"] == ["Institute Miller, A."]
+
+
+def test_t28_harvard():
+    from automatic_reference_extractor_ray.functions.fields import (
+        parse_fields_ex)
+    f, shape = parse_fields_ex(
+        "Miller, A. (1999) 'Adaptive spectral methods', Journal of "
+        "Document Analysis, 12(3), pp. 45-67.")
+    assert shape == "T28"
+    assert f["authors"] == ["Miller, A."]
+    assert f["title"] == "Adaptive spectral methods"
+    assert f["journal"] == "Journal of Document Analysis"
+    assert f["date"] == "1999" and f["volume"] == "12"
+    assert f["issue"] == "3" and f["pages"] == "45-67"
+
+
+def test_t29_thesis_tail_drops():
+    from automatic_reference_extractor_ray.functions.fields import (
+        parse_fields_ex)
+    for degree in ("PhD", "Master's"):
+        f, shape = parse_fields_ex(
+            f"Miller, A. (1999). Adaptive spectral methods. {degree} "
+            "thesis, University of Oslo.")
+        assert shape == "T29", degree
+        assert f["authors"] == ["Miller, A."]
+        assert f["title"] == "Adaptive spectral methods"
+        assert f["date"] == "1999"
+        # institution/degree live outside the imprint: nothing maps
+        assert f["publisher"] == "" and f["location"] == ""
+
+
+def test_t30_arxiv_tail_stripped():
+    from automatic_reference_extractor_ray.functions.fields import (
+        parse_fields_ex)
+    f, shape = parse_fields_ex(
+        "Miller, A. (2015). Adaptive spectral methods. arXiv preprint "
+        "arXiv:1501.12345.")
+    assert shape == "T13+arxiv"
+    assert f["authors"] == ["Miller, A."]
+    assert f["title"] == "Adaptive spectral methods"
+    assert f["date"] == "2015"
+    # versioned ids strip the same way
+    f, shape = parse_fields_ex(
+        "Miller, A. (2015). Adaptive spectral methods. arXiv preprint "
+        "arXiv:1501.12345v2.")
+    assert shape == "T13+arxiv" and f["title"] == "Adaptive spectral methods"
+
+
+def test_t31_mla_article():
+    from automatic_reference_extractor_ray.functions.fields import (
+        parse_fields_ex)
+    f, shape = parse_fields_ex(
+        'Miller, Anne. "Adaptive spectral methods." Journal of '
+        "Document Analysis, vol. 12, no. 3, 1999, pp. 45-67.")
+    assert shape == "T31"
+    assert f["authors"] == ["Miller, Anne"]      # ONE inverted name
+    assert f["title"] == "Adaptive spectral methods"
+    assert f["journal"] == "Journal of Document Analysis"
+    assert f["date"] == "1999" and f["volume"] == "12"
+    assert f["issue"] == "3" and f["pages"] == "45-67"
+
+
+def test_t32_edition_and_report_parentheticals_drop():
+    from automatic_reference_extractor_ray.functions.fields import (
+        parse_fields_ex)
+    for par in ("2nd ed.", "5th ed.", "Tech. Rep. No. 42"):
+        f, shape = parse_fields_ex(
+            f"Miller, A. (1999). Adaptive spectral methods ({par}). "
+            "Springer, Berlin.")
+        assert shape == "T32", par
+        assert f["authors"] == ["Miller, A."]
+        assert f["title"] == "Adaptive spectral methods"
+        assert f["publisher"] == "Springer" and f["location"] == "Berlin"
+        assert f["date"] == "1999"
