@@ -71,10 +71,18 @@ def build_postings(docs, k: int = 16, min_df: int = 1,
         if min_df > 1:
             g = g[g["df"] >= min_df]
         # merge-and-cut: ids are disjoint across partials (one batch
-        # per doc), so a plain sort of the concatenation is the merge
-        g["postings"] = [
-            ",".join(str(x) for x in sorted(int(p) for p in s.split(","))[:k])
-            for s in g["postings"]]
+        # per doc), so a plain sort of the concatenation is the merge;
+        # all-digit ids sort numerically (matching an int64 ORDER BY),
+        # anything else lexically (matching a varchar ORDER BY)
+        def _cut(s: str) -> str:
+            ids = s.split(",")
+            try:
+                ids = sorted(ids, key=int)
+            except ValueError:
+                ids = sorted(ids)
+            return ",".join(ids[:k])
+
+        g["postings"] = [_cut(s) for s in g["postings"]]
         return g[["token", "df", "postings"]]
 
     return bucketed_groupby(partials, "token", bucket_merge, num_buckets)

@@ -125,3 +125,13 @@ def test_lm_fit_sample_frac_subsets_counts(ray_session):
                          sample_frac=0.5)
     assert 0 < half["total"] < full["total"]
     assert set(half["vocab"]) <= set(full["vocab"])
+
+
+def test_build_postings_string_doc_ids(ray_session):
+    from automatic_reference_extractor_ray.ops.postings import build_postings
+    rows = [{"doc_id": f"d{i:03d}", "text": t["text"]}
+            for i, t in enumerate(CORPUS)]
+    out = build_postings(_docs(rows), k=2).to_pandas().set_index("token")
+    # lexical order of the string ids, capped at 2
+    assert out.loc["the", "postings"] == "d000,d001"
+    assert out.loc["cats", "postings"] == "d002"
