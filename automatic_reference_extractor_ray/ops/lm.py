@@ -105,6 +105,9 @@ def fit_bigram_lm(docs, vocab_size: int = 4096, max_bigrams: int = 65536,
     cand = bucketed_groupby(
         docs.map_batches(uni_partial, batch_format="pandas"),
         "token", bucket_cut, num_buckets).to_pandas()
+    if cand.empty:                    # empty input -> column-less frame
+        cand = pd.DataFrame({"token": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64")})
     total = int(cand.loc[cand["token"] == _TOTAL_SENTINEL, "n"].sum())
     cand = cand[(cand["token"] != _TOTAL_SENTINEL)
                 & (cand["n"] >= min_count)]
@@ -144,6 +147,9 @@ def fit_bigram_lm(docs, vocab_size: int = 4096, max_bigrams: int = 65536,
     bi = bucketed_groupby(
         docs.map_batches(bi_partial, batch_format="pandas"),
         "key", bi_cut, num_buckets).to_pandas()
+    if bi.empty:   # an all-hapax / all-short-doc fit has NO bigrams
+        bi = pd.DataFrame({"key": pd.Series([], dtype="int64"),
+                           "n": pd.Series([], dtype="int64")})
     bi = bi.sort_values(["n", "key"],
                         ascending=[False, True]).head(max_bigrams)
     order = np.argsort(bi["key"].to_numpy(), kind="stable")
@@ -163,29 +169,26 @@ def _score_arrays(ids_flat: np.ndarray, lens: np.ndarray,
     # add-one unigram: OOV (-1) indexes a virtual zero-count slot
     p1 = np.concatenate([(uni + 1.0), [1.0]]) / (total + V + 1.0)
     n = len(ids_flat)
+    nb = len(model["bi_keys"])
     if n >= 2:
         i1, i2 = ids_flat[:-1], ids_flat[1:]
-        key = i1 * V + i2
-        pos = np.searchsorted(model["bi_keys"], key)
-        pos_c = np.minimum(pos, max(len(model["bi_keys"]) - 1, 0))
-        hit = ((i1 >= 0) & (i2 >= 0)
-               & (len(model["bi_keys"]) > 0)
-               & (model["bi_keys"][pos_c] == key))
-        logp = np.empty(n - 1, dtype=np.float64)
-        backoff = np.log10(model["alpha"]) + np.log10(p1[i2])
-        logp[:] = backoff
-        if hit.any():
-            logp[hit] = np.log10(model["bi_counts"][pos_c[hit]]
-                                 / uni[i1[hit]])
+        logp = np.log10(model["alpha"]) + np.log10(p1[i2])   # backoff
+        if nb:       # an all-hapax / all-short-doc fit has NO bigrams
+            key = i1 * V + i2
+            pos = np.searchsorted(model["bi_keys"], key)
+            pos_c = np.minimum(pos, nb - 1)
+            hit = ((i1 >= 0) & (i2 >= 0)
+                   & (model["bi_keys"][pos_c] == key))
+            if hit.any():
+                logp[hit] = np.log10(model["bi_counts"][pos_c[hit]]
+                                     / uni[i1[hit]])
     else:
         logp = np.zeros(0, dtype=np.float64)
-    # mask cross-document pairs, then per-doc range sums off a cumsum
+    # per-doc range sums off a cumsum; cross-document pair indices
+    # (off[d] - 1) fall strictly between doc d-1's range end and doc
+    # d's range start, so they are never included in any summed range
     off = np.concatenate([[0], np.cumsum(lens)])
-    mask = np.ones(max(n - 1, 0), dtype=bool)
-    for b in off[1:-1]:
-        if 0 < b <= n - 1:
-            mask[b - 1] = False
-    cs = np.concatenate([[0.0], np.cumsum(np.where(mask, logp, 0.0))])
+    cs = np.concatenate([[0.0], np.cumsum(logp)])
     # doc d's pairs occupy [off[d], off[d] + lens[d] - 1) in pair space
     P = max(n - 1, 0)
     npairs = np.maximum(lens - 1, 0).astype(np.int64)

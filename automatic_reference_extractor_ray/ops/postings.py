@@ -47,6 +47,12 @@ def build_postings(docs, k: int = 16, min_df: int = 1,
     """
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # the id ORDER must agree between this cut and the bucket
+        # merge (a min-k combiner is only associative under one fixed
+        # order): integer columns sort numerically, everything else
+        # lexically on the string form — carried to the merge as a
+        # constant flag so digit-STRING ids stay lexical end-to-end
+        numeric = pd.api.types.is_integer_dtype(b[id_col])
         tok2ids: dict[str, list] = {}
         for did, t in zip(b[id_col], b[text_col]):
             for tok in set(TOKEN_RE.findall((t or "").lower())):
@@ -54,32 +60,35 @@ def build_postings(docs, k: int = 16, min_df: int = 1,
         if not tok2ids:
             return pd.DataFrame({"token": pd.Series([], dtype=object),
                                  "df": pd.Series([], dtype="int64"),
-                                 "postings": pd.Series([], dtype=object)})
+                                 "postings": pd.Series([], dtype=object),
+                                 "numeric": pd.Series([], dtype=bool)})
         toks = list(tok2ids.keys())
         dfs = np.fromiter((len(v) for v in tok2ids.values()),
                           np.int64, len(tok2ids))
         posts = [",".join(str(x) for x in sorted(v)[:k])
+                 if numeric else
+                 ",".join(sorted(str(x) for x in v)[:k])
                  for v in tok2ids.values()]
-        return pd.DataFrame({"token": toks, "df": dfs, "postings": posts})
+        return pd.DataFrame({"token": toks, "df": dfs, "postings": posts,
+                             "numeric": numeric})
 
     partials = docs.map_batches(partial, batch_format="pandas")
 
     def bucket_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        numeric = bool(pdf["numeric"].iloc[0]) if len(pdf) else False
         g = (pdf.groupby("token", sort=False)
              .agg(df=("df", "sum"), postings=("postings", ",".join))
              .reset_index())
         if min_df > 1:
             g = g[g["df"] >= min_df]
         # merge-and-cut: ids are disjoint across partials (one batch
-        # per doc), so a plain sort of the concatenation is the merge;
-        # all-digit ids sort numerically (matching an int64 ORDER BY),
-        # anything else lexically (matching a varchar ORDER BY)
+        # per doc), so a plain sort of the concatenation is the merge
+        # — under the SAME order the partial cut used (the `numeric`
+        # flag): int ids numerically (int64 ORDER BY), string ids
+        # lexically (varchar ORDER BY), digit strings included
         def _cut(s: str) -> str:
             ids = s.split(",")
-            try:
-                ids = sorted(ids, key=int)
-            except ValueError:
-                ids = sorted(ids)
+            ids = sorted(ids, key=int) if numeric else sorted(ids)
             return ",".join(ids[:k])
 
         g["postings"] = [_cut(s) for s in g["postings"]]

@@ -135,3 +135,36 @@ def test_build_postings_string_doc_ids(ray_session):
     # lexical order of the string ids, capped at 2
     assert out.loc["the", "postings"] == "d000,d001"
     assert out.loc["cats", "postings"] == "d002"
+
+
+def test_build_postings_digit_string_ids_stay_lexical(ray_session):
+    # the min-k combiner must apply ONE order on both the partial cut
+    # and the bucket merge: digit-STRING ids are lexical end-to-end
+    # ("10" < "2"), matching a varchar ORDER BY, at ANY partitioning
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.postings import build_postings
+    rows = [{"doc_id": "2", "text": "zebra"},
+            {"doc_id": "10", "text": "zebra"}]
+    for parts in (1, 2):
+        ds = rd.from_pandas(pd.DataFrame(rows)).repartition(parts)
+        out = build_postings(ds, k=1).to_pandas().set_index("token")
+        assert out.loc["zebra", "postings"] == "10", parts
+
+
+def test_lm_score_with_empty_bigram_table(ray_session):
+    # an all-hapax corpus under the default min_count=2 fits a model
+    # with NO vocab and NO bigrams; scoring must fall back to the unk
+    # backoff for every pair instead of crashing
+    import math
+    from automatic_reference_extractor_ray.ops.lm import (
+        fit_bigram_lm, lm_score)
+    hapax = [{"doc_id": i, "text": f"tok{i}a tok{i}b tok{i}c"}
+             for i in range(6)]
+    model = fit_bigram_lm(_docs(hapax))
+    assert len(model["vocab"]) == 0 and len(model["bi_keys"]) == 0
+    got = (lm_score(_docs(hapax), model).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(got["n_bigrams"]) == [2] * 6
+    expect = math.log10(model["alpha"]) + math.log10(
+        1.0 / (model["total"] + 1.0))
+    np.testing.assert_allclose(got["logprob"], [expect] * 6, atol=1e-12)

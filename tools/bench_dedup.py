@@ -119,6 +119,16 @@ def main() -> None:
     # entire k-window set is corpus-duplicated — the intended worst
     # case: removal volume scales with repeat
     timed("scrub_dup_windows", lambda: scrub_dup_windows(docs).count())
+    from automatic_reference_extractor_ray.ops.lm import (
+        fit_bigram_lm, lm_score)
+    from automatic_reference_extractor_ray.ops.postings import build_postings
+    # the salt tokens are per-doc unique hapaxes: min_df=2 drops every
+    # one at the bucket, so index size stays the base vocabulary while
+    # partial-row volume scales with repeat (the scale stressor)
+    timed("build_postings", lambda: build_postings(
+        docs, min_df=2).count())
+    timed("lm_score", lambda: lm_score(
+        docs, fit_bigram_lm(docs)).count())
 
     print(json.dumps({"metric": "dedup_family_sec", "unit": "sec",
                       "sf": SF_DIR, "num_cpus": NUM_CPUS,
