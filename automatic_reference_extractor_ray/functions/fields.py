@@ -46,9 +46,14 @@ single-quoted title), theses ("PhD thesis, University of X." — the
 degree note and institution live outside the imprint and drop),
 arXiv preprints (the identifier is <idno>, stripped like a DOI
 tail), MLA articles ('"Title." Journal, vol. 12, no. 3, 1999,
-pp. 45-67.'), and edition/report parenthetical books ("Title
-(2nd ed.)." — TEI <edition>, never read, drops).  Anything else
-degrades to year/sentence heuristics.
+pp. 45-67.'), edition/report parenthetical books ("Title
+(2nd ed.)." — TEI <edition>, never read, drops), German journal
+articles ("Schmidt, A.; Meier, B.: Titel. In: Zeitschrift 12
+(1999), Nr. 3, S. 45-67." — the LOC-DB project's own bibliographic
+tradition), and Springer LNCS proceedings ("Author: Title. In:
+Proceedings of …, pp. 45-67. Springer, Berlin (1999)." — the
+proceedings name is level m and drops).  Anything else degrades to
+year/sentence heuristics.
 """
 
 from __future__ import annotations
@@ -238,6 +243,28 @@ _T32 = re.compile(
     r"\((?:\d+(?:st|nd|rd|th) ed\.|Tech\. Rep\. No\. \d+)\)\. "
     r"(?P<publisher>[^,.]+), (?P<loc>[^,.]+)\.$")
 
+# T33 German journal article: "Schmidt, A.; Meier, B.: Titel. In:
+# Zeitschrift 12 (1999), Nr. 3, S. 45-67." — the LOC-DB project's own
+# bibliographic tradition: colon after the author head, semicolon
+# author separators, "In:" journal marker, volume BEFORE the
+# parenthesized year, Nr./S. markers.  Same TEI field set as T1.
+_T33 = re.compile(
+    r"^(?P<auth>.+?): (?P<title>[^.]+)\. In: (?P<journal>[^\d(]+?) "
+    r"(?P<vol>\d+) \((?P<year>(?:19|20)\d{2})\), Nr\. (?P<iss>\d+), "
+    r"S\. (?P<p1>\d+)-(?P<p2>\d+)\.$")
+
+# T34 Springer LNCS: "Schmidt, A.: Title. In: Proceedings of the 5th
+# Conference on X, pp. 45-67. Springer, Berlin (1999)." — colon author
+# head, the proceedings name is the monogr's level-m title and DROPS
+# (the T9/T20 rule), publisher/pubPlace map, the year trails in
+# parens.  T33 requires the "Nr." run and T34 the "Proceedings of"
+# head, so the two colon-head shapes can never shadow each other.
+_T34 = re.compile(
+    r"^(?P<auth>.+?): (?P<title>[^.]+)\. In: Proceedings of "
+    r"(?P<conf>[^,]+), pp\. (?P<p1>\d+)-(?P<p2>\d+)\. "
+    r"(?P<publisher>[^,]+), (?P<loc>[^(]+?) "
+    r"\((?P<year>(?:19|20)\d{2})\)\.$")
+
 # T26 Chicago bibliography article: 'Miller, Anne. "Title." Journal
 # Name 12, no. 3 (1999): 45-67.' — fully-spelled inverted name
 # (stays ONE author), quoted title with its period INSIDE the quotes
@@ -337,9 +364,11 @@ def _split_authors(auth: str) -> list[str]:
             and org_words[-1] in _ORG_SUFFIXES
             and all(_ORG_WORD_RE.fullmatch(w) for w in org_words)):
         return [""]
-    # "&" is the APA rendering of the final "and" ("A., B., & C.")
+    # "&" is the APA rendering of the final "and" ("A., B., & C.");
+    # ";" is the German list separator ("Schmidt, A.; Meier, B.") —
+    # both become hard boundaries before the comma analysis
     in_and_list = bool(re.search(r",? (?:and|&) ", auth))
-    auth = re.sub(r",? (?:and|&) ", "\x00", auth)
+    auth = re.sub(r",? (?:and|&) |; ", "\x00", auth)
     parts: list[str] = []
     for chunk in _AUTH_SPLIT_RE.split(auth):
         for p in chunk.split("\x00"):
@@ -382,7 +411,7 @@ def parse_fields(raw: str) -> dict[str, object]:
 
 
 def parse_fields_ex(raw: str) -> tuple[dict[str, object], str]:
-    """``parse_fields`` plus the matched template shape ("T1".."T32",
+    """``parse_fields`` plus the matched template shape ("T1".."T34",
     "+doi"/"+url"/"+arxiv"-suffixed when a trailing identifier was
     stripped, or "fallback")
     — the fallback-path hit-rate counter lineage metrics
@@ -546,6 +575,21 @@ def _match_templates(s: str) -> tuple[dict[str, object], str]:
                  journal=m["journal"], date=m["year"], volume=m["vol"],
                  issue=m["iss"], pages=f"{m['p1']}-{m['p2']}")
         return f, "T31"
+    m = _T33.match(s)
+    if m:
+        # German article: colon author head, semicolon author list,
+        # vol before the parenthesized year, Nr./S. markers
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 journal=m["journal"], date=m["year"], volume=m["vol"],
+                 issue=m["iss"], pages=f"{m['p1']}-{m['p2']}")
+        return f, "T33"
+    m = _T34.match(s)
+    if m:
+        # LNCS: proceedings name (level m) drops; publisher/place map
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 date=m["year"], publisher=m["publisher"],
+                 location=m["loc"], pages=f"{m['p1']}-{m['p2']}")
+        return f, "T34"
     m = _T27.match(s)
     if m:
         # Chicago book: "City: Publisher, year." imprint

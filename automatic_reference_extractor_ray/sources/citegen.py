@@ -2,7 +2,7 @@
 fields (FIXTURES.md: "templated citations … so the field tokenizer has
 deterministic ground truth").
 
-Thirty-two template shapes (T1-T32 below), matching the shapes
+Thirty-four template shapes (T1-T34 below), matching the shapes
 ``functions.fields.parse_fields`` recognizes exactly; the generator
 returns both the raw string and the expected BibStructured field dict,
 so field extraction has an analytic oracle that never calls the parser.
@@ -173,8 +173,17 @@ def gen_citation(rng: np.random.Generator) -> Citation:
            (2nd ed.). Publisher, City." or "... (Tech. Rep. No. 42).
            ...") — TEI <edition>/<note>, which the mapper never
            reads, so the parenthetical drops and the rest maps as T2
+      33   T33 German journal article ("Schmidt, A.; Meier, B.:
+           Titel. In: Zeitschrift 12 (1999), Nr. 3, S. 45-67.") —
+           colon after the author head, semicolon author separators,
+           volume before the parenthesized year, Nr./S. markers
+           (the LOC-DB project's own bibliographic tradition)
+      34   T34 Springer LNCS ("Schmidt, A.: Title. In: Proceedings
+           of the 5th Conference on X, pp. 45-67. Springer, Berlin
+           (1999).") — proceedings name is level m and DROPS (the
+           T9/T20 rule); publisher/place map; year trails in parens
     """
-    t = int(rng.integers(0, 33))
+    t = int(rng.integers(0, 35))
     year = str(int(rng.integers(1970, 2024)))
     title = _title(rng)
     f = dict(EMPTY_FIELDS)
@@ -458,8 +467,8 @@ def gen_citation(rng: np.random.Generator) -> Citation:
                f"no. {iss}, {year}, pp. {p1}-{p2}.")
         f.update(authors=authors, journal=journal, volume=vol, issue=iss,
                  pages=f"{p1}-{p2}")
-    else:  # T32 edition/report parenthetical book — the parenthetical
-        # is TEI <edition>/<note>, never read by the mapper: it drops
+    elif t == 32:  # T32 edition/report parenthetical book — the
+        # parenthetical is TEI <edition>/<note>, never read: it drops
         authors = [_author(rng)]
         publisher = _pick(rng, PUBLISHERS)
         city = _pick(rng, CITIES)
@@ -472,6 +481,28 @@ def gen_citation(rng: np.random.Generator) -> Citation:
         raw = (f"{authors[0]} ({year}). {title} ({par}). "
                f"{publisher}, {city}.")
         f.update(authors=authors, publisher=publisher, location=city)
+    elif t == 33:  # T33 German journal article — colon author head,
+        # semicolon author list, "In:" journal, Nr./S. markers
+        authors = [_author(rng) for _ in range(int(rng.integers(1, 3)))]
+        journal, vol, iss, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f"{'; '.join(authors)}: {title}. In: {journal} {vol} "
+               f"({year}), Nr. {iss}, S. {p1}-{p2}.")
+        f.update(authors=authors, journal=journal, volume=vol, issue=iss,
+                 pages=f"{p1}-{p2}")
+    else:  # T34 Springer LNCS — proceedings title (level m) drops,
+        # publisher/place map, trailing parenthesized year
+        authors = [_author(rng)]
+        nth = int(rng.integers(4, 21))
+        conf = f"the {nth}th Conference on {_pick(rng, CONF_TOPICS)}"
+        publisher = _pick(rng, PUBLISHERS)
+        city = _pick(rng, CITIES)
+        p1 = int(rng.integers(1, 400))
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f"{authors[0]}: {title}. In: Proceedings of {conf}, "
+               f"pp. {p1}-{p2}. {publisher}, {city} ({year}).")
+        f.update(authors=authors, publisher=publisher, location=city,
+                 pages=f"{p1}-{p2}")
     return Citation(raw=raw, fields=f)
 
 

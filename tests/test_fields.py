@@ -463,3 +463,37 @@ def test_t32_edition_and_report_parentheticals_drop():
         assert f["title"] == "Adaptive spectral methods"
         assert f["publisher"] == "Springer" and f["location"] == "Berlin"
         assert f["date"] == "1999"
+
+
+def test_t33_german_article_semicolon_authors():
+    from automatic_reference_extractor_ray.functions.fields import (
+        parse_fields_ex)
+    f, shape = parse_fields_ex(
+        "Schmidt, A.; Meier, B.: Adaptive spectral methods. In: "
+        "Journal of Document Analysis 12 (1999), Nr. 3, S. 45-67.")
+    assert shape == "T33"
+    assert f["authors"] == ["Schmidt, A.", "Meier, B."]
+    assert f["title"] == "Adaptive spectral methods"
+    assert f["journal"] == "Journal of Document Analysis"
+    assert f["date"] == "1999" and f["volume"] == "12"
+    assert f["issue"] == "3" and f["pages"] == "45-67"
+    # single author too
+    f, shape = parse_fields_ex(
+        "Schmidt, A.: Adaptive spectral methods. In: Journal of "
+        "Document Analysis 12 (1999), Nr. 3, S. 45-67.")
+    assert shape == "T33" and f["authors"] == ["Schmidt, A."]
+
+
+def test_t34_lncs_proceedings_name_drops():
+    from automatic_reference_extractor_ray.functions.fields import (
+        parse_fields_ex)
+    f, shape = parse_fields_ex(
+        "Schmidt, A.: Adaptive spectral methods. In: Proceedings of "
+        "the 5th Conference on Document Analysis, pp. 45-67. "
+        "Springer, Berlin (1999).")
+    assert shape == "T34"
+    assert f["authors"] == ["Schmidt, A."]
+    assert f["title"] == "Adaptive spectral methods"
+    assert f["journal"] == ""              # level m drops
+    assert f["publisher"] == "Springer" and f["location"] == "Berlin"
+    assert f["date"] == "1999" and f["pages"] == "45-67"
