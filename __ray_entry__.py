@@ -431,6 +431,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from automatic_reference_extractor_ray.ops.ann import ivf_topk
         return ivf_topk(_read(sf, "embeddings", ["vec_id", "embedding"]), ANN_QUERY_IDS, k=10)
 
+    def ann_pq_q(sf):
+        # product-quantized ADC scoring — approximate by code
+        # granularity, rows-only oracle; recall pinned vs brute force
+        # in tests/test_ann.py
+        from automatic_reference_extractor_ray.ops.ann import pq_topk
+        return pq_topk(_read(sf, "embeddings", ["vec_id", "embedding"]),
+                       ANN_QUERY_IDS, k=10)
+
     # ---- relational primitives ----
     def q1_pricing_q(sf):
         from automatic_reference_extractor_ray.ops.relational import q1_pricing_summary
@@ -695,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- NEW this round (never driver-checked) --
         "build_postings": build_postings_q,
         "lm_score": lm_score_q,
+        "ann_pq": ann_pq_q,
         # -- driver-checked last in r2; round-4 rotation puts them
         #    inside the cap (top_customers also changed this round) --
         "top_customers": top_customers_q,

@@ -55,6 +55,7 @@ _EXPORTS = {
     "brute_force_topk": "ops.ann",
     "lsh_topk": "ops.ann",
     "ivf_topk": "ops.ann",
+    "pq_topk": "ops.ann",
     # text analysis / curation
     "token_counts": "ops.textstats",
     "quality_metrics": "ops.textstats",

@@ -242,6 +242,9 @@ def run_bench() -> dict:
         read("embeddings", ["vec_id", "embedding"])).count())
     timed("ann_topk", lambda: brute_force_topk(
         read("embeddings", ["vec_id", "embedding"]), [0, 1, 2, 3, 4, 5, 6, 7]).count())
+    from automatic_reference_extractor_ray.ops.ann import pq_topk
+    timed("ann_pq", lambda: pq_topk(
+        read("embeddings", ["vec_id", "embedding"]), [0, 1, 2, 3, 4, 5, 6, 7]).count())
     from automatic_reference_extractor_ray.ops.dedup import semantic_dedup
     timed("semantic_dedup", lambda: semantic_dedup(
         read("embeddings", ["vec_id", "embedding"]), k=8, n_iter=5).count())

@@ -60,3 +60,26 @@ def test_ivf_recall(emb_ds, brute):
     for qid in QIDS:
         g = approx[approx["query_id"] == qid].sort_values("rank")
         assert list(g["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_pq_recall_and_compression_dials(emb_ds, brute):
+    from automatic_reference_extractor_ray.ops.ann import pq_topk
+    approx = pq_topk(emb_ds, QIDS, k=10, m_sub=32, n_codes=64).to_pandas()
+    assert _recall(approx, brute) >= 0.6
+    # every query returns a full dense-ranked top-k
+    for qid in QIDS:
+        g = approx[approx["query_id"] == qid].sort_values("rank")
+        assert list(g["rank"]) == list(range(1, 11))
+    # coarser codes trade recall for memory, monotonically-ish: the
+    # 16x-compression default still clears the family floor
+    coarse = pq_topk(emb_ds, QIDS, k=10).to_pandas()
+    assert _recall(coarse, brute) >= 0.4
+
+
+def test_pq_deterministic(emb_ds):
+    from automatic_reference_extractor_ray.ops.ann import pq_topk
+    a = pq_topk(emb_ds, QIDS, k=5).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    b = pq_topk(emb_ds, QIDS, k=5).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
