@@ -168,3 +168,22 @@ def test_lm_score_with_empty_bigram_table(ray_session):
     expect = math.log10(model["alpha"]) + math.log10(
         1.0 / (model["total"] + 1.0))
     np.testing.assert_allclose(got["logprob"], [expect] * 6, atol=1e-12)
+
+
+def test_lm_model_npz_roundtrip(ray_session, tmp_path):
+    # the run_index.py artifact convention: a saved model scores
+    # identically to the in-memory one
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from jobs.run_index import load_lm_model, save_lm_model
+    from automatic_reference_extractor_ray.ops.lm import (
+        fit_bigram_lm, lm_score)
+    model = fit_bigram_lm(_docs(LM_CORPUS), vocab_size=64, max_bigrams=256)
+    path = str(tmp_path / "m.npz")
+    save_lm_model(model, path)
+    loaded = load_lm_model(path)
+    a = (lm_score(_docs(LM_CORPUS), model).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (lm_score(_docs(LM_CORPUS), loaded).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
