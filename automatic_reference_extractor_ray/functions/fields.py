@@ -52,8 +52,11 @@ articles ("Schmidt, A.; Meier, B.: Titel. In: Zeitschrift 12
 (1999), Nr. 3, S. 45-67." — the LOC-DB project's own bibliographic
 tradition), and Springer LNCS proceedings ("Author: Title. In:
 Proceedings of …, pp. 45-67. Springer, Berlin (1999)." — the
-proceedings name is level m and drops).  Anything else degrades to
-year/sentence heuristics.
+proceedings name is level m and drops), Nature style ("Smith, J. &
+Jones, B. Title. Journal 12, 45-67 (1999)." — no year in the head,
+"&" lists), and CSE name-year ("Smith J, Jones B. 1999. Title.
+Journal 12(3):45-67." — dotless tokens, year after the head).
+Anything else degrades to year/sentence heuristics.
 """
 
 from __future__ import annotations
@@ -68,7 +71,9 @@ EMPTY_FIELDS: dict[str, object] = {
 # Leading segment markers: "[12] ", "12. ", "12) " (segmenter/XML-path
 # numbering conventions, LOCDB-V3/imgProcessing.py:759-765 and
 # xmlProcessing.py:95).
-MARKER_PREFIX_RE = re.compile(r"^\s*(?:\[\d+\]|\d+[.)])\s+")
+# bare-number markers bound to 3 digits (a leading YEAR is content,
+# not numbering — see segment.MARKER_LINE_RE); bracketed stay unbounded
+MARKER_PREFIX_RE = re.compile(r"^\s*(?:\[\d+\]|\d{1,3}[.)])\s+")
 
 _AUTH = r"(?P<auth>.+?)"
 # date may carry a month — TEI date@when of "1999-03" renders as
@@ -265,6 +270,26 @@ _T34 = re.compile(
     r"(?P<publisher>[^,]+), (?P<loc>[^(]+?) "
     r"\((?P<year>(?:19|20)\d{2})\)\.$")
 
+# T35 Nature style: "Smith, J. & Jones, B. Title. Journal 12, 45-67
+# (1999)." — the author head leads with NO year, "&" separators, no
+# issue, pages before the parenthesized year.  The auth group captures
+# its own trailing period (the lazy group backtracks until the
+# vol/pages/(year) tail anchors), so initials keep their dots through
+# the split.
+_T35 = re.compile(
+    r"^(?P<auth>.+?\.) (?P<title>[^.]+)\. (?P<journal>[^\d,.]+?) "
+    r"(?P<vol>\d+), (?P<p1>\d+)-(?P<p2>\d+) "
+    r"\((?P<year>(?:19|20)\d{2})\)\.$")
+
+# T36 CSE name-year: "Smith J, Jones B. 1999. Title. Journal
+# 12(3):45-67." — the Vancouver dotless author tokens (T22) but the
+# year right after the author head and colon pages.
+_T36 = re.compile(
+    r"^(?P<auth>[A-Z][A-Za-z]+ [A-Z]{1,2}(?:, [A-Z][A-Za-z]+ [A-Z]{1,2})*)\. "
+    r"(?P<year>(?:19|20)\d{2})\. (?P<title>[^.]+)\. "
+    r"(?P<journal>[^\d(]+?) (?P<vol>\d+)\((?P<iss>\d+)\):"
+    r"(?P<p1>\d+)-(?P<p2>\d+)\.$")
+
 # T26 Chicago bibliography article: 'Miller, Anne. "Title." Journal
 # Name 12, no. 3 (1999): 45-67.' — fully-spelled inverted name
 # (stays ONE author), quoted title with its period INSIDE the quotes
@@ -411,7 +436,7 @@ def parse_fields(raw: str) -> dict[str, object]:
 
 
 def parse_fields_ex(raw: str) -> tuple[dict[str, object], str]:
-    """``parse_fields`` plus the matched template shape ("T1".."T34",
+    """``parse_fields`` plus the matched template shape ("T1".."T36",
     "+doi"/"+url"/"+arxiv"-suffixed when a trailing identifier was
     stripped, or "fallback")
     — the fallback-path hit-rate counter lineage metrics
@@ -590,6 +615,20 @@ def _match_templates(s: str) -> tuple[dict[str, object], str]:
                  date=m["year"], publisher=m["publisher"],
                  location=m["loc"], pages=f"{m['p1']}-{m['p2']}")
         return f, "T34"
+    m = _T36.match(s)
+    if m:
+        # CSE name-year: dotless tokens, commas are list separators
+        f.update(authors=m["auth"].split(", "), title=m["title"],
+                 journal=m["journal"], date=m["year"], volume=m["vol"],
+                 issue=m["iss"], pages=f"{m['p1']}-{m['p2']}")
+        return f, "T36"
+    m = _T35.match(s)
+    if m:
+        # Nature: "&" list, no issue, pages before the paren year
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 journal=m["journal"], date=m["year"], volume=m["vol"],
+                 pages=f"{m['p1']}-{m['p2']}")
+        return f, "T35"
     m = _T27.match(s)
     if m:
         # Chicago book: "City: Publisher, year." imprint

@@ -24,8 +24,13 @@ HEADING_RE = re.compile(
     r"literature(\s+cited)?|literaturverzeichnis)\s*:?\s*$",
     re.IGNORECASE)
 
-# A line that *starts* a numbered reference: "[12] ...", "12. ...", "12) ..."
-MARKER_LINE_RE = re.compile(r"^\s*(?:\[(\d+)\]|(\d+)[.)])[ \t]+\S")
+# A line that *starts* a numbered reference: "[12] ...", "12. ...",
+# "12) ...".  Bare numbers are bounded to 3 digits: a wrapped line that
+# begins with a YEAR ("1995. Graph large ..." — the CSE name-year shape
+# breaks lines there) must read as a continuation, not a marker; no
+# real bibliography numbers entries into the thousands.  Bracketed
+# markers stay unbounded ("[1234]" is unambiguous).
+MARKER_LINE_RE = re.compile(r"^\s*(?:\[(\d+)\]|(\d{1,3})[.)])[ \t]+\S")
 
 _LETTER_RE = re.compile(r"[^\W\d_]", re.UNICODE)
 
@@ -128,7 +133,8 @@ def segment_region(idxs: list[int], lines: list[str], min_len: int = 5,
         g = [i for i in g if lines[i].strip() != ""]
         if not g:
             continue
-        first = re.sub(r"^\s*(?:\[\d+\]|\d+[.)])[ \t]+", "", lines[g[0]], count=1)
+        first = re.sub(r"^\s*(?:\[\d+\]|\d{1,3}[.)])[ \t]+", "",
+                       lines[g[0]], count=1)
         # join with the hyphenation-repair rule so a line-broken word is
         # reassembled the same way the concatenated back-map text is
         raw = collapse_ws(join_lines_repaired([first] + [lines[i] for i in g[1:]]))

@@ -2,7 +2,7 @@
 fields (FIXTURES.md: "templated citations … so the field tokenizer has
 deterministic ground truth").
 
-Thirty-four template shapes (T1-T34 below), matching the shapes
+Thirty-six template shapes (T1-T36 below), matching the shapes
 ``functions.fields.parse_fields`` recognizes exactly; the generator
 returns both the raw string and the expected BibStructured field dict,
 so field extraction has an analytic oracle that never calls the parser.
@@ -182,8 +182,15 @@ def gen_citation(rng: np.random.Generator) -> Citation:
            of the 5th Conference on X, pp. 45-67. Springer, Berlin
            (1999).") — proceedings name is level m and DROPS (the
            T9/T20 rule); publisher/place map; year trails in parens
+      35   T35 Nature style ("Smith, J. & Jones, B. Title. Journal
+           12, 45-67 (1999).") — authors lead with NO year, "&"
+           separator, no issue, pages before the parenthesized year
+      36   T36 CSE name-year ("Smith J, Jones B. 1999. Title.
+           Journal 12(3):45-67.") — dotless author tokens (the
+           Vancouver convention) but the year right after the author
+           head, colon pages
     """
-    t = int(rng.integers(0, 35))
+    t = int(rng.integers(0, 37))
     year = str(int(rng.integers(1970, 2024)))
     title = _title(rng)
     f = dict(EMPTY_FIELDS)
@@ -490,8 +497,8 @@ def gen_citation(rng: np.random.Generator) -> Citation:
                f"({year}), Nr. {iss}, S. {p1}-{p2}.")
         f.update(authors=authors, journal=journal, volume=vol, issue=iss,
                  pages=f"{p1}-{p2}")
-    else:  # T34 Springer LNCS — proceedings title (level m) drops,
-        # publisher/place map, trailing parenthesized year
+    elif t == 34:  # T34 Springer LNCS — proceedings title (level m)
+        # drops, publisher/place map, trailing parenthesized year
         authors = [_author(rng)]
         nth = int(rng.integers(4, 21))
         conf = f"the {nth}th Conference on {_pick(rng, CONF_TOPICS)}"
@@ -502,6 +509,26 @@ def gen_citation(rng: np.random.Generator) -> Citation:
         raw = (f"{authors[0]}: {title}. In: Proceedings of {conf}, "
                f"pp. {p1}-{p2}. {publisher}, {city} ({year}).")
         f.update(authors=authors, publisher=publisher, location=city,
+                 pages=f"{p1}-{p2}")
+    elif t == 35:  # T35 Nature style — "&" list, no issue, pages
+        # before the parenthesized year
+        authors = [_author(rng) for _ in range(int(rng.integers(1, 3)))]
+        journal, vol, _, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f"{' & '.join(authors)} {title}. {journal} {vol}, "
+               f"{p1}-{p2} ({year}).")
+        f.update(authors=authors, journal=journal, volume=vol,
+                 pages=f"{p1}-{p2}")
+    else:  # T36 CSE name-year — dotless author tokens, year right
+        # after the author head, colon pages
+        n = int(rng.integers(1, 4))
+        authors = [f"{_pick(rng, SURNAMES)} {_pick(rng, INITIALS)}"
+                   for _ in range(n)]
+        journal, vol, iss, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f"{', '.join(authors)}. {year}. {title}. {journal} "
+               f"{vol}({iss}):{p1}-{p2}.")
+        f.update(authors=authors, journal=journal, volume=vol, issue=iss,
                  pages=f"{p1}-{p2}")
     return Citation(raw=raw, fields=f)
 

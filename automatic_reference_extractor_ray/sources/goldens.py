@@ -30,9 +30,19 @@ def _generator_version() -> str:
     structurally impossible."""
     import hashlib
     d = os.path.dirname(__file__)
+    fdir = os.path.join(os.path.dirname(d), "functions")
     h = hashlib.md5(b"golden-v4:")
     for name in ("corpus.py", "citegen.py", "pagegen.py", "goldens.py"):
         with open(os.path.join(d, name), "rb") as f:
+            h.update(f.read())
+    # the analytic golden derivation also calls INTO the semantic
+    # kernels (parse_fields, segment near-dup helpers, line joining,
+    # box IoU) — a kernel change changes goldens, so it must change
+    # the version too (found in round 4: a marker-regex fix in
+    # segment.py altered image-doc goldens with no sources/ diff)
+    for name in ("fields.py", "segment.py", "textkit.py", "editdist.py",
+                 "boxes.py"):
+        with open(os.path.join(fdir, name), "rb") as f:
             h.update(f.read())
     return h.hexdigest()[:10]
 

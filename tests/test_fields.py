@@ -532,3 +532,36 @@ def test_generator_roundtrip_random_seeds(seed):
     rng = np.random.Generator(np.random.PCG64(seed))
     c = gen_citation(rng)
     assert parse_fields(c.raw) == c.fields
+
+
+def test_t35_nature_style():
+    from automatic_reference_extractor_ray.functions.fields import (
+        parse_fields_ex)
+    f, shape = parse_fields_ex(
+        "Miller, A. & Kim, B. Adaptive spectral methods. Journal of "
+        "Document Analysis 12, 45-67 (1999).")
+    assert shape == "T35"
+    assert f["authors"] == ["Miller, A.", "Kim, B."]   # dots survive
+    assert f["title"] == "Adaptive spectral methods"
+    assert f["journal"] == "Journal of Document Analysis"
+    assert f["date"] == "1999" and f["volume"] == "12"
+    assert f["issue"] == "" and f["pages"] == "45-67"
+    # single author
+    f, shape = parse_fields_ex(
+        "Miller, A. Adaptive spectral methods. Journal of Document "
+        "Analysis 12, 45-67 (1999).")
+    assert shape == "T35" and f["authors"] == ["Miller, A."]
+
+
+def test_t36_cse_name_year():
+    from automatic_reference_extractor_ray.functions.fields import (
+        parse_fields_ex)
+    f, shape = parse_fields_ex(
+        "Miller A, Schmidt B. 1999. Adaptive spectral methods. "
+        "Journal of Document Analysis 12(3):45-67.")
+    assert shape == "T36"
+    assert f["authors"] == ["Miller A", "Schmidt B"]
+    assert f["title"] == "Adaptive spectral methods"
+    assert f["journal"] == "Journal of Document Analysis"
+    assert f["date"] == "1999" and f["volume"] == "12"
+    assert f["issue"] == "3" and f["pages"] == "45-67"
