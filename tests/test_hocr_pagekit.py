@@ -77,3 +77,24 @@ def test_multicol_column_major_order():
     cols = [r["column"] for r in process_page(obs, DEFAULT_CONFIG)]
     assert cols == sorted(cols)          # col 0 records before col 1
     assert set(cols) == {0, 1}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(0, 10**9), st.sampled_from(SCAN_CLASSES))
+def test_page_kernel_matches_golden_random_seeds(seed, cls):
+    # the parametrized sweep above strides low seeds; this drives the
+    # same invariant across the whole seed space (the round-4 CSE
+    # year-as-marker segmenter bug needed a template x line-break
+    # coincidence that low-seed strides missed until the 500-doc e2e)
+    plan = page_plan(seed, 0, cls, 3 if cls == "scan_heavy" else None)
+    obs = parse_hocr(build_hocr(plan.lines, plan.dets, plan.cols))
+    recs = process_page(obs, DEFAULT_CONFIG)
+    got = [(r["raw"], tuple(r["box"]), r["column"], r["detector"], r["namer"])
+           for r in recs]
+    exp = [(r["raw"], tuple(r["box"]), r["column"], r["detector"], r["namer"])
+           for r in plan.records]
+    assert got == exp, (cls, seed)
