@@ -56,6 +56,9 @@ _EXPORTS = {
     "lsh_topk": "ops.ann",
     "ivf_topk": "ops.ann",
     "pq_topk": "ops.ann",
+    "pq_fit": "ops.ann",
+    "pq_encode": "ops.ann",
+    "pq_search": "ops.ann",
     # text analysis / curation
     "token_counts": "ops.textstats",
     "quality_metrics": "ops.textstats",

@@ -38,17 +38,43 @@ def _rows_for_ids(embeddings, ids: list[int]) -> pd.DataFrame:
             .select_columns(["vec_id", "embedding"]).to_pandas())
 
 
+def _query_matrix(embeddings, query_ids: list[int]):
+    """(qids, normalized query matrix) in ``query_ids`` order — the
+    shared prologue of every op in this module."""
+    qdf = _rows_for_ids(embeddings, query_ids)
+    qdf = qdf.set_index("vec_id").loc[list(query_ids)].reset_index()
+    return (qdf["vec_id"].to_numpy(),
+            _normalize(np.stack(qdf["embedding"].to_numpy())))
+
+
+def _merge_topk(k: int):
+    """Per-query merge of block-partial candidates — ONE definition of
+    the (cos DESC, neighbor_id ASC) tie-break contract for all four
+    ops (it must match the SQL oracle's ORDER BY exactly)."""
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "neighbor_id"],
+                          ascending=[False, True]).head(k).reset_index(drop=True)
+        return pd.DataFrame({"query_id": g["query_id"],
+                             "rank": np.arange(1, len(g) + 1, dtype="int64"),
+                             "neighbor_id": g["neighbor_id"]})
+    return merge
+
+
+def _train_sample(embeddings, min_rows: int) -> np.ndarray:
+    """Deterministic bounded training sample (vec_id order, no RNG in
+    the scan) shared by the IVF and PQ fits."""
+    sample = (embeddings.select_columns(["vec_id", "embedding"])
+              .limit(min_rows).to_pandas())
+    return _normalize(np.stack(sample["embedding"].to_numpy()))
+
+
 def brute_force_topk(embeddings, query_ids: list[int], k: int = 10):
     """→ (query_id, rank, neighbor_id): exact cosine top-k, ties broken
     by ascending neighbor_id; the query vectors themselves are excluded.
     Integer output only — oracle-safe."""
     import ray
-    from ray.data import from_pandas
 
-    qdf = _rows_for_ids(embeddings, query_ids)
-    qdf = qdf.set_index("vec_id").loc[list(query_ids)].reset_index()
-    q = _normalize(np.stack(qdf["embedding"].to_numpy()))
-    qids = qdf["vec_id"].to_numpy()
+    qids, q = _query_matrix(embeddings, query_ids)
     qref = ray.put((qids, q))
 
     def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
@@ -69,16 +95,8 @@ def brute_force_topk(embeddings, query_ids: list[int], k: int = 10):
         return pd.DataFrame(rows, columns=["query_id", "cos", "neighbor_id"])
 
     partials = embeddings.map_batches(partial_topk, batch_format="pandas")
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos", "neighbor_id"],
-                          ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        return pd.DataFrame({"query_id": g["query_id"],
-                             "rank": np.arange(1, len(g) + 1, dtype="int64"),
-                             "neighbor_id": g["neighbor_id"]})
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(_merge_topk(k),
+                                                   batch_format="pandas")
 
 
 def ivf_topk(embeddings, query_ids: list[int], k: int = 10,
@@ -100,15 +118,8 @@ def ivf_topk(embeddings, query_ids: list[int], k: int = 10,
     """
     import ray
 
-    qdf = _rows_for_ids(embeddings, query_ids)
-    qdf = qdf.set_index("vec_id").loc[list(query_ids)].reset_index()
-    q = _normalize(np.stack(qdf["embedding"].to_numpy()))
-    qids = qdf["vec_id"].to_numpy()
-
-    # deterministic training sample (vec_id order — no RNG in the scan)
-    sample = (embeddings.select_columns(["vec_id", "embedding"])
-              .limit(max(2048, 64 * n_lists)).to_pandas())
-    x = _normalize(np.stack(sample["embedding"].to_numpy()))
+    qids, q = _query_matrix(embeddings, query_ids)
+    x = _train_sample(embeddings, max(2048, 64 * n_lists))
     rng = np.random.default_rng(0xF00D)
     cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
     for _ in range(train_iters):
@@ -150,15 +161,8 @@ def ivf_topk(embeddings, query_ids: list[int], k: int = 10,
                                        "neighbor_id": pd.Series([], dtype="int64")})
 
     partials = embeddings.map_batches(partial, batch_format="pandas")
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos", "neighbor_id"],
-                          ascending=[False, True]).head(k).reset_index(drop=True)
-        return pd.DataFrame({"query_id": g["query_id"],
-                             "rank": np.arange(1, len(g) + 1, dtype="int64"),
-                             "neighbor_id": g["neighbor_id"]})
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(_merge_topk(k),
+                                                   batch_format="pandas")
 
 
 def pq_topk(embeddings, query_ids: list[int], k: int = 10,
@@ -185,19 +189,27 @@ def pq_topk(embeddings, query_ids: list[int], k: int = 10,
     and ``n_codes`` are the memory/recall dials (measured recall@10 on
     the 64-dim synthetic embeddings: 0.41 at 8x32, 0.64 at the 16x64
     default = 16x compression, 0.84 at 32x64 = 8x).
+
+    This is the one-shot convenience over the real surface —
+    ``pq_fit`` / ``pq_encode`` / ``pq_search``: at scale you encode
+    ONCE, persist the code Dataset, and amortize every later query
+    batch over gather-only searches; a single ``pq_topk`` call pays
+    the encode itself and is therefore NOT cheaper than brute force.
     """
-    import ray
+    model = pq_fit(embeddings, m_sub=m_sub, n_codes=n_codes,
+                   train_iters=train_iters)
+    codes = pq_encode(embeddings, model)
+    qids, q = _query_matrix(embeddings, query_ids)
+    return pq_search(codes, model, qids, q, k=k)
 
-    qdf = _rows_for_ids(embeddings, query_ids)
-    qdf = qdf.set_index("vec_id").loc[list(query_ids)].reset_index()
-    q = _normalize(np.stack(qdf["embedding"].to_numpy()))
-    qids = qdf["vec_id"].to_numpy()
-    dim = q.shape[1]
+
+def pq_fit(embeddings, m_sub: int = 16, n_codes: int = 64,
+           train_iters: int = 8) -> dict:
+    """Train PQ codebooks on the bounded deterministic sample →
+    ``{"bounds", "books"}`` (a few KiB, broadcastable)."""
+    x = _train_sample(embeddings, max(2048, 32 * n_codes))
+    dim = x.shape[1]
     bounds = np.linspace(0, dim, m_sub + 1).astype(int)
-
-    sample = (embeddings.select_columns(["vec_id", "embedding"])
-              .limit(max(2048, 32 * n_codes)).to_pandas())
-    x = _normalize(np.stack(sample["embedding"].to_numpy()))
     rng = np.random.default_rng(0xC0DE)
     books = []
     for s in range(m_sub):
@@ -213,22 +225,54 @@ def pq_topk(embeddings, query_ids: list[int], k: int = 10,
                 if msk.any():
                     cb[c] = xs[msk].mean(axis=0)
         books.append(cb)
-    ref = ray.put((qids, q, bounds, books))
+    return {"bounds": bounds, "books": books}
+
+
+def pq_encode(embeddings, model: dict):
+    """Encode every vector ONCE → Dataset (vec_id, code) where ``code``
+    is ``m_sub`` uint8s as a bytes value — the stored index artifact
+    (8-32x smaller than the vectors).  This is the pass that realizes
+    PQ's memory win: searches consume the codes, never the vectors."""
+    import ray
+
+    ref = ray.put((model["bounds"], model["books"]))
+
+    def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        bounds, books = ray.get(ref)
+        m = _normalize(np.stack(batch["embedding"].to_numpy()))
+        codes = np.empty((len(m), len(books)), dtype=np.uint8)
+        for s, cb in enumerate(books):
+            xs = m[:, bounds[s]:bounds[s + 1]]
+            d = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d.argmin(axis=1)
+        return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy(),
+                             "code": [c.tobytes() for c in codes]})
+
+    return embeddings.map_batches(encode, batch_format="pandas")
+
+
+def pq_search(codes, model: dict, qids: np.ndarray, q: np.ndarray,
+              k: int = 10):
+    """ADC search over an encoded Dataset: per query the
+    m_sub x n_codes inner-product table is computed once, a row's
+    approximate cosine is the sum of its codes' table entries — pure
+    numpy gathers over the uint8 codes, the vectors never load."""
+    import ray
+
+    m_sub = len(model["books"])
+    # tables[s] is (n_codes, nq)
+    tables = [cb @ q[:, model["bounds"][s]:model["bounds"][s + 1]].T
+              for s, cb in enumerate(model["books"])]
+    ref = ray.put((qids, tables))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        qids_, q_, bounds_, books_ = ray.get(ref)
-        m = _normalize(np.stack(batch["embedding"].to_numpy()))
+        qids_, tables_ = ray.get(ref)
         ids = batch["vec_id"].to_numpy()
-        nq = len(qids_)
-        # encode + ADC in one pass: scores (rows, nq) accumulate each
-        # subspace's table entries gathered by that subspace's codes
-        scores = np.zeros((len(m), nq))
-        for s, cb in enumerate(books_):
-            xs = m[:, bounds_[s]:bounds_[s + 1]]
-            d = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
-            codes = d.argmin(axis=1)
-            table = cb @ q_[:, bounds_[s]:bounds_[s + 1]].T  # (codes, nq)
-            scores += table[codes, :]
+        cm = np.frombuffer(b"".join(batch["code"]),
+                           dtype=np.uint8).reshape(len(ids), m_sub)
+        scores = np.zeros((len(ids), len(qids_)))
+        for s in range(m_sub):
+            scores += tables_[s][cm[:, s], :]
         rows = []
         for j, qid in enumerate(qids_):
             mask = ids != qid
@@ -238,16 +282,9 @@ def pq_topk(embeddings, query_ids: list[int], k: int = 10,
                 rows.append((int(qid), float(c[t]), int(cids[t])))
         return pd.DataFrame(rows, columns=["query_id", "cos", "neighbor_id"])
 
-    partials = embeddings.map_batches(partial, batch_format="pandas")
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos", "neighbor_id"],
-                          ascending=[False, True]).head(k).reset_index(drop=True)
-        return pd.DataFrame({"query_id": g["query_id"],
-                             "rank": np.arange(1, len(g) + 1, dtype="int64"),
-                             "neighbor_id": g["neighbor_id"]})
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    partials = codes.map_batches(partial, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(_merge_topk(k),
+                                                   batch_format="pandas")
 
 
 N_PLANES = 8
@@ -271,9 +308,7 @@ def lsh_topk(embeddings, query_ids: list[int], k: int = 10,
     0.56 @ 3, 0.81 @ 4 — multi-probe radius is the recall/cost dial)."""
     import ray
 
-    qdf = _rows_for_ids(embeddings, query_ids)
-    q = _normalize(np.stack(qdf["embedding"].to_numpy()))
-    qids = qdf["vec_id"].to_numpy()
+    qids, q = _query_matrix(embeddings, query_ids)
     planes = _planes(q.shape[1])
     qsig = _signature(q, planes)
     # bucket → list of probing queries
@@ -303,12 +338,5 @@ def lsh_topk(embeddings, query_ids: list[int], k: int = 10,
         return pd.DataFrame(rows, columns=["query_id", "cos", "neighbor_id"])
 
     partials = embeddings.map_batches(partial, batch_format="pandas")
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos", "neighbor_id"],
-                          ascending=[False, True]).head(k).reset_index(drop=True)
-        return pd.DataFrame({"query_id": g["query_id"],
-                             "rank": np.arange(1, len(g) + 1, dtype="int64"),
-                             "neighbor_id": g["neighbor_id"]})
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(_merge_topk(k),
+                                                   batch_format="pandas")

@@ -32,7 +32,8 @@ def _generator_version() -> str:
     d = os.path.dirname(__file__)
     fdir = os.path.join(os.path.dirname(d), "functions")
     h = hashlib.md5(b"golden-v4:")
-    for name in ("corpus.py", "citegen.py", "pagegen.py", "goldens.py"):
+    for name in ("corpus.py", "citegen.py", "pagegen.py", "goldens.py",
+                 "interleave.py", "media_store.py"):
         with open(os.path.join(d, name), "rb") as f:
             h.update(f.read())
     # the analytic golden derivation also calls INTO the semantic

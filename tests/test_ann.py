@@ -83,3 +83,21 @@ def test_pq_deterministic(emb_ds):
     b = pq_topk(emb_ds, QIDS, k=5).to_pandas().sort_values(
         ["query_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pq_encode_once_search_matches_topk(emb_ds):
+    # the real scale surface: fit once, encode once (uint8 codes as
+    # the stored artifact), then gather-only searches — identical
+    # output to the one-shot convenience
+    from automatic_reference_extractor_ray.ops.ann import (
+        _query_matrix, pq_encode, pq_fit, pq_search, pq_topk)
+    model = pq_fit(emb_ds, m_sub=8, n_codes=16)
+    codes = pq_encode(emb_ds, model).materialize()
+    code0 = codes.take(1)[0]["code"]
+    assert isinstance(code0, bytes) and len(code0) == 8   # m_sub bytes
+    qids, q = _query_matrix(emb_ds, QIDS)
+    a = (pq_search(codes, model, qids, q, k=5).to_pandas()
+         .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    b = (pq_topk(emb_ds, QIDS, k=5, m_sub=8, n_codes=16).to_pandas()
+         .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)

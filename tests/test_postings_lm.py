@@ -173,8 +173,10 @@ def test_lm_score_with_empty_bigram_table(ray_session):
 def test_lm_model_npz_roundtrip(ray_session, tmp_path):
     # the run_index.py artifact convention: a saved model scores
     # identically to the in-memory one
+    import os
     import sys
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     from jobs.run_index import load_lm_model, save_lm_model
     from automatic_reference_extractor_ray.ops.lm import (
         fit_bigram_lm, lm_score)
