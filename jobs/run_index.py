@@ -18,6 +18,14 @@ run_curate.py convention):
                                 counts, total, alpha) — consumers load
                                 it with ``load_lm_model`` below and
                                 pass it straight to ``lm_score``
+    <out>/pq_codes/shard=*/     (with ``--embeddings``) the PQ uint8
+                                code artifact from ``ops/ann.py:
+                                pq_encode`` plus ``pq_codebooks.npz``
+                                (``load_pq_codebooks`` below) — the
+                                encode-once half of the
+                                fit/encode/search surface; later query
+                                batches run gather-only ``pq_search``
+                                against these shards
 
 Both are GLOBAL aggregates (a posting list and a count table span
 every partition), so like curation/scrubbing the restart unit is the
@@ -61,6 +69,13 @@ def load_lm_model(path: str) -> dict:
             "total": int(z["total"]), "alpha": float(z["alpha"])}
 
 
+def load_pq_codebooks(path: str) -> dict:
+    import numpy as np
+    z = np.load(path)
+    books = [z[f"book_{s}"] for s in range(len(z.files) - 1)]
+    return {"bounds": z["bounds"], "books": books}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True,
@@ -76,6 +91,12 @@ def main() -> int:
                     help="LM fit hash-sample fraction")
     ap.add_argument("--shards", type=int, default=64,
                     help="postings output hash shards (token-keyed)")
+    ap.add_argument("--embeddings", default=None,
+                    help="optional embeddings parquet (vec_id, "
+                         "embedding) or sf dir: also publish the PQ "
+                         "code artifact + codebooks")
+    ap.add_argument("--pq-m-sub", type=int, default=16)
+    ap.add_argument("--pq-n-codes", type=int, default=64)
     args = ap.parse_args()
 
     import ray
@@ -115,6 +136,38 @@ def main() -> int:
                           sample_frac=args.sample_frac)
     save_lm_model(model, os.path.join(tmp, "lm_model.npz"))
 
+    n_codes_rows = 0
+    if args.embeddings:
+        import numpy as np
+
+        from automatic_reference_extractor_ray.ops.ann import (
+            pq_encode, pq_fit)
+        from automatic_reference_extractor_ray.sources.readers import (
+            read_parquet_clean)
+        inp = args.embeddings
+        if os.path.isdir(inp) and os.path.exists(
+                os.path.join(inp, "embeddings.parquet")):
+            inp = os.path.join(inp, "embeddings.parquet")
+        embs = read_parquet_clean(inp, columns=["vec_id", "embedding"])
+        pq = pq_fit(embs, m_sub=args.pq_m_sub, n_codes=args.pq_n_codes)
+        np.savez(os.path.join(tmp, "pq_codebooks.npz"),
+                 bounds=pq["bounds"], **{f"book_{s}": b
+                                         for s, b in enumerate(pq["books"])})
+        codes = pq_encode(embs, pq)
+
+        def code_shard(t: pa.Table) -> pa.Table:
+            ids = t.column("vec_id").to_pylist()
+            return t.append_column(
+                "shard", pa.array([partition_of(str(v), shards)
+                                   for v in ids], pa.int32()))
+
+        (codes.map_batches(code_shard, batch_format="pyarrow")
+         .write_parquet(os.path.join(tmp, "pq_codes"),
+                        partition_cols=["shard"]))
+        import pyarrow.dataset as pads
+        n_codes_rows = pads.dataset(
+            os.path.join(tmp, "pq_codes"), partitioning="hive").count_rows()
+
     import pyarrow.dataset as pads
     pdir = os.path.join(tmp, "postings")
     ds = (pads.dataset(pdir, partitioning="hive")
@@ -126,6 +179,7 @@ def main() -> int:
         "lm_vocab": int(len(model["vocab"])),
         "lm_bigrams": int(len(model["bi_keys"])),
         "lm_total_tokens": int(model["total"]),
+        "pq_vectors": n_codes_rows if args.embeddings else None,
         "elapsed_sec": round(time.perf_counter() - t0, 3),
     }
     shutil.rmtree(final, ignore_errors=True)

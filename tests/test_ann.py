@@ -101,3 +101,27 @@ def test_pq_encode_once_search_matches_topk(emb_ds):
     b = (pq_topk(emb_ds, QIDS, k=5, m_sub=8, n_codes=16).to_pandas()
          .sort_values(["query_id", "rank"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pq_codebooks_npz_roundtrip(emb_ds, tmp_path):
+    # the run_index.py artifact convention: loaded codebooks search
+    # identically to the in-memory fit
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from jobs.run_index import load_pq_codebooks
+    from automatic_reference_extractor_ray.ops.ann import (
+        _query_matrix, pq_encode, pq_fit, pq_search)
+    model = pq_fit(emb_ds, m_sub=8, n_codes=16)
+    path = str(tmp_path / "cb.npz")
+    np.savez(path, bounds=model["bounds"],
+             **{f"book_{s}": b for s, b in enumerate(model["books"])})
+    loaded = load_pq_codebooks(path)
+    codes = pq_encode(emb_ds, model).materialize()
+    qids, q = _query_matrix(emb_ds, QIDS)
+    a = (pq_search(codes, model, qids, q, k=5).to_pandas()
+         .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    b = (pq_search(codes, loaded, qids, q, k=5).to_pandas()
+         .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
