@@ -439,6 +439,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pq_topk(_read(sf, "embeddings", ["vec_id", "embedding"]),
                        ANN_QUERY_IDS, k=10)
 
+    def ann_ivfpq_q(sf):
+        # coarse-list pruning x byte-code scoring (the billion+-vector
+        # recipe) — compound approximation, rows-only + recall tests
+        from automatic_reference_extractor_ray.ops.ann import ivfpq_topk
+        return ivfpq_topk(_read(sf, "embeddings", ["vec_id", "embedding"]),
+                          ANN_QUERY_IDS, k=10, n_probe=8, m_sub=32)
+
     # ---- relational primitives ----
     def q1_pricing_q(sf):
         from automatic_reference_extractor_ray.ops.relational import q1_pricing_summary
@@ -704,6 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "build_postings": build_postings_q,
         "lm_score": lm_score_q,
         "ann_pq": ann_pq_q,
+        "ann_ivfpq": ann_ivfpq_q,
         # -- driver-checked last in r2; round-4 rotation puts them
         #    inside the cap (top_customers also changed this round) --
         "top_customers": top_customers_q,

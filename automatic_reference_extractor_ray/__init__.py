@@ -59,6 +59,10 @@ _EXPORTS = {
     "pq_fit": "ops.ann",
     "pq_encode": "ops.ann",
     "pq_search": "ops.ann",
+    "ivf_fit": "ops.ann",
+    "ivfpq_encode": "ops.ann",
+    "ivfpq_search": "ops.ann",
+    "ivfpq_topk": "ops.ann",
     # text analysis / curation
     "token_counts": "ops.textstats",
     "quality_metrics": "ops.textstats",

@@ -245,6 +245,10 @@ def run_bench() -> dict:
     from automatic_reference_extractor_ray.ops.ann import pq_topk
     timed("ann_pq", lambda: pq_topk(
         read("embeddings", ["vec_id", "embedding"]), [0, 1, 2, 3, 4, 5, 6, 7]).count())
+    from automatic_reference_extractor_ray.ops.ann import ivfpq_topk
+    timed("ann_ivfpq", lambda: ivfpq_topk(
+        read("embeddings", ["vec_id", "embedding"]), [0, 1, 2, 3, 4, 5, 6, 7],
+        n_probe=8, m_sub=32).count())
     from automatic_reference_extractor_ray.ops.dedup import semantic_dedup
     timed("semantic_dedup", lambda: semantic_dedup(
         read("embeddings", ["vec_id", "embedding"]), k=8, n_iter=5).count())

@@ -125,3 +125,29 @@ def test_pq_codebooks_npz_roundtrip(emb_ds, tmp_path):
     b = (pq_search(codes, loaded, qids, q, k=5).to_pandas()
          .sort_values(["query_id", "rank"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ivfpq_recall_and_encode_once(emb_ds, brute):
+    from automatic_reference_extractor_ray.ops.ann import (
+        _query_matrix, ivf_fit, ivfpq_encode, ivfpq_search, ivfpq_topk,
+        pq_fit)
+    approx = ivfpq_topk(emb_ds, QIDS, k=10, n_probe=8,
+                        m_sub=32).to_pandas()
+    assert _recall(approx, brute) >= 0.5
+    # every returned rank run is dense from 1
+    for qid in QIDS:
+        g = approx[approx["query_id"] == qid].sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+    # the encode-once surface matches the one-shot convenience
+    cent = ivf_fit(emb_ds, n_lists=16)
+    pq = pq_fit(emb_ds, m_sub=32, n_codes=64)
+    enc = ivfpq_encode(emb_ds, cent, pq).materialize()
+    row = enc.take(1)[0]
+    assert isinstance(row["code"], bytes) and len(row["code"]) == 32
+    assert 0 <= row["list_id"] < 16
+    qids, q = _query_matrix(emb_ds, QIDS)
+    a = (ivfpq_search(enc, cent, pq, qids, q, k=10, n_probe=8)
+         .to_pandas().sort_values(["query_id", "rank"])
+         .reset_index(drop=True))
+    b = approx.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
