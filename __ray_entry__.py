@@ -64,6 +64,16 @@ def _postings_sql() -> str:
     return build_postings_sql(k=16, min_df=1)
 
 
+# fixed retrieval query for the bm25_search entry — terms from the
+# synthetic documents' vocabulary with real df/tf variation
+_BM25_TERMS = ["merge", "spark", "window"]
+
+
+def _bm25_sql() -> str:
+    from automatic_reference_extractor_ray.ops.postings import bm25_topk_sql
+    return bm25_topk_sql(_BM25_TERMS, k=10)
+
+
 def _repetition_sql() -> str:
     from automatic_reference_extractor_ray.ops.textstats import REPETITION_SQL
     return REPETITION_SQL
@@ -336,6 +346,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from automatic_reference_extractor_ray.ops.postings import (
             build_postings)
         return build_postings(_docs_table(sf), k=16, min_df=1)
+
+    def bm25_search_q(sf):
+        from automatic_reference_extractor_ray.ops.postings import bm25_topk
+        return bm25_topk(_docs_table(sf), _BM25_TERMS, k=10)
 
     def lm_score_q(sf):
         # self-fit bigram LM (stupid backoff) then score every doc;
@@ -708,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "bm25_search": bm25_search_q,
         "build_postings": build_postings_q,
         "lm_score": lm_score_q,
         "ann_pq": ann_pq_q,
@@ -1268,6 +1283,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": _curate_sql(),
         "tfidf_terms": _tfidf_sql(),
         "build_postings": _postings_sql(),
+        "bm25_search": _bm25_sql(),
         "customers_without_events": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e

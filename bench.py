@@ -274,6 +274,10 @@ def run_bench() -> dict:
     timed("lm_score", lambda: lm_score(
         read("documents", ["doc_id", "text"]),
         fit_bigram_lm(read("documents", ["doc_id", "text"]))).count())
+    from automatic_reference_extractor_ray.ops.postings import bm25_topk
+    timed("bm25_search", lambda: len(bm25_topk(
+        read("documents", ["doc_id", "text"]),
+        ["merge", "spark", "window"], k=10)))
 
     result = {
         "metric": "e2e_extract_sec",

@@ -42,6 +42,65 @@ def test_build_postings_matches_duckdb(ray_session):
     assert row["df"] == 1 and row["postings"] == "3"
 
 
+def test_bm25_matches_duckdb(ray_session):
+    from automatic_reference_extractor_ray.ops.postings import (
+        bm25_topk, bm25_topk_sql)
+    terms = ["cat", "dog", "the"]
+    mine = bm25_topk(_docs(CORPUS), terms, k=5).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(CORPUS))
+    oracle = con.execute(bm25_topk_sql(terms, k=5)).fetchdf()
+    assert list(mine["rank"]) == list(oracle["rank"])
+    assert list(mine["doc_id"].astype(int)) == list(oracle["doc_id"].astype(int))
+    assert list(mine["score_micro"].astype(int)) == \
+        list(oracle["score_micro"].astype(int))
+    # semantics pin: doc 4 repeats "cat"/"the" maximally and is short →
+    # highest score; doc 7 shares no query term and never appears
+    assert mine.iloc[0]["doc_id"] == 4
+    assert 7 not in set(mine["doc_id"])
+
+
+def test_bm25_reference_scoring(ray_session):
+    """Pin scoring against an independently-written O(n²) pure-Python
+    BM25 (no shared code with the operator)."""
+    import math
+    import re
+
+    from automatic_reference_extractor_ray.ops.postings import bm25_topk
+
+    terms = ["cat", "sat", "dogs"]
+    k1, b = 1.2, 0.75
+    tok = lambda s: re.findall(r"[a-z0-9]+", (s or "").lower())
+    docs = {r["doc_id"]: tok(r["text"]) for r in CORPUS}
+    n = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n
+    scores = {}
+    for did, toks in docs.items():
+        s = 0
+        for t in terms:
+            tf = sum(1 for x in toks if x == t)
+            if not tf:
+                continue
+            df = sum(1 for v in docs.values() if t in v)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            core = (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * (len(toks) / avgdl)))
+            s += int(math.floor(idf * core * 1e6 + 0.5))
+        if s > 0:
+            scores[did] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    mine = bm25_topk(_docs(CORPUS), terms, k=3)
+    got = list(zip(mine["doc_id"].astype(int), mine["score_micro"].astype(int)))
+    assert got == want
+
+
+def test_bm25_empty_and_missing_terms(ray_session):
+    from automatic_reference_extractor_ray.ops.postings import bm25_topk
+    out = bm25_topk(_docs(CORPUS), ["zzznotaterm"], k=5)
+    assert len(out) == 0
+    assert list(out.columns) == ["rank", "doc_id", "score_micro"]
+
+
 def test_build_postings_min_df_and_cap(ray_session):
     from automatic_reference_extractor_ray.ops.postings import build_postings
     out = build_postings(_docs(CORPUS), k=2, min_df=2).to_pandas()
