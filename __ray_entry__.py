@@ -74,6 +74,13 @@ def _bm25_sql() -> str:
     return bm25_topk_sql(_BM25_TERMS, k=10)
 
 
+def _q3_sql() -> str:
+    from automatic_reference_extractor_ray.ops.relational import (
+        shipping_priority_sql)
+    return shipping_priority_sql(segment="BUILDING", cutoff="2000-01-01",
+                                 k=10)
+
+
 def _repetition_sql() -> str:
     from automatic_reference_extractor_ray.ops.textstats import REPETITION_SQL
     return REPETITION_SQL
@@ -468,6 +475,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def q3_shipping_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import (
+            shipping_priority)
+        return shipping_priority(
+            _read(sf, "customer", ["c_custkey", "c_mktsegment"]),
+            _read(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                                 "o_orderpriority"]),
+            _read(sf, "lineitem", ["l_orderkey", "l_shipdate",
+                                   "l_extendedprice", "l_discount"]),
+            segment="BUILDING", cutoff="2000-01-01", k=10)
+
     def top_customers_q(sf):
         from automatic_reference_extractor_ray.ops.relational import (
             top_customers_by_revenue)
@@ -723,6 +741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEW this round (never driver-checked) --
         "bm25_search": bm25_search_q,
+        "q3_shipping": q3_shipping_q,
         "build_postings": build_postings_q,
         "lm_score": lm_score_q,
         "ann_pq": ann_pq_q,
@@ -1157,6 +1176,7 @@ def oracle_sql() -> dict[str, str]:
                             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_c,
                    COUNT(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "q3_shipping": _q3_sql(),
         "top_customers": """
             WITH agg AS (
               SELECT o_custkey,

@@ -111,6 +111,157 @@ def top_customers_by_revenue(orders, customer, k: int = 10):
     return top[["rank", "o_custkey", "c_name", "revenue_c", "n_orders"]]
 
 
+def shipping_priority(customer, orders, lineitem,
+                      segment: str = "BUILDING",
+                      cutoff: str = "2000-01-01", k: int = 10,
+                      num_buckets: int | None = None):
+    """TPC-H Q3 shape — top-k "open" orders by discounted revenue for
+    one market segment: customers in ``segment``, orders placed before
+    ``cutoff``, revenue from lineitems shipping after ``cutoff``.
+    The three-join + top-k plan every relational pipeline composes:
+
+    - the CUSTOMER dimension grows with the data, so it is never
+      broadcast: qualifying orders come from a bucketed SEMI join on
+      custkey (order rows with a segment match; customer columns never
+      travel further);
+    - the LINEITEM fact collapses to per-(orderkey) revenue partials
+      inside each batch before anything moves (integer cents×100, the
+      q1 convention — exact, no float accumulation drift);
+    - revenue partials and qualifying orders meet in ONE bucketed
+      exchange on orderkey where each bucket aggregates, inner-joins
+      the order attributes, and cuts to its local top-``k`` — a key's
+      rows land whole in one bucket, so the per-bucket cut is a
+      correct candidate filter and only ≤ buckets×k rows reach the
+      driver (no distributed sort, the ``top_customers`` argument).
+
+    → pandas (rank, o_orderkey, o_orderdate, o_orderpriority,
+    revenue_c), revenue desc, orderkey asc ties.
+    """
+    from .shuffle import bucketed_groupby, bucketed_join
+
+    cut = pd.Timestamp(cutoff)
+
+    def cust_keys(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["c_mktsegment"] == segment
+        return pd.DataFrame(
+            {"o_custkey": df.loc[m, "c_custkey"].astype("int64")})
+
+    def ord_filter(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["o_orderdate"] < cut
+        out = df.loc[m, ["o_custkey", "o_orderkey", "o_orderdate",
+                         "o_orderpriority"]].copy()
+        out["o_custkey"] = out["o_custkey"].astype("int64")
+        out["o_orderkey"] = out["o_orderkey"].astype("int64")
+        return out
+
+    qualifying = bucketed_join(
+        orders.map_batches(ord_filter, batch_format="pandas"),
+        customer.map_batches(cust_keys, batch_format="pandas"),
+        on="o_custkey",
+        left_schema={"o_custkey": "int64", "o_orderkey": "int64",
+                     "o_orderdate": "datetime64[us]",
+                     "o_orderpriority": "object"},
+        right_schema={"o_custkey": "int64"},
+        num_buckets=num_buckets, how="semi")
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] > cut]
+        if not len(df):
+            return pd.DataFrame({
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "rev_c": pd.Series([], dtype="int64")})
+        price_c = np.round(df["l_extendedprice"] * 100).astype("int64")
+        disc_pct = np.round(df["l_discount"] * 100).astype("int64")
+        return (pd.DataFrame({"o_orderkey": df["l_orderkey"].astype("int64"),
+                              "rev_c": price_c * (100 - disc_pct)})
+                .groupby("o_orderkey", sort=False)["rev_c"].sum()
+                .reset_index())
+
+    rev = lineitem.select_columns(
+        ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_partial, batch_format="pandas")
+
+    # one exchange: revenue partials (side 0) + order attrs (side 1)
+    # meet per orderkey; aggregate, join, local top-k cut
+    def tag_rev(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"], "rev_c": df["rev_c"],
+            "o_orderdate": pd.Series([pd.Timestamp(0)] * len(df),
+                                     dtype="datetime64[us]"),
+            "o_orderpriority": [""] * len(df),
+            "side": np.zeros(len(df), dtype=np.int8)})
+
+    def tag_ord(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"],
+            "rev_c": np.zeros(len(df), dtype=np.int64),
+            "o_orderdate": df["o_orderdate"].astype("datetime64[us]"),
+            "o_orderpriority": df["o_orderpriority"],
+            "side": np.ones(len(df), dtype=np.int8)})
+
+    EMPTY = pd.DataFrame({
+        "o_orderkey": pd.Series([], dtype="int64"),
+        "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+        "o_orderpriority": pd.Series([], dtype=object),
+        "revenue_c": pd.Series([], dtype="int64")})
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        sides = pdf["side"].to_numpy()
+        r = (pdf[sides == 0].groupby("o_orderkey", sort=False)["rev_c"]
+             .sum().rename("revenue_c").reset_index())
+        o = pdf[sides == 1][["o_orderkey", "o_orderdate",
+                             "o_orderpriority"]]
+        if r.empty or o.empty:
+            return EMPTY
+        m = o.merge(r, on="o_orderkey", how="inner")
+        m = m.sort_values(["revenue_c", "o_orderkey"],
+                          ascending=[False, True], kind="mergesort").head(k)
+        return m[["o_orderkey", "o_orderdate", "o_orderpriority",
+                  "revenue_c"]].reset_index(drop=True)
+
+    tagged = (rev.map_batches(tag_rev, batch_format="pandas")
+              .union(qualifying.map_batches(tag_ord,
+                                            batch_format="pandas")))
+    cand = bucketed_groupby(tagged, "o_orderkey", bucket_topk,
+                            num_buckets).to_pandas()     # ≤ nb×k rows
+    if cand.empty:
+        out = EMPTY.copy()
+    else:
+        out = (cand.sort_values(["revenue_c", "o_orderkey"],
+                                ascending=[False, True], kind="mergesort")
+               .head(k).reset_index(drop=True))
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype="int64"))
+    return out[["rank", "o_orderkey", "o_orderdate", "o_orderpriority",
+                "revenue_c"]]
+
+
+def shipping_priority_sql(segment: str = "BUILDING",
+                          cutoff: str = "2000-01-01", k: int = 10) -> str:
+    """DuckDB oracle for ``shipping_priority`` (same integer-cents
+    revenue, same tie-break)."""
+    return f"""
+        WITH agg AS (
+          SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                 CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                      AS BIGINT) AS revenue_c
+          FROM customer c
+          JOIN orders o ON c.c_custkey = o.o_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          WHERE c.c_mktsegment = '{segment}'
+            AND o.o_orderdate < TIMESTAMP '{cutoff}'
+            AND l.l_shipdate > TIMESTAMP '{cutoff}'
+          GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY revenue_c DESC, o_orderkey)
+                    AS BIGINT) AS rank,
+               o_orderkey, o_orderdate, o_orderpriority, revenue_c
+        FROM agg
+        ORDER BY revenue_c DESC, o_orderkey
+        LIMIT {k}
+    """
+
+
 def events_hourly(events):
     """Tumbling-window aggregate: (event_type, hour) → count + value
     cents.  Pre-aggregated per batch before the shuffle."""

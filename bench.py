@@ -151,6 +151,14 @@ def run_bench() -> dict:
         read("orders", ["o_custkey", "o_totalprice"]),
         read("customer", ["c_custkey", "c_nationkey"]),
         read("nation", ["n_nationkey", "n_name"])).count())
+    from automatic_reference_extractor_ray.ops.relational import (
+        shipping_priority)
+    timed("q3_shipping", lambda: len(shipping_priority(
+        read("customer", ["c_custkey", "c_mktsegment"]),
+        read("orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                        "o_orderpriority"]),
+        read("lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice",
+                          "l_discount"]))))
     from automatic_reference_extractor_ray.ops.analytics import (
         weighted_sample)
     timed("weighted_sample", lambda: weighted_sample(

@@ -558,6 +558,63 @@ def test_revenue_by_nation_star_join(ray_session):
     assert out["n_orders"].tolist() == [3, 1]
 
 
+def test_shipping_priority_q3_hand_case(ray_session):
+    """Q3 shape: segment filter, order-date/ship-date cuts, discounted
+    integer-cents revenue, top-k tie-break — vs a hand computation and
+    the operator's own DuckDB oracle."""
+    import duckdb
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.relational import (
+        shipping_priority, shipping_priority_sql)
+
+    customer = pd.DataFrame({
+        "c_custkey": np.array([1, 2, 3], dtype="int64"),
+        "c_mktsegment": ["BUILDING", "AUTO", "BUILDING"],
+    })
+    orders = pd.DataFrame({
+        "o_orderkey": np.array([10, 11, 12, 13], dtype="int64"),
+        "o_custkey": np.array([1, 2, 3, 1], dtype="int64"),
+        # 13 is AFTER the cutoff -> excluded even though cust 1 matches
+        "o_orderdate": pd.to_datetime(
+            ["2000-01-01", "2000-01-02", "1999-06-01", "2000-03-01"]
+        ).astype("datetime64[us]"),
+        "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "1-URGENT"],
+    })
+    lineitem = pd.DataFrame({
+        "l_orderkey": np.array([10, 10, 11, 12, 12], dtype="int64"),
+        # second row of order 10 ships BEFORE the cutoff -> no revenue
+        "l_shipdate": pd.to_datetime(
+            ["2000-03-01", "2000-01-15", "2000-04-01", "2000-05-01",
+             "2000-06-01"]).astype("datetime64[us]"),
+        "l_extendedprice": [10.0, 99.0, 50.0, 20.0, 30.0],
+        "l_discount": [0.10, 0.0, 0.05, 0.0, 0.50],
+    })
+    out = shipping_priority(
+        rd.from_pandas(customer).repartition(2),
+        rd.from_pandas(orders).repartition(2),
+        rd.from_pandas(lineitem).repartition(3),
+        segment="BUILDING", cutoff="2000-02-01", k=10)
+    # order 10: cust 1 BUILDING, placed 1/1 < 2/1, one line ships after
+    #   -> 1000c * 90 = 90000;  order 11: cust 2 wrong segment -> out
+    # order 12: 2000c*100 + 3000c*50 = 350000;  order 13: placed after
+    assert out["o_orderkey"].tolist() == [12, 10]
+    assert out["revenue_c"].tolist() == [350000, 90000]
+    assert out["rank"].tolist() == [1, 2]
+
+    con = duckdb.connect()
+    con.register("customer", customer)
+    con.register("orders", orders)
+    con.register("lineitem", lineitem)
+    oracle = con.execute(
+        shipping_priority_sql(segment="BUILDING",
+                              cutoff="2000-02-01", k=10)).fetchdf()
+    assert out["o_orderkey"].tolist() == oracle["o_orderkey"].tolist()
+    assert out["revenue_c"].tolist() == oracle["revenue_c"].tolist()
+    assert [t.date().isoformat() for t in out["o_orderdate"]] == \
+        [t.date().isoformat() for t in oracle["o_orderdate"]]
+
+
 def test_weighted_sample_rates_and_determinism(ray_session):
     """Keep decisions follow the per-row md5 threshold exactly (local
     recomputation), rates clip to [min, 1000], and weight=scale keeps
