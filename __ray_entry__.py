@@ -81,6 +81,12 @@ def _q3_sql() -> str:
                                  k=10)
 
 
+def _events_window_sql() -> str:
+    from automatic_reference_extractor_ray.ops.relational import (
+        USER_WINDOW_SQL)
+    return USER_WINDOW_SQL
+
+
 def _repetition_sql() -> str:
     from automatic_reference_extractor_ray.ops.textstats import REPETITION_SQL
     return REPETITION_SQL
@@ -475,6 +481,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def events_window_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import (
+            user_window_functions)
+        return user_window_functions(
+            _read(sf, "events", ["user_id", "ts", "event_id", "value"]))
+
     def q3_shipping_q(sf):
         from automatic_reference_extractor_ray.ops.relational import (
             shipping_priority)
@@ -742,6 +754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- NEW this round (never driver-checked) --
         "bm25_search": bm25_search_q,
         "q3_shipping": q3_shipping_q,
+        "events_window": events_window_q,
         "build_postings": build_postings_q,
         "lm_score": lm_score_q,
         "ann_pq": ann_pq_q,
@@ -1177,6 +1190,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "q3_shipping": _q3_sql(),
+        "events_window": _events_window_sql(),
         "top_customers": """
             WITH agg AS (
               SELECT o_custkey,

@@ -394,6 +394,66 @@ def events_sliding(events, win_minutes: int = 30, slide_minutes: int = 10):
         {"n": ("n", "sum"), "sum_value_c": ("sum_value_c", "sum")})
 
 
+def user_window_functions(events, num_buckets: int | None = None):
+    """Per-user window functions over the event stream — running sum,
+    previous-event lag, and row number — i.e. the SQL
+
+        SUM(value_c)  OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        LAG(ts)       OVER (...),
+        ROW_NUMBER()  OVER (...)
+
+    shape Ray Data has no primitive for.  The partition key (user_id)
+    is the distribution key: ONE bounded-bucket shuffle lands each
+    user's events whole in one bucket, where the ordered scan runs as
+    vectorized pandas group ops (cumsum / shift / cumcount) — never a
+    global sort, never per-row Python.  Skew note: a window partitioned
+    by a hot key (one user = half the corpus) cannot be split without
+    changing semantics — the frame is sequential — so the bucket holds
+    that user's whole slice by design; the mitigation at 100 TB is
+    key-range chunking with carried prefix state, which ``global_rank``
+    (ops/analytics.py) demonstrates for the ORDER-BY-value case.
+
+    → Dataset (event_id, user_id, seq, cum_value_c, delta_us):
+    ``seq`` 1-based per user, ``delta_us`` microseconds since the
+    user's previous event (-1 for the first), ``cum_value_c`` integer
+    cents running total.
+    """
+    from .shuffle import bucketed_groupby
+
+    def windows(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        val_c = np.round(pdf["value"].to_numpy() * 100).astype("int64")
+        pdf = pdf.assign(value_c=val_c,
+                         ts_us=pdf["ts"].astype("datetime64[us]")
+                         .astype("int64"))
+        g = pdf.groupby("user_id", sort=False)
+        prev = g["ts_us"].shift()
+        delta = (pdf["ts_us"] - prev).fillna(-1).astype("int64")
+        return pd.DataFrame({
+            "event_id": pdf["event_id"].astype("int64"),
+            "user_id": pdf["user_id"].astype("int64"),
+            "seq": (g.cumcount() + 1).astype("int64"),
+            "cum_value_c": g["value_c"].cumsum().astype("int64"),
+            "delta_us": delta})
+
+    return bucketed_groupby(
+        events.select_columns(["user_id", "ts", "event_id", "value"]),
+        "user_id", windows, num_buckets)
+
+
+USER_WINDOW_SQL = """
+    SELECT event_id, user_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                AS BIGINT) AS cum_value_c,
+           CAST(COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER w, -1)
+                AS BIGINT) AS delta_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def customers_without_events(customer, events, num_buckets: int | None = None):
     """Distributed NOT EXISTS → (c_custkey, c_name) for customers with
     no event activity.  Both sides ride the bucketed shuffle (a key's

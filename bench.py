@@ -159,6 +159,10 @@ def run_bench() -> dict:
                         "o_orderpriority"]),
         read("lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice",
                           "l_discount"]))))
+    from automatic_reference_extractor_ray.ops.relational import (
+        user_window_functions)
+    timed("events_window", lambda: user_window_functions(
+        read("events", ["user_id", "ts", "event_id", "value"])).count())
     from automatic_reference_extractor_ray.ops.analytics import (
         weighted_sample)
     timed("weighted_sample", lambda: weighted_sample(

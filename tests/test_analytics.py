@@ -615,6 +615,46 @@ def test_shipping_priority_q3_hand_case(ray_session):
         [t.date().isoformat() for t in oracle["o_orderdate"]]
 
 
+def test_user_window_functions_hand_case(ray_session):
+    """Running sum / lag / row-number per user vs DuckDB window
+    functions, including single-event users (delta -1) and ts ties
+    broken by event_id."""
+    import duckdb
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.relational import (
+        USER_WINDOW_SQL, user_window_functions)
+
+    events = pd.DataFrame({
+        "event_id": np.array([1, 2, 3, 4, 5, 6], dtype="int64"),
+        "user_id": np.array([7, 7, 7, 8, 9, 9], dtype="int64"),
+        "ts": pd.to_datetime(
+            ["2024-01-01 00:00:00", "2024-01-01 00:00:10",
+             "2024-01-01 00:00:10",  # tie with event 2 -> event_id order
+             "2024-01-02 00:00:00", "2024-01-03 00:00:00",
+             "2024-01-03 00:00:01"]).astype("datetime64[us]"),
+        "value": [1.0, 2.5, 0.5, 10.0, 3.0, 4.0],
+    })
+    out = (user_window_functions(rd.from_pandas(events).repartition(3),
+                                 num_buckets=5)
+           .to_pandas().sort_values(["user_id", "seq"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", events)
+    oracle = (con.execute(USER_WINDOW_SQL).fetchdf()
+              .sort_values(["user_id", "seq"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out[["event_id", "user_id", "seq", "cum_value_c", "delta_us"]],
+        oracle[["event_id", "user_id", "seq", "cum_value_c", "delta_us"]])
+    # spot pins: user 7 cumsum 100, 350, 400; tie kept event 2 before 3;
+    # first event of each user has delta -1
+    u7 = out[out["user_id"] == 7]
+    assert u7["cum_value_c"].tolist() == [100, 350, 400]
+    assert u7["event_id"].tolist() == [1, 2, 3]
+    assert u7["delta_us"].tolist() == [-1, 10_000_000, 0]
+    assert out[out["seq"] == 1]["delta_us"].unique().tolist() == [-1]
+
+
 def test_weighted_sample_rates_and_determinism(ray_session):
     """Keep decisions follow the per-row md5 threshold exactly (local
     recomputation), rates clip to [min, 1000], and weight=scale keeps
