@@ -481,6 +481,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def dsir_select_q(sf):
+        # DSIR importance resampling toward the zh-language slice —
+        # hashed-gram features, approximate by design -> rows-only
+        # oracle; weights pinned vs a pure-Python reference in
+        # tests/test_dsir.py
+        from automatic_reference_extractor_ray.ops.dsir import dsir_select
+        raw = _read(sf, "documents", ["doc_id", "text", "lang"])
+        target = raw.map_batches(lambda b: b[b["lang"] == "zh"],
+                                 batch_format="pandas")
+        return dsir_select(raw, target, k=100, n_buckets=4096)
+
     def events_window_q(sf):
         from automatic_reference_extractor_ray.ops.relational import (
             user_window_functions)
@@ -755,6 +766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": bm25_search_q,
         "q3_shipping": q3_shipping_q,
         "events_window": events_window_q,
+        "dsir_select": dsir_select_q,
         "build_postings": build_postings_q,
         "lm_score": lm_score_q,
         "ann_pq": ann_pq_q,

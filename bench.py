@@ -290,6 +290,14 @@ def run_bench() -> dict:
     timed("bm25_search", lambda: len(bm25_topk(
         read("documents", ["doc_id", "text"]),
         ["merge", "spark", "window"], k=10)))
+    from automatic_reference_extractor_ray.ops.dsir import dsir_select
+
+    def _dsir():
+        raw = read("documents", ["doc_id", "text", "lang"])
+        target = raw.map_batches(lambda b: b[b["lang"] == "zh"],
+                                 batch_format="pandas")
+        return len(dsir_select(raw, target, k=100, n_buckets=4096))
+    timed("dsir_select", _dsir)
 
     result = {
         "metric": "e2e_extract_sec",
