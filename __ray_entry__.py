@@ -415,6 +415,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from automatic_reference_extractor_ray.ops.dedup import dedup_corpus
         return dedup_corpus(_docs_table(sf), tau=JACCARD_TAU)
 
+    def dedup_keep_best_q(sf):
+        from automatic_reference_extractor_ray.ops.dedup import (
+            dedup_corpus_keep_best)
+        return dedup_corpus_keep_best(_docs_table(sf), tau=JACCARD_TAU)
+
     def scrub_dup_lines_q(sf):
         from automatic_reference_extractor_ray.ops.textstats import (
             scrub_dup_lines)
@@ -767,6 +772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping": q3_shipping_q,
         "events_window": events_window_q,
         "dsir_select": dsir_select_q,
+        "dedup_keep_best": dedup_keep_best_q,
         "build_postings": build_postings_q,
         "lm_score": lm_score_q,
         "ann_pq": ann_pq_q,
@@ -1171,6 +1177,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.text
             FROM documents d JOIN comp c ON d.doc_id = c.doc_id
             WHERE c.doc_id = c.component_id""",
+        "dedup_keep_best": f"""
+            WITH RECURSIVE tok AS (
+              SELECT doc_id, unnest(list_distinct({TOK})) AS token FROM documents),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+              SELECT t1.doc_id AS a, t2.doc_id AS b, COUNT(*) AS i
+              FROM tok t1 JOIN tok t2
+                ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_TAU}),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+            walk(node, label) AS (
+                SELECT doc_id, doc_id FROM documents
+              UNION
+                SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node),
+            comp AS (
+              SELECT node AS doc_id, MIN(label) AS component_id
+              FROM walk GROUP BY node),
+            ranked AS (
+              SELECT c.doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY c.component_id
+                       ORDER BY COALESCE(length(d.text), 0) DESC,
+                                c.doc_id ASC) AS rn
+              FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+            SELECT d.doc_id, d.text
+            FROM documents d JOIN ranked r ON d.doc_id = r.doc_id
+            WHERE r.rn = 1""",
         "dedup_embedding": f"""
             SELECT e1.vec_id AS a, e2.vec_id AS b
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id

@@ -1425,6 +1425,62 @@ def dedup_corpus(docs, pairs=None, tau: float = 0.9,
         num_buckets=num_buckets, how="semi")
 
 
+def dedup_corpus_keep_best(docs, pairs=None, tau: float = 0.9,
+                           num_buckets: int | None = None):
+    """Near-duplicate removal keeping the BEST copy per cluster, not
+    the min-id one: among each connected component of the near-dup
+    graph the survivor is the document with the most characters
+    (ties → smallest doc_id).  Web crawls hold the same page as a
+    full capture and several truncated ones — a curation job wants
+    the longest copy, and "min id" picks arbitrarily.
+
+    Same machinery as ``dedup_corpus`` (pair generation → connected
+    components) with an argmax stage in place of the min-id keeper:
+
+    - per-batch (doc_id, n_chars) partials join the component labels
+      through one bucketed hash join on doc_id;
+    - one bucketed groupby on component_id runs the per-component
+      argmax (a component's rows land whole in one bucket);
+    - survivors semi-join back to the full doc rows.
+
+    → the surviving ``documents`` rows (doc_id, text).
+    """
+    from .shuffle import bucketed_groupby, bucketed_join
+
+    if pairs is None:
+        pairs = jaccard_pairs(docs, tau=tau)
+    dt = _doc_key_dtype(docs)
+    comp = dedup_components(docs, pairs)
+
+    lengths = docs.map_batches(
+        lambda d: pd.DataFrame({
+            "doc_id": d["doc_id"],
+            "n_chars": d["text"].fillna("").str.len().astype("int64")}),
+        batch_format="pandas")
+    labeled = bucketed_join(
+        lengths,
+        comp.map_batches(lambda d: d[["doc_id", "component_id"]],
+                         batch_format="pandas"),
+        on="doc_id",
+        left_schema={"doc_id": dt, "n_chars": "int64"},
+        right_schema={"doc_id": dt, "component_id": dt},
+        num_buckets=num_buckets, how="inner")
+
+    def argmax(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["component_id", "n_chars", "doc_id"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        return (pdf.groupby("component_id", sort=False).head(1)
+                [["doc_id"]].reset_index(drop=True))
+
+    best = bucketed_groupby(labeled, "component_id", argmax, num_buckets)
+    return bucketed_join(
+        docs, best, on="doc_id",
+        left_schema={"doc_id": dt, "text": "object"},
+        right_schema={"doc_id": dt},
+        num_buckets=num_buckets, how="semi")
+
+
 # ------------------------------------------------- semantic dedup
 
 def semantic_dedup(embeddings, k: int = 8, n_iter: int = 10,

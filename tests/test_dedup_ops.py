@@ -281,6 +281,41 @@ def test_dedup_corpus_keeps_one_per_cluster(ray_session):
     assert out2["doc_id"].tolist() == [1, 4, 5]
 
 
+def test_dedup_corpus_keep_best_prefers_longest(ray_session):
+    """Keep-best removal retains the LONGEST copy per cluster (ties →
+    min id), not the min-id one; singletons always survive."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.dedup import (
+        dedup_corpus_keep_best)
+
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 4, 5, 6], dtype="int64"),
+        "text": ["alpha beta gamma delta",
+                 "alpha beta gamma delta PLUS A LONGER TAIL",  # longest
+                 "unrelated text entirely",
+                 "epsilon zeta eta theta",       # tie cluster {4,5}
+                 "epsilon zeta eta thetaX",      # same length as 4 +1
+                 None],                          # null text singleton
+    })
+    # explicit pair stream so cluster membership is exact: {1,2}, {4,5}
+    pairs = rd.from_pandas(pd.DataFrame(
+        {"a": np.array([1, 4], dtype="int64"),
+         "b": np.array([2, 5], dtype="int64")}))
+    out = (dedup_corpus_keep_best(rd.from_pandas(df).repartition(3),
+                                  pairs=pairs)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # cluster {1,2}: 2 is longer -> survives; {4,5}: 5 longer by 1 char
+    assert out["doc_id"].tolist() == [2, 3, 5, 6]
+
+    # exact tie -> min id: make 4 and 5 equal length
+    df2 = df.copy()
+    df2.loc[4, "text"] = "epsilon zeta eta theta"
+    out2 = (dedup_corpus_keep_best(rd.from_pandas(df2), pairs=pairs)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out2["doc_id"].tolist() == [2, 3, 4, 6]
+
+
 def test_semantic_dedup_tile_size_invariant(ray_session):
     """The chunked prune (memory-bounded cosine tiles) must produce
     byte-identical verdicts at any tile size, including tiles smaller
