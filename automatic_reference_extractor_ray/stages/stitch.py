@@ -86,7 +86,16 @@ def stitch_records(records, num_buckets: int | None = None,
         except Exception:                                  # noqa: BLE001
             cpus = 16
         records = records.repartition(2 * cpus, shuffle=False)
-    return (records.map_batches(lambda t: _add_bucket(t, nb),
-                                batch_format="pyarrow")
+    def add_bucket(t: pa.Table):
+        # repartition's splitter pads with ZERO-COLUMN empty blocks
+        # when a split slot gets no rows; they carry no schema and
+        # would ride the whole sort as "RefBundle with a different
+        # schema" executor noise — a generator UDF that yields nothing
+        # deletes them from the stream (typed empties pass through)
+        if t.num_columns == 0:
+            return
+        yield _add_bucket(t, nb)
+
+    return (records.map_batches(add_bucket, batch_format="pyarrow")
             .groupby(BUCKET_COL)
             .map_groups(_stitch_bucket, batch_format="pyarrow"))
