@@ -54,8 +54,13 @@ tradition), and Springer LNCS proceedings ("Author: Title. In:
 Proceedings of …, pp. 45-67. Springer, Berlin (1999)." — the
 proceedings name is level m and drops), Nature style ("Smith, J. &
 Jones, B. Title. Journal 12, 45-67 (1999)." — no year in the head,
-"&" lists), and CSE name-year ("Smith J, Jones B. 1999. Title.
-Journal 12(3):45-67." — dotless tokens, year after the head).
+"&" lists), CSE name-year ("Smith J, Jones B. 1999. Title.
+Journal 12(3):45-67." — dotless tokens, year after the head), ACS
+("Smith, A. B.; Jones, C. Title. Journal 1999, 12, 45-67." — the
+year between journal and volume), APS letters ("A. Smith and
+B. Jones, Journal 12, 4567 (1999)." — no title at all), and the ACM
+reference format ("Anne Smith and Ben Jones. 1999. Title. In
+Proceedings of …. Publisher, City, 45-67." — full dotless names).
 Anything else degrades to year/sentence heuristics.
 """
 
@@ -290,6 +295,42 @@ _T36 = re.compile(
     r"(?P<journal>[^\d(]+?) (?P<vol>\d+)\((?P<iss>\d+)\):"
     r"(?P<p1>\d+)-(?P<p2>\d+)\.$")
 
+# T37 ACS chemistry style: "Miller, A. B.; Kim, C. Title. Journal
+# Name 1999, 12, 45-67." — semicolon author list of inverted
+# initialed names, NO year in the head, and the year sits between the
+# journal and the volume (print renders it bold).  The year-before-
+# volume run is the anchor no other shape carries.
+_T37 = re.compile(
+    r"^(?P<auth>[A-Z][a-z]+, [A-Z]\.(?: [A-Z]\.)?"
+    r"(?:; [A-Z][a-z]+, [A-Z]\.(?: [A-Z]\.)?)*) "
+    r"(?P<title>[^.]+)\. (?P<journal>[^\d,]+?) "
+    r"(?P<year>(?:19|20)\d{2}), (?P<vol>\d+), "
+    r"(?P<p1>\d+)-(?P<p2>\d+)\.$")
+
+# T38 APS/Physical Review letters style: "A. Miller and B. Kim,
+# Journal Name 12, 4567 (1999)." — NO TITLE AT ALL (physics letters
+# cite without one), forename-first initialed names joined by "and",
+# one comma after the author head, from-only page, trailing
+# parenthesized year.  Title stays EMPTY — the only template whose
+# ground truth has no title field.
+_T38 = re.compile(
+    r"^(?P<auth>[A-Z]\. [A-Z][a-z]+(?: and [A-Z]\. [A-Z][a-z]+)*), "
+    r"(?P<journal>[^\d,]+?) (?P<vol>\d+), (?P<p1>\d+) "
+    r"\((?P<year>(?:19|20)\d{2})\)\.$")
+
+# T39 ACM reference format: "Anne Miller and Ben Schmidt. 1999.
+# Title. In Proceedings of the 5th Conference on X. Publisher, City,
+# 45-67." — dotless forename-first FULL names (each stays one author),
+# the year right after the author head (the T36 position), the
+# proceedings name is level m and DROPS (the T9/T20 rule),
+# publisher/place map, trailing page range.
+_T39 = re.compile(
+    r"^(?P<auth>[A-Z][a-z]+ [A-Z][a-z]+(?: and [A-Z][a-z]+ [A-Z][a-z]+)*)\. "
+    r"(?P<year>(?:19|20)\d{2})\. (?P<title>[^.]+)\. "
+    r"In Proceedings of (?P<conf>[^.]+)\. "
+    r"(?P<publisher>[^,]+), (?P<loc>[^,]+), "
+    r"(?P<p1>\d+)-(?P<p2>\d+)\.$")
+
 # T26 Chicago bibliography article: 'Miller, Anne. "Title." Journal
 # Name 12, no. 3 (1999): 45-67.' — fully-spelled inverted name
 # (stays ONE author), quoted title with its period INSIDE the quotes
@@ -436,7 +477,7 @@ def parse_fields(raw: str) -> dict[str, object]:
 
 
 def parse_fields_ex(raw: str) -> tuple[dict[str, object], str]:
-    """``parse_fields`` plus the matched template shape ("T1".."T36",
+    """``parse_fields`` plus the matched template shape ("T1".."T39",
     "+doi"/"+url"/"+arxiv"-suffixed when a trailing identifier was
     stripped, or "fallback")
     — the fallback-path hit-rate counter lineage metrics
@@ -629,6 +670,29 @@ def _match_templates(s: str) -> tuple[dict[str, object], str]:
                  journal=m["journal"], date=m["year"], volume=m["vol"],
                  pages=f"{m['p1']}-{m['p2']}")
         return f, "T35"
+    m = _T37.match(s)
+    if m:
+        # ACS: semicolon list, year between journal and volume
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 journal=m["journal"], date=m["year"], volume=m["vol"],
+                 pages=f"{m['p1']}-{m['p2']}")
+        return f, "T37"
+    m = _T38.match(s)
+    if m:
+        # APS letters: NO title; forename-first "and" list, from-only
+        # page, trailing paren year
+        f.update(authors=_split_authors(m["auth"]), title="",
+                 journal=m["journal"], date=m["year"], volume=m["vol"],
+                 pages=m["p1"])
+        return f, "T38"
+    m = _T39.match(s)
+    if m:
+        # ACM: full dotless names, year after the head, proceedings
+        # name (level m) drops, publisher/place/pages map
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 date=m["year"], publisher=m["publisher"],
+                 location=m["loc"], pages=f"{m['p1']}-{m['p2']}")
+        return f, "T39"
     m = _T27.match(s)
     if m:
         # Chicago book: "City: Publisher, year." imprint

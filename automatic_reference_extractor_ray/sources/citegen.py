@@ -2,7 +2,7 @@
 fields (FIXTURES.md: "templated citations … so the field tokenizer has
 deterministic ground truth").
 
-Thirty-six template shapes (T1-T36 below), matching the shapes
+Thirty-nine template shapes (T1-T39 below), matching the shapes
 ``functions.fields.parse_fields`` recognizes exactly; the generator
 returns both the raw string and the expected BibStructured field dict,
 so field extraction has an analytic oracle that never calls the parser.
@@ -189,8 +189,18 @@ def gen_citation(rng: np.random.Generator) -> Citation:
            Journal 12(3):45-67.") — dotless author tokens (the
            Vancouver convention) but the year right after the author
            head, colon pages
+      37   T37 ACS ("Smith, A. B.; Jones, C. Title. Journal 1999,
+           12, 45-67.") — semicolon list of inverted initialed
+           names, the year BETWEEN journal and volume
+      38   T38 APS letters ("A. Smith and B. Jones, Journal 12,
+           4567 (1999).") — NO TITLE, forename-first "and" list,
+           from-only page, trailing parenthesized year
+      39   T39 ACM reference format ("Anne Smith and Ben Jones.
+           1999. Title. In Proceedings of the 5th Conference on X.
+           Publisher, City, 45-67.") — full dotless names, year
+           after the head, proceedings name (level m) drops
     """
-    t = int(rng.integers(0, 37))
+    t = int(rng.integers(0, 40))
     year = str(int(rng.integers(1970, 2024)))
     title = _title(rng)
     f = dict(EMPTY_FIELDS)
@@ -519,8 +529,8 @@ def gen_citation(rng: np.random.Generator) -> Citation:
                f"{p1}-{p2} ({year}).")
         f.update(authors=authors, journal=journal, volume=vol,
                  pages=f"{p1}-{p2}")
-    else:  # T36 CSE name-year — dotless author tokens, year right
-        # after the author head, colon pages
+    elif t == 36:  # T36 CSE name-year — dotless author tokens, year
+        # right after the author head, colon pages
         n = int(rng.integers(1, 4))
         authors = [f"{_pick(rng, SURNAMES)} {_pick(rng, INITIALS)}"
                    for _ in range(n)]
@@ -529,6 +539,48 @@ def gen_citation(rng: np.random.Generator) -> Citation:
         raw = (f"{', '.join(authors)}. {year}. {title}. {journal} "
                f"{vol}({iss}):{p1}-{p2}.")
         f.update(authors=authors, journal=journal, volume=vol, issue=iss,
+                 pages=f"{p1}-{p2}")
+    elif t == 37:  # T37 ACS — semicolon list of inverted initialed
+        # names, year BETWEEN journal and volume
+        n = int(rng.integers(1, 4))
+        authors = []
+        for _ in range(n):
+            ini = f"{_pick(rng, INITIALS)}."
+            if rng.integers(0, 2):
+                ini += f" {_pick(rng, INITIALS)}."
+            authors.append(f"{_pick(rng, SURNAMES)}, {ini}")
+        journal, vol, _, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f"{'; '.join(authors)} {title}. {journal} {year}, "
+               f"{vol}, {p1}-{p2}.")
+        f.update(authors=authors, journal=journal, volume=vol,
+                 pages=f"{p1}-{p2}")
+    elif t == 38:  # T38 APS letters — NO TITLE, forename-first "and"
+        # list, from-only page, trailing paren year
+        n = int(rng.integers(1, 3))
+        authors = [f"{_pick(rng, INITIALS)}. {_pick(rng, SURNAMES)}"
+                   for _ in range(n)]
+        journal, vol, _, p1 = journal_bits()
+        raw = (f"{' and '.join(authors)}, {journal} {vol}, "
+               f"{p1} ({year}).")
+        f.update(authors=authors, journal=journal, volume=vol,
+                 pages=str(p1), title="")
+    else:  # T39 ACM reference format — full dotless names, year after
+        # the head, proceedings name (level m) drops, publisher/place/
+        # pages map
+        n = int(rng.integers(1, 3))
+        authors = [f"{_pick(rng, FORENAMES)} {_pick(rng, SURNAMES)}"
+                   for _ in range(n)]
+        nth = int(rng.integers(4, 21))
+        conf = f"the {nth}th Conference on {_pick(rng, CONF_TOPICS)}"
+        publisher = _pick(rng, PUBLISHERS)
+        city = _pick(rng, CITIES)
+        p1 = int(rng.integers(1, 400))
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f"{' and '.join(authors)}. {year}. {title}. "
+               f"In Proceedings of {conf}. {publisher}, {city}, "
+               f"{p1}-{p2}.")
+        f.update(authors=authors, publisher=publisher, location=city,
                  pages=f"{p1}-{p2}")
     return Citation(raw=raw, fields=f)
 

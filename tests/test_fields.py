@@ -565,3 +565,47 @@ def test_t36_cse_name_year():
     assert f["journal"] == "Journal of Document Analysis"
     assert f["date"] == "1999" and f["volume"] == "12"
     assert f["issue"] == "3" and f["pages"] == "45-67"
+
+
+def test_t37_acs_style():
+    from automatic_reference_extractor_ray.functions.fields import (
+        parse_fields_ex)
+    f, shape = parse_fields_ex(
+        "Miller, A. B.; Kim, C. Adaptive spectral methods. Journal of "
+        "Document Analysis 1999, 12, 45-67.")
+    assert shape == "T37"
+    assert f["authors"] == ["Miller, A. B.", "Kim, C."]
+    assert f["title"] == "Adaptive spectral methods"
+    assert f["journal"] == "Journal of Document Analysis"
+    assert f["date"] == "1999" and f["volume"] == "12"
+    assert f["issue"] == "" and f["pages"] == "45-67"
+
+
+def test_t38_aps_letters_no_title():
+    from automatic_reference_extractor_ray.functions.fields import (
+        parse_fields_ex)
+    f, shape = parse_fields_ex(
+        "A. Miller and B. Kim, Journal of Document Analysis 12, "
+        "4567 (1999).")
+    assert shape == "T38"
+    assert f["authors"] == ["A. Miller", "B. Kim"]
+    assert f["title"] == ""                    # physics letters: none
+    assert f["journal"] == "Journal of Document Analysis"
+    assert f["date"] == "1999" and f["volume"] == "12"
+    assert f["pages"] == "4567"                # from-only page
+
+
+def test_t39_acm_reference_format():
+    from automatic_reference_extractor_ray.functions.fields import (
+        parse_fields_ex)
+    f, shape = parse_fields_ex(
+        "Anne Miller and Ben Schmidt. 1999. Adaptive spectral methods. "
+        "In Proceedings of the 5th Conference on Web Search. "
+        "Academic Press, Boston, 45-67.")
+    assert shape == "T39"
+    assert f["authors"] == ["Anne Miller", "Ben Schmidt"]  # one each
+    assert f["title"] == "Adaptive spectral methods"
+    assert f["journal"] == ""        # proceedings name is level m
+    assert f["publisher"] == "Academic Press"
+    assert f["location"] == "Boston"
+    assert f["date"] == "1999" and f["pages"] == "45-67"
