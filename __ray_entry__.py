@@ -492,9 +492,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle; weights pinned vs a pure-Python reference in
         # tests/test_dsir.py
         from automatic_reference_extractor_ray.ops.dsir import dsir_select
+        from automatic_reference_extractor_ray.ops.shuffle import (
+            typed_empty_if_blank)
         raw = _read(sf, "documents", ["doc_id", "text", "lang"])
-        target = raw.map_batches(lambda b: b[b["lang"] == "zh"],
-                                 batch_format="pandas")
+        target = raw.map_batches(
+            lambda b: typed_empty_if_blank(b[b["lang"] == "zh"]),
+            batch_format="pandas")
         return dsir_select(raw, target, k=100, n_buckets=4096)
 
     def events_window_q(sf):

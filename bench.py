@@ -293,9 +293,12 @@ def run_bench() -> dict:
     from automatic_reference_extractor_ray.ops.dsir import dsir_select
 
     def _dsir():
+        from automatic_reference_extractor_ray.ops.shuffle import (
+            typed_empty_if_blank)
         raw = read("documents", ["doc_id", "text", "lang"])
-        target = raw.map_batches(lambda b: b[b["lang"] == "zh"],
-                                 batch_format="pandas")
+        target = raw.map_batches(
+            lambda b: typed_empty_if_blank(b[b["lang"] == "zh"]),
+            batch_format="pandas")
         return len(dsir_select(raw, target, k=100, n_buckets=4096))
     timed("dsir_select", _dsir)
 
