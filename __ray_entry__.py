@@ -506,6 +506,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return user_window_functions(
             _read(sf, "events", ["user_id", "ts", "event_id", "value"]))
 
+    def events_high_balance_q(sf):
+        # bloom-prefiltered exact semi join: events of users whose
+        # customer record has a high balance — the sketch drops ~80%
+        # of the fact rows before the exchange, the exact join clears
+        # the false positives
+        from automatic_reference_extractor_ray.ops.relational import (
+            bloom_semi_join)
+        events = _read(sf, "events", ["event_id", "user_id"])
+        keys = _read(sf, "customer", ["c_custkey", "c_acctbal"]) \
+            .map_batches(
+                lambda b: pd.DataFrame({
+                    "user_id": b.loc[b["c_acctbal"] > 8000.0,
+                                     "c_custkey"].astype("int64")}),
+                batch_format="pandas")
+        return bloom_semi_join(
+            events, keys, on="user_id",
+            left_schema={"event_id": "int64", "user_id": "int64"},
+            right_schema={"user_id": "int64"}, how="semi")
+
     def q3_shipping_q(sf):
         from automatic_reference_extractor_ray.ops.relational import (
             shipping_priority)
@@ -776,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": events_window_q,
         "dsir_select": dsir_select_q,
         "dedup_keep_best": dedup_keep_best_q,
+        "events_high_balance": events_high_balance_q,
         "build_postings": build_postings_q,
         "lm_score": lm_score_q,
         "ann_pq": ann_pq_q,
@@ -1244,6 +1264,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "q3_shipping": _q3_sql(),
         "events_window": _events_window_sql(),
+        "events_high_balance": """
+            SELECT event_id, user_id FROM events e
+            WHERE EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = e.user_id
+                            AND c.c_acctbal > 8000.0)""",
         "top_customers": """
             WITH agg AS (
               SELECT o_custkey,

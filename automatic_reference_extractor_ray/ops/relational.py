@@ -394,6 +394,89 @@ def events_sliding(events, win_minutes: int = 30, slide_minutes: int = 10):
         {"n": ("n", "sum"), "sum_value_c": ("sum_value_c", "sum")})
 
 
+def bloom_semi_join(left, right, on: str,
+                    left_schema: dict[str, str],
+                    right_schema: dict[str, str],
+                    how: str = "semi",
+                    m_bits: int = 1 << 22, k_hashes: int = 4,
+                    num_buckets: int | None = None):
+    """Exact distributed semi/anti join with a Bloom pre-filter on the
+    LEFT side — the shuffle-row-reduction pattern for "big fact ⋈
+    selective dimension": right keys build a broadcast sketch
+    (per-block partial bitmaps, streaming driver OR-reduce — the
+    ``decontaminate_bloom`` machinery), and left rows whose key
+    CANNOT be in right never enter the exchange.  The exact bucketed
+    join then resolves the sketch's false positives, so output is
+    bit-identical to ``bucketed_join(how=...)`` — the bloom only cuts
+    shuffled bytes (by the left's non-matching fraction, the dominant
+    term when the dimension is selective).
+
+    ``semi``: bloom-fail rows are guaranteed non-members → dropped
+    before the exchange.  ``anti``: bloom-fail rows are guaranteed
+    RESULT rows → emitted directly (no exchange at all for them);
+    only possible-members go through the exact anti join.
+
+    At 100 TB: the sketch is m_bits/8 bytes (512 KiB default)
+    regardless of corpus size; size m to the right's key count
+    (~10 bits/key for ~1% false-positive rate).
+    """
+    import ray
+
+    from .shuffle import bucketed_join, canon_series, typed_empty_if_blank
+    from .textstats import _bloom_positions
+
+    if how not in ("semi", "anti"):
+        raise ValueError(f"bloom pre-filter only applies to semi/anti, "
+                         f"got {how!r}")
+    dt = left_schema[on]
+    n_bytes = m_bits // 8
+
+    def key_hashes(s: pd.Series) -> np.ndarray:
+        # dtype-canonical (the bucketed-join rule): equal key VALUES
+        # must hash equally on both sides across Arrow/pandas flips
+        return pd.util.hash_array(canon_series(s, dt).to_numpy())
+
+    def partial_bitmap(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"bitmap": pd.Series([], dtype=object)})
+        bits = np.zeros(m_bits, dtype=bool)
+        for idx in _bloom_positions(key_hashes(b[on]), m_bits, k_hashes):
+            bits[idx] = True
+        return pd.DataFrame({"bitmap": [np.packbits(bits).tobytes()]})
+
+    merged = np.zeros(n_bytes, dtype=np.uint8)
+    partials = right.map_batches(partial_bitmap, batch_format="pandas")
+    for pdf in partials.iter_batches(batch_size=None,
+                                     batch_format="pandas"):
+        for buf in pdf["bitmap"]:            # one small row per block
+            merged |= np.frombuffer(buf, dtype=np.uint8)
+    sketch_ref = ray.put(merged.tobytes())
+
+    def split(keep_possible: bool):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            bits = np.unpackbits(
+                np.frombuffer(ray.get(sketch_ref), dtype=np.uint8)
+            ).view(bool)
+            ok = np.ones(len(b), dtype=bool)
+            if len(b):
+                for idx in _bloom_positions(key_hashes(b[on]),
+                                            m_bits, k_hashes):
+                    ok &= bits[idx]
+            out = b[ok] if keep_possible else b[~ok]
+            return typed_empty_if_blank(out.reset_index(drop=True))
+        return f
+
+    possible = left.map_batches(split(True), batch_format="pandas")
+    exact = bucketed_join(possible, right, on=on,
+                          left_schema=left_schema,
+                          right_schema=right_schema,
+                          num_buckets=num_buckets, how=how)
+    if how == "semi":
+        return exact
+    definite = left.map_batches(split(False), batch_format="pandas")
+    return exact.union(definite)
+
+
 def user_window_functions(events, num_buckets: int | None = None):
     """Per-user window functions over the event stream — running sum,
     previous-event lag, and row number — i.e. the SQL

@@ -163,6 +163,22 @@ def run_bench() -> dict:
         user_window_functions)
     timed("events_window", lambda: user_window_functions(
         read("events", ["user_id", "ts", "event_id", "value"])).count())
+    from automatic_reference_extractor_ray.ops.relational import (
+        bloom_semi_join)
+
+    def _bloom_semi():
+        import pandas as _pd
+        events = read("events", ["event_id", "user_id"])
+        keys = read("customer", ["c_custkey", "c_acctbal"]).map_batches(
+            lambda b: _pd.DataFrame({
+                "user_id": b.loc[b["c_acctbal"] > 8000.0,
+                                 "c_custkey"].astype("int64")}),
+            batch_format="pandas")
+        return bloom_semi_join(
+            events, keys, on="user_id",
+            left_schema={"event_id": "int64", "user_id": "int64"},
+            right_schema={"user_id": "int64"}, how="semi").count()
+    timed("events_high_balance", _bloom_semi)
     from automatic_reference_extractor_ray.ops.analytics import (
         weighted_sample)
     timed("weighted_sample", lambda: weighted_sample(

