@@ -74,6 +74,17 @@ def _bm25_sql() -> str:
     return bm25_topk_sql(_BM25_TERMS, k=10)
 
 
+def _pagerank_sql() -> str:
+    from automatic_reference_extractor_ray.ops.graph import pagerank_sql
+    return pagerank_sql("documents", "doc_id", n_iter=5)
+
+
+def _events_histogram_sql() -> str:
+    from automatic_reference_extractor_ray.ops.analytics import (
+        value_histogram_sql)
+    return value_histogram_sql("events", "value", 0.0, 500.0, 25)
+
+
 def _q3_sql() -> str:
     from automatic_reference_extractor_ray.ops.relational import (
         shipping_priority_sql)
@@ -486,6 +497,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def events_histogram_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import value_histogram
+        return value_histogram(_read(sf, "events", ["value"]),
+                               "value", 0.0, 500.0, 25)
+
+    def pagerank_q(sf):
+        from automatic_reference_extractor_ray.ops.graph import (
+            pagerank, quantize_rank, synthetic_link_edges)
+        nodes = _read(sf, "documents", ["doc_id"]).map_batches(
+            lambda b: b.rename(columns={"doc_id": "node"}),
+            batch_format="pandas")
+        n = _read(sf, "documents", ["doc_id"]).count()
+        return quantize_rank(
+            pagerank(nodes, synthetic_link_edges(nodes, n), n,
+                     n_iter=5).to_pandas())
+
     def dsir_select_q(sf):
         # DSIR importance resampling toward the zh-language slice —
         # hashed-gram features, approximate by design -> rows-only
@@ -790,6 +817,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "pagerank": pagerank_q,
+        "events_histogram": events_histogram_q,
         "bm25_search": bm25_search_q,
         "q3_shipping": q3_shipping_q,
         "events_window": events_window_q,
@@ -1263,6 +1292,8 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "q3_shipping": _q3_sql(),
+        "pagerank": _pagerank_sql(),
+        "events_histogram": _events_histogram_sql(),
         "events_window": _events_window_sql(),
         "events_high_balance": """
             SELECT event_id, user_id FROM events e

@@ -84,9 +84,13 @@ _EXPORTS = {
     "build_postings": "ops.postings",
     "fit_bigram_lm": "ops.lm",
     "lm_score": "ops.lm",
+    # graph
+    "pagerank": "ops.graph",
+    "synthetic_link_edges": "ops.graph",
     # analytics / sampling
     "grouped_distinct_count": "ops.analytics",
     "grouped_quantiles": "ops.analytics",
+    "value_histogram": "ops.analytics",
     "approx_quantiles": "ops.analytics",
     "approx_distinct": "ops.analytics",
     "grouped_approx_distinct": "ops.analytics",

@@ -57,6 +57,69 @@ def grouped_distinct_count(ds, key: str | list[str], val: str,
                         num_buckets)
 
 
+# ----------------------------------------------------- exact histogram
+
+def value_histogram(ds, col: str, lo: float, hi: float, n_bins: int = 20):
+    """Exact fixed-bin histogram of ``col`` over [lo, hi) → pandas
+    (bin, lo_edge, hi_edge, n), exactly ``n_bins`` rows (empty bins
+    included), out-of-range values clamped into the edge bins — the
+    LEAST/GREATEST semantics of the SQL oracle, bit-exact because both
+    sides run the same IEEE double ops (w = (hi-lo)/n_bins, then
+    floor((v-lo)/w)).
+
+    The canonical map-side-combine aggregate: every block collapses to
+    at most ``n_bins`` (bin, n) partial rows inside ``map_batches``
+    (one C ``np.bincount`` per batch), and the driver folds the
+    ≤ #blocks × n_bins bounded partial stream — no shuffle at any
+    corpus size, and the only driver-side state is one int64[n_bins]
+    array.  ``col`` must be non-null (the synthetic tables are; a NULL
+    would raise rather than silently land in a bin).
+    """
+    lo = float(lo)
+    hi = float(hi)
+    w = (hi - lo) / n_bins
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[col].to_numpy(dtype=np.float64)
+        b = np.clip(np.floor((v - lo) / w), 0, n_bins - 1).astype(np.int64)
+        counts = np.bincount(b, minlength=n_bins)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame({"bin": nz.astype("int64"),
+                             "n": counts[nz].astype("int64")})
+
+    total = np.zeros(n_bins, dtype=np.int64)
+    for part_df in (ds.map_batches(part, batch_format="pandas")
+                    .iter_batches(batch_format="pandas")):
+        np.add.at(total, part_df["bin"].to_numpy(), part_df["n"].to_numpy())
+    bins = np.arange(n_bins, dtype=np.int64)
+    return pd.DataFrame({"bin": bins,
+                         "lo_edge": lo + bins * w,
+                         "hi_edge": lo + (bins + 1) * w,
+                         "n": total})
+
+
+def value_histogram_sql(table: str, col: str, lo: float, hi: float,
+                        n_bins: int = 20) -> str:
+    """DuckDB oracle for ``value_histogram`` — same double constants
+    (repr-embedded, shortest-roundtrip), same floor/clamp, empty bins
+    materialized via generate_series."""
+    lo_r, w_r = repr(float(lo)), repr((float(hi) - float(lo)) / n_bins)
+    return f"""
+        WITH h AS (
+          SELECT LEAST(GREATEST(CAST(FLOOR(({col} - {lo_r}) / {w_r})
+                                     AS BIGINT), 0), {n_bins - 1}) AS bin,
+                 COUNT(*) AS n
+          FROM {table} GROUP BY 1)
+        SELECT b.bin,
+               {lo_r} + CAST(b.bin AS DOUBLE) * {w_r} AS lo_edge,
+               {lo_r} + CAST(b.bin + 1 AS DOUBLE) * {w_r} AS hi_edge,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+        FROM (SELECT CAST(x AS BIGINT) AS bin
+              FROM generate_series(0, {n_bins - 1}) t(x)) b
+        LEFT JOIN h USING (bin)
+        ORDER BY b.bin"""
+
+
 # -------------------------------------------------- discrete quantiles
 
 def grouped_quantiles(ds, key: str, col: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
