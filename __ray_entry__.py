@@ -149,8 +149,10 @@ def _sample_sql() -> str:
 
 def _ensure_oracle_tables() -> None:
     from automatic_reference_extractor_ray.sources.goldens import write_oracle_tables
+    from automatic_reference_extractor_ray.sources.webgen import write_web_tables
     for sf in ("/root/testdata/sf0.01", SF001):
         write_oracle_tables(sf)
+        write_web_tables(sf)
 
 
 def _docs(sf_dir: str):
@@ -497,6 +499,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def main_content_q(sf):
+        from automatic_reference_extractor_ray.ops.webextract import (
+            extract_main_dataset)
+        from automatic_reference_extractor_ray.sources.webgen import (
+            write_web_tables)
+        d = write_web_tables(sf)
+        from automatic_reference_extractor_ray.sources.readers import (
+            read_parquet_clean)
+        return extract_main_dataset(read_parquet_clean(f"{d}/pages.parquet"))
+
     def events_histogram_q(sf):
         from automatic_reference_extractor_ray.ops.analytics import value_histogram
         return value_histogram(_read(sf, "events", ["value"]),
@@ -817,6 +829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "main_content": main_content_q,
         "pagerank": pagerank_q,
         "events_histogram": events_histogram_q,
         "bm25_search": bm25_search_q,
@@ -1292,6 +1305,11 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "q3_shipping": _q3_sql(),
+        # construction-time golden (sources/webgen.py) — written by the
+        # generator's page plan, never by the extractor under test
+        "main_content": """
+            SELECT doc_id, main_text, n_blocks
+            FROM read_parquet('/tmp/arx_web/sf0.01/golden_main.parquet')""",
         "pagerank": _pagerank_sql(),
         "events_histogram": _events_histogram_sql(),
         "events_window": _events_window_sql(),

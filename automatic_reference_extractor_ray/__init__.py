@@ -87,6 +87,9 @@ _EXPORTS = {
     # graph
     "pagerank": "ops.graph",
     "synthetic_link_edges": "ops.graph",
+    # main-content extraction (HTML boilerplate strip)
+    "extract_main_content": "ops.webextract",
+    "extract_main_dataset": "ops.webextract",
     # analytics / sampling
     "grouped_distinct_count": "ops.analytics",
     "grouped_quantiles": "ops.analytics",
