@@ -499,6 +499,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def quality_classifier_q(sf):
+        # fastText-style linear quality classifier: bounded-sample
+        # Adagrad logistic fit (predict lang=='en' from hashed
+        # uni+bigram features), corpus-scale broadcast scoring —
+        # approximate by design (hashed features, iterative fit) ->
+        # rows-only oracle; the fit is pinned against an independent
+        # pure-Python reference in tests/test_classifier.py
+        from automatic_reference_extractor_ray.ops.classifier import (
+            quality_classifier)
+        docs = _read(sf, "documents", ["doc_id", "text", "lang"])
+        labeled = docs.map_batches(
+            lambda b: b.assign(label=(b["lang"] == "en").astype("int64"))
+            [["doc_id", "text", "label"]],
+            batch_format="pandas")
+        return quality_classifier(labeled, "label", fit_sample=2048)
+
     def main_content_q(sf):
         from automatic_reference_extractor_ray.ops.webextract import (
             extract_main_dataset)
@@ -829,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "quality_classifier": quality_classifier_q,
         "main_content": main_content_q,
         "pagerank": pagerank_q,
         "events_histogram": events_histogram_q,

@@ -90,6 +90,10 @@ _EXPORTS = {
     # main-content extraction (HTML boilerplate strip)
     "extract_main_content": "ops.webextract",
     "extract_main_dataset": "ops.webextract",
+    # linear quality classifier (bounded-sample fit, corpus scoring)
+    "fit_logreg": "ops.classifier",
+    "logreg_score": "ops.classifier",
+    "quality_classifier": "ops.classifier",
     # analytics / sampling
     "grouped_distinct_count": "ops.analytics",
     "grouped_quantiles": "ops.analytics",

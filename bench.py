@@ -317,6 +317,43 @@ def run_bench() -> dict:
             batch_format="pandas")
         return len(dsir_select(raw, target, k=100, n_buckets=4096))
     timed("dsir_select", _dsir)
+    from automatic_reference_extractor_ray.ops.analytics import (
+        value_histogram)
+    timed("events_histogram", lambda: len(value_histogram(
+        read("events", ["value"]), "value", 0.0, 500.0, 25)))
+    from automatic_reference_extractor_ray.ops.graph import (
+        pagerank, quantize_rank, synthetic_link_edges)
+
+    def _pagerank():
+        nodes = read("documents", ["doc_id"]).map_batches(
+            lambda b: b.rename(columns={"doc_id": "node"}),
+            batch_format="pandas")
+        n = read("documents", ["doc_id"]).count()
+        return len(quantize_rank(pagerank(
+            nodes, synthetic_link_edges(nodes, n), n, n_iter=5).to_pandas()))
+    timed("pagerank", _pagerank)
+    from automatic_reference_extractor_ray.ops.webextract import (
+        extract_main_dataset)
+    from automatic_reference_extractor_ray.sources.webgen import (
+        write_web_tables)
+
+    def _main_content():
+        from automatic_reference_extractor_ray.sources.readers import (
+            read_parquet_clean)
+        d = write_web_tables(SF_DIR)
+        return extract_main_dataset(
+            read_parquet_clean(f"{d}/pages.parquet")).count()
+    timed("main_content", _main_content)
+    from automatic_reference_extractor_ray.ops.classifier import (
+        quality_classifier as _qc)
+
+    def _quality_classifier():
+        labeled = read("documents", ["doc_id", "text", "lang"]).map_batches(
+            lambda b: b.assign(label=(b["lang"] == "en").astype("int64"))
+            [["doc_id", "text", "label"]],
+            batch_format="pandas")
+        return _qc(labeled, "label", fit_sample=2048).count()
+    timed("quality_classifier", _quality_classifier)
 
     result = {
         "metric": "e2e_extract_sec",
