@@ -76,18 +76,49 @@ def test_pagerank_invariants(ray_session, nodes_ds):
 
 
 def test_pagerank_bucket_invariant(ray_session, nodes_ds):
+    # dense_threshold=0 forces the distributed bucketed plan (the
+    # above-threshold scale path) — result must not depend on the
+    # bucket count
     from automatic_reference_extractor_ray.ops.graph import (
         pagerank, quantize_rank, synthetic_link_edges)
     edges = synthetic_link_edges(nodes_ds, N)
     a = (quantize_rank(
-            pagerank(nodes_ds, edges, N, n_iter=2, num_buckets=4)
+            pagerank(nodes_ds, edges, N, n_iter=2, num_buckets=4,
+                     dense_threshold=0)
             .to_pandas())
          .sort_values("node").reset_index(drop=True))
     b = (quantize_rank(
-            pagerank(nodes_ds, edges, N, n_iter=2, num_buckets=32)
+            pagerank(nodes_ds, edges, N, n_iter=2, num_buckets=32,
+                     dense_threshold=0)
             .to_pandas())
          .sort_values("node").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pagerank_dense_matches_bucketed(ray_session, nodes_ds):
+    # the two physical plans agree to the pico-unit contract
+    from automatic_reference_extractor_ray.ops.graph import (
+        pagerank, quantize_rank, synthetic_link_edges)
+    edges = synthetic_link_edges(nodes_ds, N)
+    dense = (quantize_rank(pagerank(nodes_ds, edges, N, n_iter=3)
+                           .to_pandas())
+             .sort_values("node").reset_index(drop=True))
+    bucketed = (quantize_rank(
+                    pagerank(nodes_ds, edges, N, n_iter=3,
+                             dense_threshold=0).to_pandas())
+                .sort_values("node").reset_index(drop=True))
+    assert (dense["node"] == bucketed["node"]).all()
+    assert np.abs(dense["rank_pico"].to_numpy()
+                  - bucketed["rank_pico"].to_numpy()).max() <= 1
+
+
+def test_pagerank_dense_rejects_out_of_range_ids(ray_session):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.graph import pagerank
+    nodes = rd.from_pandas(pd.DataFrame({"node": [0, 1, 7]}))
+    edges = rd.from_pandas(pd.DataFrame({"src": [0, 7], "dst": [7, 0]}))
+    with pytest.raises(Exception, match="outside"):
+        pagerank(nodes, edges, n_nodes=3, n_iter=1).to_pandas()
 
 
 def test_value_histogram_vs_pandas(ray_session):
