@@ -499,6 +499,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def revenue_rollup_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import (
+            revenue_rollup)
+        return revenue_rollup(
+            _read(sf, "orders", ["o_custkey", "o_orderdate",
+                                 "o_totalprice"]),
+            _read(sf, "customer", ["c_custkey", "c_nationkey"]),
+            _read(sf, "nation", ["n_nationkey", "n_name"]))
+
     def quality_classifier_q(sf):
         # fastText-style linear quality classifier: bounded-sample
         # Adagrad logistic fit (predict lang=='en' from hashed
@@ -845,6 +854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "revenue_rollup": revenue_rollup_q,
         "quality_classifier": quality_classifier_q,
         "main_content": main_content_q,
         "pagerank": pagerank_q,
@@ -1327,6 +1337,23 @@ def oracle_sql() -> dict[str, str]:
         "main_content": """
             SELECT doc_id, main_text, n_blocks
             FROM read_parquet('/tmp/arx_web/sf0.01/golden_main.parquet')""",
+        "revenue_rollup": """
+            WITH j AS (
+              SELECT n_name,
+                     CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                       AS order_year,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+              FROM orders
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation ON n_nationkey = c_nationkey)
+            SELECT CASE WHEN GROUPING(n_name) = 1 THEN 'ALL'
+                        ELSE n_name END AS n_name,
+                   CASE WHEN GROUPING(order_year) = 1
+                        THEN CAST(-1 AS BIGINT)
+                        ELSE order_year END AS order_year,
+                   CAST(SUM(c) AS BIGINT) AS revenue_c,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM j GROUP BY ROLLUP(n_name, order_year)""",
         "pagerank": _pagerank_sql(),
         "events_histogram": _events_histogram_sql(),
         "events_window": _events_window_sql(),

@@ -90,6 +90,7 @@ _EXPORTS = {
     # main-content extraction (HTML boilerplate strip)
     "extract_main_content": "ops.webextract",
     "extract_main_dataset": "ops.webextract",
+    "revenue_rollup": "ops.relational",
     # linear quality classifier (bounded-sample fit, corpus scoring)
     "fit_logreg": "ops.classifier",
     "logreg_score": "ops.classifier",

@@ -670,6 +670,89 @@ def revenue_by_nation(orders, customer, nation,
         num_buckets)
 
 
+def revenue_rollup(orders, customer, nation,
+                   num_buckets: int | None = None) -> pd.DataFrame:
+    """ROLLUP(n_name, order_year) revenue — the warehouse
+    subtotal/grand-total shape (SQL ``GROUP BY ROLLUP``): one row per
+    (nation, year), one subtotal row per nation (``order_year = -1``),
+    one grand total (``n_name = 'ALL'``), integer cents.
+
+    Rolled-up levels use explicit sentinels ('ALL' / -1) instead of
+    NULLs so the comparison contract stays dtype-stable on both sides.
+
+    Scale shape: fact rows collapse to per-batch (custkey, year)
+    partials before the ONE bucketed exchange (the customer join);
+    nation attaches via ray.put broadcast; the final fold is
+    driver-side over ≤ blocks × (#nations × #years) bounded partial
+    rows, and the coarser rollup levels are re-aggregates of that
+    finest level (≤ 200 rows) — never a second pass over the fact.
+    """
+    import ray
+
+    from .shuffle import bucketed_join
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.assign(
+                order_year=df["o_orderdate"].dt.year.astype("int64"),
+                c=np.round(df["o_totalprice"] * 100).astype("int64"))
+             .groupby(["o_custkey", "order_year"])
+             .agg(revenue_c=("c", "sum"), n_orders=("c", "size"))
+             .reset_index())
+        g["o_custkey"] = g["o_custkey"].astype("int64")
+        return g
+
+    cust = customer.map_batches(
+        lambda d: pd.DataFrame({
+            "o_custkey": d["c_custkey"].astype("int64"),
+            "c_nationkey": d["c_nationkey"].astype("int64")}),
+        batch_format="pandas")
+    joined = bucketed_join(
+        orders.map_batches(partial, batch_format="pandas"), cust,
+        on="o_custkey",
+        left_schema={"o_custkey": "int64", "order_year": "int64",
+                     "revenue_c": "int64", "n_orders": "int64"},
+        right_schema={"o_custkey": "int64", "c_nationkey": "int64"},
+        num_buckets=num_buckets, how="inner")
+
+    nd = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    nref = ray.put(dict(zip(nd["n_nationkey"].astype("int64"),
+                            nd["n_name"])))
+
+    def attach(d: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(nref)
+        return (d.assign(n_name=d["c_nationkey"].map(lookup))
+                .groupby(["n_name", "order_year"])
+                .agg(revenue_c=("revenue_c", "sum"),
+                     n_orders=("n_orders", "sum"))
+                .reset_index())
+
+    acc: dict[tuple, list] = {}
+    for p in (joined.map_batches(attach, batch_format="pandas")
+              .iter_batches(batch_format="pandas")):
+        for name, yr, rev, n in zip(p["n_name"], p["order_year"],
+                                    p["revenue_c"], p["n_orders"]):
+            cur = acc.setdefault((name, int(yr)), [0, 0])
+            cur[0] += int(rev)
+            cur[1] += int(n)
+
+    fine = pd.DataFrame(
+        [(k[0], k[1], v[0], v[1]) for k, v in acc.items()],
+        columns=["n_name", "order_year", "revenue_c", "n_orders"])
+    sub = (fine.groupby("n_name", as_index=False)
+           [["revenue_c", "n_orders"]].sum().assign(order_year=-1))
+    total = pd.DataFrame({
+        "n_name": ["ALL"], "order_year": [-1],
+        "revenue_c": [fine["revenue_c"].sum()],
+        "n_orders": [fine["n_orders"].sum()]})
+    cols = ["n_name", "order_year", "revenue_c", "n_orders"]
+    out = pd.concat([fine[cols], sub[cols], total[cols]],
+                    ignore_index=True)
+    for c in cols[1:]:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["n_name", "order_year"], kind="mergesort")
+            .reset_index(drop=True))
+
+
 def retention_cohorts(events, signup_type: str = "signup",
                       num_buckets: int | None = None):
     """Retention-cohort matrix: users cohort by the Monday-aligned week

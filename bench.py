@@ -354,6 +354,12 @@ def run_bench() -> dict:
             batch_format="pandas")
         return _qc(labeled, "label", fit_sample=2048).count()
     timed("quality_classifier", _quality_classifier)
+    from automatic_reference_extractor_ray.ops.relational import (
+        revenue_rollup)
+    timed("revenue_rollup", lambda: len(revenue_rollup(
+        read("orders", ["o_custkey", "o_orderdate", "o_totalprice"]),
+        read("customer", ["c_custkey", "c_nationkey"]),
+        read("nation", ["n_nationkey", "n_name"]))))
 
     result = {
         "metric": "e2e_extract_sec",

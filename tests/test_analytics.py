@@ -558,6 +558,46 @@ def test_revenue_by_nation_star_join(ray_session):
     assert out["n_orders"].tolist() == [3, 1]
 
 
+def test_revenue_rollup_levels(ray_session):
+    """ROLLUP(n_name, order_year): fine rows + per-nation subtotals
+    (order_year=-1) + grand total ('ALL') vs a hand computation;
+    orphan orders drop like the plain star aggregate."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.relational import (
+        revenue_rollup)
+
+    orders = pd.DataFrame({
+        "o_custkey": np.array([1, 1, 2, 3, 99], dtype="int64"),
+        "o_orderdate": pd.to_datetime(
+            ["1995-03-01", "1996-07-09", "1995-12-31", "1996-01-01",
+             "1995-05-05"]),
+        "o_totalprice": [10.005, 20.0, 5.5, 7.25, 100.0],  # 99: orphan
+    })
+    customer = pd.DataFrame({
+        "c_custkey": np.array([1, 2, 3], dtype="int64"),
+        "c_nationkey": np.array([0, 0, 1], dtype="int32"),
+    })
+    nation = pd.DataFrame({
+        "n_nationkey": np.array([0, 1], dtype="int32"),
+        "n_name": ["A", "B"],
+    })
+    out = revenue_rollup(rd.from_pandas(orders).repartition(3),
+                         rd.from_pandas(customer),
+                         rd.from_pandas(nation))
+    rows = {(r.n_name, r.order_year): (r.revenue_c, r.n_orders)
+            for r in out.itertuples()}
+    assert rows[("A", 1995)] == (1001 + 550, 2)
+    assert rows[("A", 1996)] == (2000, 1)
+    assert rows[("B", 1996)] == (725, 1)
+    assert rows[("A", -1)] == (3551, 3)       # nation subtotal
+    assert rows[("B", -1)] == (725, 1)
+    assert rows[("ALL", -1)] == (4276, 4)     # grand total
+    assert len(rows) == 6
+    assert out["order_year"].dtype == np.int64
+    assert out["revenue_c"].dtype == np.int64
+
+
 def test_shipping_priority_q3_hand_case(ray_session):
     """Q3 shape: segment filter, order-date/ship-date cuts, discounted
     integer-cents revenue, top-k tie-break — vs a hand computation and
