@@ -499,6 +499,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def doc_percentile_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            percent_rank)
+        return percent_rank(
+            _read(sf, "documents", ["doc_id", "n_chars"]),
+            value_col="n_chars", id_col="doc_id", descending=True)
+
     def revenue_rollup_q(sf):
         from automatic_reference_extractor_ray.ops.relational import (
             revenue_rollup)
@@ -854,6 +861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "doc_percentile": doc_percentile_q,
         "revenue_rollup": revenue_rollup_q,
         "quality_classifier": quality_classifier_q,
         "main_content": main_content_q,
@@ -1337,6 +1345,18 @@ def oracle_sql() -> dict[str, str]:
         "main_content": """
             SELECT doc_id, main_text, n_blocks
             FROM read_parquet('/tmp/arx_web/sf0.01/golden_main.parquet')""",
+        "doc_percentile": """
+            WITH r AS (
+              SELECT doc_id, n_chars,
+                     CAST(ROW_NUMBER() OVER (
+                       ORDER BY n_chars DESC, doc_id ASC) AS BIGINT)
+                       AS rank
+              FROM documents),
+            nn AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT doc_id, n_chars, rank,
+                   CAST(((rank - 1) * 1000000)
+                        // GREATEST(n - 1, 1) AS BIGINT) AS pct_micro
+            FROM r, nn""",
         "revenue_rollup": """
             WITH j AS (
               SELECT n_name,

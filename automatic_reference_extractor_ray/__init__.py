@@ -91,6 +91,7 @@ _EXPORTS = {
     "extract_main_content": "ops.webextract",
     "extract_main_dataset": "ops.webextract",
     "revenue_rollup": "ops.relational",
+    "percent_rank": "ops.analytics",
     # linear quality classifier (bounded-sample fit, corpus scoring)
     "fit_logreg": "ops.classifier",
     "logreg_score": "ops.classifier",

@@ -730,6 +730,35 @@ def global_rank(ds, value_col: str, id_col: str, descending: bool = False,
     return bucketed_groupby(ranged, "__r", rank_range, num_buckets)
 
 
+def percent_rank(ds, value_col: str, id_col: str,
+                 descending: bool = False, out_col: str = "pct_micro",
+                 num_buckets: int | None = None):
+    """Rank-based score normalization (quantile/percentile transform —
+    the calibration step before thresholding a heterogeneous quality
+    score): input columns + ``rank`` + ``out_col`` where
+    ``pct = (rank-1) * 1e6 // (n-1)`` int64 micro-units, 0 for n=1.
+
+    ROW_NUMBER semantics (unique rank, ``id_col`` breaks value ties) —
+    NOT SQL PERCENT_RANK's tie-sharing RANK; the oracle mirrors the
+    ROW_NUMBER form.  All-integer math after the rank, so bit-exact.
+
+    Scale shape: ``global_rank``'s range-partitioned sort-rank plus a
+    stateless map; the row count comes from one ``ds.count()`` on the
+    un-ranked input (metadata-only for parquet reads).
+    """
+    n = ds.count()
+    ranked = global_rank(ds, value_col, id_col, descending=descending,
+                         out_col="rank", num_buckets=num_buckets)
+    denom = max(n - 1, 1)
+
+    def pct(pdf: pd.DataFrame) -> pd.DataFrame:
+        r = pdf["rank"].to_numpy(dtype=np.int64)
+        return pdf.assign(
+            **{out_col: (r - 1) * 1_000_000 // denom})
+
+    return ranked.map_batches(pct, batch_format="pandas")
+
+
 # ----------------------------------------- deterministic corpus shuffle
 
 def shuffle_rank(ds, id_col: str, salt: str = "shuf", out_col: str = "pos",

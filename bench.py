@@ -356,6 +356,11 @@ def run_bench() -> dict:
     timed("quality_classifier", _quality_classifier)
     from automatic_reference_extractor_ray.ops.relational import (
         revenue_rollup)
+    from automatic_reference_extractor_ray.ops.analytics import (
+        percent_rank)
+    timed("doc_percentile", lambda: percent_rank(
+        read("documents", ["doc_id", "n_chars"]),
+        value_col="n_chars", id_col="doc_id", descending=True).count())
     timed("revenue_rollup", lambda: len(revenue_rollup(
         read("orders", ["o_custkey", "o_orderdate", "o_totalprice"]),
         read("customer", ["c_custkey", "c_nationkey"]),

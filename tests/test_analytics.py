@@ -558,6 +558,35 @@ def test_revenue_by_nation_star_join(ray_session):
     assert out["n_orders"].tolist() == [3, 1]
 
 
+def test_percent_rank_vs_pandas(ray_session):
+    """Rank-based percentile transform: integer micro-units, id
+    tie-break, endpoints 0 and 1e6, single-row n=1 edge."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.analytics import (
+        percent_rank)
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(9, dtype="int64"),
+        "v": np.array([5, 3, 3, 8, 1, 9, 3, 8, 2], dtype="int64")})
+    out = (percent_rank(rd.from_pandas(df).repartition(4), "v", "doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # reference: ROW_NUMBER by (v asc, doc_id asc)
+    ref = df.sort_values(["v", "doc_id"]).reset_index(drop=True)
+    ref["rank"] = np.arange(1, len(ref) + 1, dtype="int64")
+    ref["pct_micro"] = (ref["rank"] - 1) * 1_000_000 // (len(ref) - 1)
+    ref = ref.sort_values("doc_id").reset_index(drop=True)
+    assert (out["rank"].to_numpy() == ref["rank"].to_numpy()).all()
+    assert (out["pct_micro"].to_numpy()
+            == ref["pct_micro"].to_numpy()).all()
+    assert out["pct_micro"].min() == 0
+    assert out["pct_micro"].max() == 1_000_000
+    # n = 1: denominator clamps, pct 0
+    one = percent_rank(
+        rd.from_pandas(df.iloc[:1]), "v", "doc_id").to_pandas()
+    assert one["pct_micro"].tolist() == [0]
+
+
 def test_revenue_rollup_levels(ray_session):
     """ROLLUP(n_name, order_year): fine rows + per-nation subtotals
     (order_year=-1) + grand total ('ALL') vs a hand computation;
