@@ -74,6 +74,30 @@ def _bm25_sql() -> str:
     return bm25_topk_sql(_BM25_TERMS, k=10)
 
 
+def _url_norm_sql() -> str:
+    from automatic_reference_extractor_ray.ops.weburl import (
+        synthetic_urls_sql)
+    return synthetic_urls_sql("documents", "doc_id")
+
+
+def _domain_counts_sql() -> str:
+    from automatic_reference_extractor_ray.ops.weburl import (
+        synthetic_urls_sql)
+    return f"""
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM ({synthetic_urls_sql("documents", "doc_id")})
+        GROUP BY domain"""
+
+
+def _domain_cap_sql() -> str:
+    from automatic_reference_extractor_ray.ops.analytics import (
+        sample_per_group_sql)
+    from automatic_reference_extractor_ray.ops.weburl import (
+        synthetic_urls_sql)
+    urls = synthetic_urls_sql("documents", "doc_id")
+    return sample_per_group_sql(f"({urls})", "domain", "doc_id", k=3)
+
+
 def _pagerank_sql() -> str:
     from automatic_reference_extractor_ray.ops.graph import pagerank_sql
     return pagerank_sql("documents", "doc_id", n_iter=5)
@@ -499,6 +523,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def url_normalize_q(sf):
+        # parser checked by an independent path: the oracle derives
+        # the clean form from doc_id arithmetic, never by parsing
+        from automatic_reference_extractor_ray.ops.weburl import (
+            normalize_urls, synthetic_urls)
+        return normalize_urls(
+            synthetic_urls(_read(sf, "documents", ["doc_id"])))
+
+    def domain_counts_q(sf):
+        from automatic_reference_extractor_ray.ops.weburl import (
+            domain_counts, synthetic_urls)
+        return domain_counts(
+            synthetic_urls(_read(sf, "documents", ["doc_id"])))
+
+    def domain_cap_q(sf):
+        from automatic_reference_extractor_ray.ops.weburl import (
+            domain_cap, synthetic_urls)
+        return domain_cap(
+            synthetic_urls(_read(sf, "documents", ["doc_id"])), k=3)
+
     def doc_percentile_q(sf):
         from automatic_reference_extractor_ray.ops.analytics import (
             percent_rank)
@@ -861,6 +905,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "url_normalize": url_normalize_q,
+        "domain_counts": domain_counts_q,
+        "domain_cap": domain_cap_q,
         "doc_percentile": doc_percentile_q,
         "revenue_rollup": revenue_rollup_q,
         "quality_classifier": quality_classifier_q,
@@ -1345,6 +1392,9 @@ def oracle_sql() -> dict[str, str]:
         "main_content": """
             SELECT doc_id, main_text, n_blocks
             FROM read_parquet('/tmp/arx_web/sf0.01/golden_main.parquet')""",
+        "url_normalize": _url_norm_sql(),
+        "domain_counts": _domain_counts_sql(),
+        "domain_cap": _domain_cap_sql(),
         "doc_percentile": """
             WITH r AS (
               SELECT doc_id, n_chars,

@@ -92,6 +92,12 @@ _EXPORTS = {
     "extract_main_dataset": "ops.webextract",
     "revenue_rollup": "ops.relational",
     "percent_rank": "ops.analytics",
+    # URL canonicalization + domain bookkeeping
+    "normalize_url": "ops.weburl",
+    "normalize_urls": "ops.weburl",
+    "registered_domain": "ops.weburl",
+    "domain_counts": "ops.weburl",
+    "domain_cap": "ops.weburl",
     # linear quality classifier (bounded-sample fit, corpus scoring)
     "fit_logreg": "ops.classifier",
     "logreg_score": "ops.classifier",

@@ -356,6 +356,14 @@ def run_bench() -> dict:
     timed("quality_classifier", _quality_classifier)
     from automatic_reference_extractor_ray.ops.relational import (
         revenue_rollup)
+    from automatic_reference_extractor_ray.ops.weburl import (
+        domain_cap, domain_counts, normalize_urls, synthetic_urls)
+    timed("url_normalize", lambda: normalize_urls(
+        synthetic_urls(read("documents", ["doc_id"]))).count())
+    timed("domain_counts", lambda: domain_counts(
+        synthetic_urls(read("documents", ["doc_id"]))).count())
+    timed("domain_cap", lambda: domain_cap(
+        synthetic_urls(read("documents", ["doc_id"])), k=3).count())
     from automatic_reference_extractor_ray.ops.analytics import (
         percent_rank)
     timed("doc_percentile", lambda: percent_rank(
