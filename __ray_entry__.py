@@ -74,6 +74,14 @@ def _bm25_sql() -> str:
     return bm25_topk_sql(_BM25_TERMS, k=10)
 
 
+def _corpus_diff_sql() -> str:
+    from automatic_reference_extractor_ray.ops.diff import corpus_diff_sql
+    return corpus_diff_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 10 <= 7",
+        "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' "
+        "ELSE text END AS text FROM documents WHERE doc_id % 10 >= 2")
+
+
 def _url_norm_sql() -> str:
     from automatic_reference_extractor_ray.ops.weburl import (
         synthetic_urls_sql)
@@ -523,6 +531,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def corpus_diff_q(sf):
+        # two deterministic snapshots of the documents table: old =
+        # ids %10 in 0-7; new = ids %10 in 2-9 with every %5==0 text
+        # edited -> all four statuses occur
+        from automatic_reference_extractor_ray.ops.diff import corpus_diff
+        docs = _read(sf, "documents", ["doc_id", "text"])
+        old = docs.map_batches(
+            lambda b: b[b["doc_id"] % 10 <= 7], batch_format="pandas")
+        new = docs.map_batches(
+            lambda b: b[b["doc_id"] % 10 >= 2].assign(
+                text=lambda d: d["text"].where(
+                    d["doc_id"] % 5 != 0, d["text"] + " v2")),
+            batch_format="pandas")
+        return corpus_diff(old, new)
+
     def url_normalize_q(sf):
         # parser checked by an independent path: the oracle derives
         # the clean form from doc_id arithmetic, never by parsing
@@ -905,6 +928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "corpus_diff": corpus_diff_q,
         "url_normalize": url_normalize_q,
         "domain_counts": domain_counts_q,
         "domain_cap": domain_cap_q,
@@ -1399,6 +1423,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content": """
             SELECT doc_id, main_text, n_blocks
             FROM read_parquet('/tmp/arx_web/sf0.01/golden_main.parquet')""",
+        "corpus_diff": _corpus_diff_sql(),
         "url_normalize": _url_norm_sql(),
         "domain_counts": _domain_counts_sql(),
         "domain_cap": _domain_cap_sql(),

@@ -92,6 +92,7 @@ _EXPORTS = {
     "extract_main_dataset": "ops.webextract",
     "revenue_rollup": "ops.relational",
     "percent_rank": "ops.analytics",
+    "corpus_diff": "ops.diff",
     # URL canonicalization + domain bookkeeping
     "normalize_url": "ops.weburl",
     "normalize_urls": "ops.weburl",

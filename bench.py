@@ -356,6 +356,19 @@ def run_bench() -> dict:
     timed("quality_classifier", _quality_classifier)
     from automatic_reference_extractor_ray.ops.relational import (
         revenue_rollup)
+    from automatic_reference_extractor_ray.ops.diff import corpus_diff
+
+    def _corpus_diff():
+        docs = read("documents", ["doc_id", "text"])
+        old = docs.map_batches(
+            lambda b: b[b["doc_id"] % 10 <= 7], batch_format="pandas")
+        new = docs.map_batches(
+            lambda b: b[b["doc_id"] % 10 >= 2].assign(
+                text=lambda d: d["text"].where(
+                    d["doc_id"] % 5 != 0, d["text"] + " v2")),
+            batch_format="pandas")
+        return corpus_diff(old, new).count()
+    timed("corpus_diff", _corpus_diff)
     from automatic_reference_extractor_ray.ops.weburl import (
         domain_cap, domain_counts, normalize_urls, synthetic_urls)
     timed("url_normalize", lambda: normalize_urls(
