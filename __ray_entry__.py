@@ -74,6 +74,13 @@ def _bm25_sql() -> str:
     return bm25_topk_sql(_BM25_TERMS, k=10)
 
 
+def _profile_events_sql() -> str:
+    from automatic_reference_extractor_ray.ops.profile import profile_sql
+    return profile_sql("events", int_cols=["event_id", "user_id"],
+                       float_cols=["value"],
+                       str_cols=["event_type", "props"])
+
+
 def _corpus_diff_sql() -> str:
     from automatic_reference_extractor_ray.ops.diff import corpus_diff_sql
     return corpus_diff_sql(
@@ -531,6 +538,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def profile_events_q(sf):
+        from automatic_reference_extractor_ray.ops.profile import (
+            profile_table)
+        return profile_table(
+            _read(sf, "events", ["event_id", "user_id", "event_type",
+                                 "value", "props"]))
+
     def corpus_diff_q(sf):
         # two deterministic snapshots of the documents table: old =
         # ids %10 in 0-7; new = ids %10 in 2-9 with every %5==0 text
@@ -928,6 +942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "profile_events": profile_events_q,
         "corpus_diff": corpus_diff_q,
         "url_normalize": url_normalize_q,
         "domain_counts": domain_counts_q,
@@ -1423,6 +1438,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content": """
             SELECT doc_id, main_text, n_blocks
             FROM read_parquet('/tmp/arx_web/sf0.01/golden_main.parquet')""",
+        "profile_events": _profile_events_sql(),
         "corpus_diff": _corpus_diff_sql(),
         "url_normalize": _url_norm_sql(),
         "domain_counts": _domain_counts_sql(),

@@ -93,6 +93,7 @@ _EXPORTS = {
     "revenue_rollup": "ops.relational",
     "percent_rank": "ops.analytics",
     "corpus_diff": "ops.diff",
+    "profile_table": "ops.profile",
     # URL canonicalization + domain bookkeeping
     "normalize_url": "ops.weburl",
     "normalize_urls": "ops.weburl",

@@ -356,6 +356,11 @@ def run_bench() -> dict:
     timed("quality_classifier", _quality_classifier)
     from automatic_reference_extractor_ray.ops.relational import (
         revenue_rollup)
+    from automatic_reference_extractor_ray.ops.profile import (
+        profile_table)
+    timed("profile_events", lambda: len(profile_table(
+        read("events", ["event_id", "user_id", "event_type", "value",
+                        "props"]))))
     from automatic_reference_extractor_ray.ops.diff import corpus_diff
 
     def _corpus_diff():
