@@ -538,6 +538,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def user_journeys_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import (
+            user_journeys)
+        return user_journeys(_read(sf, "events",
+                                   ["user_id", "ts", "event_id",
+                                    "event_type"]))
+
     def profile_events_q(sf):
         from automatic_reference_extractor_ray.ops.profile import (
             profile_table)
@@ -942,6 +949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "user_journeys": user_journeys_q,
         "profile_events": profile_events_q,
         "corpus_diff": corpus_diff_q,
         "url_normalize": url_normalize_q,
@@ -1438,6 +1446,12 @@ def oracle_sql() -> dict[str, str]:
         "main_content": """
             SELECT doc_id, main_text, n_blocks
             FROM read_parquet('/tmp/arx_web/sf0.01/golden_main.parquet')""",
+        "user_journeys": """
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   string_agg(event_type, '>'
+                              ORDER BY ts, event_id) AS journey
+            FROM events GROUP BY user_id""",
         "profile_events": _profile_events_sql(),
         "corpus_diff": _corpus_diff_sql(),
         "url_normalize": _url_norm_sql(),

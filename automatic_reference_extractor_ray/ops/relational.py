@@ -307,6 +307,40 @@ def events_sessions(events, gap_minutes: int = 30):
         "user_id", sessionize)
 
 
+def user_journeys(events, sep: str = ">", max_events: int = 0):
+    """Ordered collect (SQL ``string_agg(... ORDER BY ...)`` /
+    ``collect_list``): per user, the event-type sequence joined by
+    ``sep`` in (ts, event_id) order → (user_id, n_events, journey).
+    The sequence-mining prep step (funnel inputs, next-event models).
+
+    ``max_events`` > 0 truncates each journey to its first k events
+    (the bounded form for power users); 0 keeps everything — then one
+    user's full journey must fit a bucket row, the same partitioning
+    assumption as the other per-user folds (salt or truncate hot
+    users past that).
+
+    Scale shape: one bounded-bucket shuffle on user_id; per bucket a
+    single vectorized lexsort + groupby-join (no Python loop over
+    users)."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        if max_events > 0:
+            pdf = pdf.groupby("user_id", sort=False).head(max_events)
+        g = pdf.groupby("user_id", sort=False)
+        out = g.agg(n_events=("event_id", "size")).reset_index()
+        out["journey"] = g["event_type"].agg(sep.join).to_numpy()
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    from .shuffle import bucketed_groupby
+    return bucketed_groupby(
+        events.select_columns(["user_id", "ts", "event_id",
+                               "event_type"]),
+        "user_id", fold)
+
+
 def events_asof_orders(events, orders):
     """As-of join (the time-series join Ray Data has no primitive for):
     each event is matched to its user's LATEST order with

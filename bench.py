@@ -356,6 +356,11 @@ def run_bench() -> dict:
     timed("quality_classifier", _quality_classifier)
     from automatic_reference_extractor_ray.ops.relational import (
         revenue_rollup)
+    from automatic_reference_extractor_ray.ops.relational import (
+        user_journeys)
+    timed("user_journeys", lambda: user_journeys(
+        read("events", ["user_id", "ts", "event_id",
+                        "event_type"])).count())
     from automatic_reference_extractor_ray.ops.profile import (
         profile_table)
     timed("profile_events", lambda: len(profile_table(

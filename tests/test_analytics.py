@@ -558,6 +558,34 @@ def test_revenue_by_nation_star_join(ray_session):
     assert out["n_orders"].tolist() == [3, 1]
 
 
+def test_user_journeys_ordered_collect(ray_session):
+    """string_agg ORDER BY parity: (ts, event_id) order, separator
+    join, max_events truncation."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.relational import (
+        user_journeys)
+
+    ev = pd.DataFrame({
+        "user_id": np.array([1, 1, 1, 2, 2], dtype="int64"),
+        "ts": pd.to_datetime(["2020-01-01 10:00", "2020-01-01 09:00",
+                              "2020-01-01 09:00", "2020-01-02 00:00",
+                              "2020-01-01 00:00"]),
+        "event_id": np.array([5, 9, 2, 1, 3], dtype="int64"),
+        "event_type": ["buy", "view", "click", "view", "buy"],
+    })
+    out = (user_journeys(rd.from_pandas(ev).repartition(3))
+           .to_pandas().set_index("user_id"))
+    # user 1: ties on ts break by event_id (2 before 9)
+    assert out.loc[1, "journey"] == "click>view>buy"
+    assert out.loc[1, "n_events"] == 3
+    assert out.loc[2, "journey"] == "buy>view"
+    capped = (user_journeys(rd.from_pandas(ev), max_events=2)
+              .to_pandas().set_index("user_id"))
+    assert capped.loc[1, "journey"] == "click>view"
+    assert capped.loc[1, "n_events"] == 2
+
+
 def test_percent_rank_vs_pandas(ray_session):
     """Rank-based percentile transform: integer micro-units, id
     tie-break, endpoints 0 and 1e6, single-row n=1 edge."""
