@@ -74,6 +74,12 @@ def _bm25_sql() -> str:
     return bm25_topk_sql(_BM25_TERMS, k=10)
 
 
+def _events_pivot_sql() -> str:
+    from automatic_reference_extractor_ray.ops.relational import (
+        events_pivot_sql)
+    return events_pivot_sql("events")
+
+
 def _profile_events_sql() -> str:
     from automatic_reference_extractor_ray.ops.profile import profile_sql
     return profile_sql("events", int_cols=["event_id", "user_id"],
@@ -538,6 +544,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def events_pivot_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import (
+            events_pivot)
+        return events_pivot(_read(sf, "events", ["event_type", "ts"]))
+
     def user_journeys_q(sf):
         from automatic_reference_extractor_ray.ops.relational import (
             user_journeys)
@@ -949,6 +960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "events_pivot": events_pivot_q,
         "user_journeys": user_journeys_q,
         "profile_events": profile_events_q,
         "corpus_diff": corpus_diff_q,
@@ -1446,6 +1458,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content": """
             SELECT doc_id, main_text, n_blocks
             FROM read_parquet('/tmp/arx_web/sf0.01/golden_main.parquet')""",
+        "events_pivot": _events_pivot_sql(),
         "user_journeys": """
             SELECT user_id,
                    CAST(COUNT(*) AS BIGINT) AS n_events,

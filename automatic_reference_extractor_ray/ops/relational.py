@@ -307,6 +307,49 @@ def events_sessions(events, gap_minutes: int = 30):
         "user_id", sessionize)
 
 
+def events_pivot(events) -> pd.DataFrame:
+    """PIVOT / crosstab: event counts as a WIDE (event_type × hour-of-
+    day) matrix → pandas (event_type, h0..h23), all 24 columns always
+    present.  The classic activity-heatmap report SQL writes as
+    ``SUM(CASE WHEN hour = h THEN 1 END)`` columns.
+
+    Scale shape: each batch collapses to a ≤ #types × 24 crosstab
+    partial inside ``map_batches`` (one C ``groupby``/``unstack``
+    per batch); the driver folds the bounded partial stream — no
+    shuffle at any event count.  The column set is FIXED by the pivot
+    dimension (hour), not discovered from data, so the output schema
+    is stable on any slice.
+    """
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.assign(h=b["ts"].dt.hour.astype("int64"))
+             .groupby(["event_type", "h"]).size().reset_index(name="n"))
+        return g
+
+    acc: dict[tuple, int] = {}
+    for p in (events.map_batches(part, batch_format="pandas")
+              .iter_batches(batch_format="pandas")):
+        for t, h, n in zip(p["event_type"], p["h"], p["n"]):
+            k = (t, int(h))
+            acc[k] = acc.get(k, 0) + int(n)
+
+    types = sorted({t for t, _ in acc})
+    data = {"event_type": types}
+    for h in range(24):
+        data[f"h{h}"] = np.array([acc.get((t, h), 0) for t in types],
+                                 dtype="int64")
+    return pd.DataFrame(data)
+
+
+def events_pivot_sql(table: str = "events") -> str:
+    """DuckDB oracle: explicit CASE column per hour, bit-exact."""
+    cols = ",\n".join(
+        f"CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) = {h} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS h{h}"
+        for h in range(24))
+    return f"SELECT event_type, {cols} FROM {table} GROUP BY event_type"
+
+
 def user_journeys(events, sep: str = ">", max_events: int = 0):
     """Ordered collect (SQL ``string_agg(... ORDER BY ...)`` /
     ``collect_list``): per user, the event-type sequence joined by

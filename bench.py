@@ -357,7 +357,9 @@ def run_bench() -> dict:
     from automatic_reference_extractor_ray.ops.relational import (
         revenue_rollup)
     from automatic_reference_extractor_ray.ops.relational import (
-        user_journeys)
+        events_pivot, user_journeys)
+    timed("events_pivot", lambda: len(events_pivot(
+        read("events", ["event_type", "ts"]))))
     timed("user_journeys", lambda: user_journeys(
         read("events", ["user_id", "ts", "event_id",
                         "event_type"])).count())

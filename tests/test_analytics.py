@@ -558,6 +558,30 @@ def test_revenue_by_nation_star_join(ray_session):
     assert out["n_orders"].tolist() == [3, 1]
 
 
+def test_events_pivot_crosstab(ray_session):
+    """Wide hour-of-day matrix: fixed 24-column schema, counts land in
+    the right cells, absent cells zero."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.relational import (
+        events_pivot)
+
+    ev = pd.DataFrame({
+        "event_type": ["a", "a", "a", "b"],
+        "ts": pd.to_datetime(["2020-01-01 03:15", "2020-01-02 03:59",
+                              "2020-01-01 23:00", "2020-01-01 00:30"]),
+    })
+    out = events_pivot(rd.from_pandas(ev).repartition(3))
+    assert list(out.columns) == ["event_type"] + [
+        f"h{h}" for h in range(24)]
+    out = out.set_index("event_type")
+    assert out.loc["a", "h3"] == 2
+    assert out.loc["a", "h23"] == 1
+    assert out.loc["b", "h0"] == 1
+    assert int(out.loc["a"].sum()) == 3
+    assert (out.dtypes == np.int64).all()
+
+
 def test_user_journeys_ordered_collect(ray_session):
     """string_agg ORDER BY parity: (ts, event_id) order, separator
     join, max_events truncation."""
