@@ -118,6 +118,28 @@ def test_empty_dataset_raises(ray_session):
         fit_logreg(ds, "label", n_buckets=32, fit_sample=8)
 
 
+def test_model_artifact_roundtrip(ray_session, tmp_path):
+    """save_logreg_model -> load_logreg_model scores identically —
+    the re-score-a-later-drop contract of jobs/run_classify.py."""
+    import ray.data as rd
+
+    from jobs.run_classify import load_logreg_model, save_logreg_model
+
+    df = _docs(n=80)
+    ds = rd.from_pandas(df).repartition(2)
+    m = fit_logreg(ds, "label", n_buckets=128, fit_sample=40, n_iter=30)
+    path = str(tmp_path / "m.npz")
+    save_logreg_model(m, path)
+    m2 = load_logreg_model(path)
+    assert m2.n_buckets == m.n_buckets
+    np.testing.assert_array_equal(m2.w, m.w)
+    a = (logreg_score(ds, m).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (logreg_score(ds, m2).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_model_roundtrip_shape():
     m = LogRegModel(w=np.zeros(65), n_buckets=64)
     assert m.w.shape == (m.n_buckets + 1,)
