@@ -74,6 +74,19 @@ def _bm25_sql() -> str:
     return bm25_topk_sql(_BM25_TERMS, k=10)
 
 
+def _node_degrees_sql() -> str:
+    from automatic_reference_extractor_ray.ops.graph import (
+        synthetic_edges_sql)
+    edges = synthetic_edges_sql("documents", "doc_id")
+    return f"""
+        SELECT node, CAST(SUM(o) AS BIGINT) AS out_deg,
+               CAST(SUM(i) AS BIGINT) AS in_deg
+        FROM (SELECT src AS node, 1 AS o, 0 AS i FROM ({edges})
+              UNION ALL
+              SELECT dst, 0, 1 FROM ({edges}))
+        GROUP BY node"""
+
+
 def _events_pivot_sql() -> str:
     from automatic_reference_extractor_ray.ops.relational import (
         events_pivot_sql)
@@ -544,6 +557,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def node_degrees_q(sf):
+        from automatic_reference_extractor_ray.ops.graph import (
+            node_degrees, synthetic_link_edges)
+        nodes = _read(sf, "documents", ["doc_id"]).map_batches(
+            lambda b: b.rename(columns={"doc_id": "node"}),
+            batch_format="pandas")
+        n = _read(sf, "documents", ["doc_id"]).count()
+        return node_degrees(synthetic_link_edges(nodes, n))
+
     def events_pivot_q(sf):
         from automatic_reference_extractor_ray.ops.relational import (
             events_pivot)
@@ -960,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "node_degrees": node_degrees_q,
         "events_pivot": events_pivot_q,
         "user_journeys": user_journeys_q,
         "profile_events": profile_events_q,
@@ -1458,6 +1481,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content": """
             SELECT doc_id, main_text, n_blocks
             FROM read_parquet('/tmp/arx_web/sf0.01/golden_main.parquet')""",
+        "node_degrees": _node_degrees_sql(),
         "events_pivot": _events_pivot_sql(),
         "user_journeys": """
             SELECT user_id,

@@ -232,6 +232,36 @@ def _pagerank_dense(nodes, edges, n_nodes: int, id_col: str,
     return nodes.map_batches(emit, batch_format="pandas")
 
 
+def node_degrees(edges, num_buckets: int | None = None):
+    """Per-node in/out degree over an edge-list Dataset → (node,
+    out_deg, in_deg); nodes appearing only as src (or only as dst)
+    carry 0 on the other side.  The graph-shape profile (skew checks,
+    supernode detection) before running anything iterative.
+
+    Scale shape: each batch collapses both endpoints to (node, o, i)
+    count partials; ONE bounded-bucket sum folds them — hot nodes
+    pre-combine in every batch they touch."""
+    from .shuffle import bucketed_agg
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf["src"].value_counts()
+        d = pdf["dst"].value_counts()
+        return pd.DataFrame({
+            "node": np.concatenate([s.index.to_numpy(),
+                                    d.index.to_numpy()]),
+            "out_deg": np.concatenate([
+                s.to_numpy(dtype=np.int64),
+                np.zeros(len(d), dtype=np.int64)]),
+            "in_deg": np.concatenate([
+                np.zeros(len(s), dtype=np.int64),
+                d.to_numpy(dtype=np.int64)])})
+
+    return bucketed_agg(
+        edges.map_batches(part, batch_format="pandas"), "node",
+        {"out_deg": ("out_deg", "sum"), "in_deg": ("in_deg", "sum")},
+        num_buckets)
+
+
 def quantize_rank(df: pd.DataFrame, id_col: str = "node") -> pd.DataFrame:
     """(node, rank) → (node, rank_pico): ×1e12, half-up — the oracle
     comparison units (see module docstring)."""

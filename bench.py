@@ -332,6 +332,15 @@ def run_bench() -> dict:
         return len(quantize_rank(pagerank(
             nodes, synthetic_link_edges(nodes, n), n, n_iter=5).to_pandas()))
     timed("pagerank", _pagerank)
+    from automatic_reference_extractor_ray.ops.graph import node_degrees
+
+    def _node_degrees():
+        nodes = read("documents", ["doc_id"]).map_batches(
+            lambda b: b.rename(columns={"doc_id": "node"}),
+            batch_format="pandas")
+        n = read("documents", ["doc_id"]).count()
+        return node_degrees(synthetic_link_edges(nodes, n)).count()
+    timed("node_degrees", _node_degrees)
     from automatic_reference_extractor_ray.ops.webextract import (
         extract_main_dataset)
     from automatic_reference_extractor_ray.sources.webgen import (

@@ -121,6 +121,20 @@ def test_pagerank_dense_rejects_out_of_range_ids(ray_session):
         pagerank(nodes, edges, n_nodes=3, n_iter=1).to_pandas()
 
 
+def test_node_degrees_hand_graph(ray_session):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.graph import node_degrees
+    edges = pd.DataFrame({
+        "src": np.array([0, 0, 1, 2, 2, 2], dtype="int64"),
+        "dst": np.array([1, 2, 2, 0, 1, 3], dtype="int64")})
+    out = (node_degrees(rd.from_pandas(edges).repartition(3))
+           .to_pandas().set_index("node").sort_index())
+    assert out.loc[0].tolist() == [2, 1]
+    assert out.loc[1].tolist() == [1, 2]
+    assert out.loc[2].tolist() == [3, 2]
+    assert out.loc[3].tolist() == [0, 1]   # sink: out_deg 0
+
+
 def test_value_histogram_vs_pandas(ray_session):
     import pyarrow.parquet as pq
     import ray.data as rd
