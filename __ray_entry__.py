@@ -74,6 +74,37 @@ def _bm25_sql() -> str:
     return bm25_topk_sql(_BM25_TERMS, k=10)
 
 
+def _url_dedup_sql() -> str:
+    from automatic_reference_extractor_ray.ops.weburl import (
+        synthetic_urls_sql)
+    gids = "(SELECT DISTINCT doc_id % 250 AS gid FROM documents)"
+    urls = synthetic_urls_sql(gids, "gid")
+    return f"""
+        WITH t AS (SELECT doc_id, doc_id % 250 AS gid FROM documents),
+        u AS (SELECT gid, url_norm FROM ({urls}))
+        SELECT url_norm, MIN(doc_id) AS keeper,
+               CAST(COUNT(*) AS BIGINT) AS n_dups
+        FROM t JOIN u USING (gid) GROUP BY url_norm"""
+
+
+def _weighted_sample_exact_sql() -> str:
+    from automatic_reference_extractor_ray.ops.analytics import (
+        weighted_sample_exact_sql)
+    return weighted_sample_exact_sql(
+        "(SELECT doc_id, n_chars FROM documents)",
+        "doc_id", "n_chars", k=100)
+
+
+def _events_json_sum_sql() -> str:
+    from automatic_reference_extractor_ray.ops.jsonkit import (
+        json_field_sql)
+    k = json_field_sql("props", "k", "int64")
+    return f"""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({k}) AS BIGINT) AS sum_k
+        FROM events GROUP BY event_type"""
+
+
 def _node_degrees_sql() -> str:
     from automatic_reference_extractor_ray.ops.graph import (
         synthetic_edges_sql)
@@ -557,6 +588,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def url_dedup_q(sf):
+        # recrawl collapse: ids map onto 250 shared URL slots, so
+        # most canonical URLs carry 2 docs; min doc_id keeps
+        from automatic_reference_extractor_ray.ops.weburl import (
+            synthetic_urls, url_dedup)
+        docs = _read(sf, "documents", ["doc_id"]).map_batches(
+            lambda b: b.assign(gid=b["doc_id"] % 250),
+            batch_format="pandas")
+        return url_dedup(synthetic_urls(docs, id_col="gid"))
+
+    def merge_corpora_q(sf):
+        # three overlapping priority slices of the documents table:
+        # same content in several corpora -> highest priority wins
+        from automatic_reference_extractor_ray.ops.dedup import (
+            merge_corpora)
+        docs = _read(sf, "documents", ["doc_id", "text"])
+        c0 = docs.map_batches(lambda b: b[b["doc_id"] % 3 == 0],
+                              batch_format="pandas")
+        c1 = docs.map_batches(lambda b: b[b["doc_id"] % 2 == 0],
+                              batch_format="pandas")
+        return merge_corpora([c0, c1, docs])
+
+    def weighted_sample_exact_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            weighted_sample_exact)
+        return weighted_sample_exact(
+            _read(sf, "documents", ["doc_id", "n_chars"]),
+            id_col="doc_id", weight_col="n_chars", k=100)
+
+    def events_json_sum_q(sf):
+        # typed JSON field extraction (props is a JSON string column)
+        # + bounded per-type aggregate
+        import pandas as pd
+
+        from automatic_reference_extractor_ray.ops.jsonkit import (
+            extract_json_field)
+        ev = extract_json_field(
+            _read(sf, "events", ["event_type", "props"]),
+            "props", "k", dtype="int64")
+
+        def part(b):
+            g = (b.groupby("event_type")
+                 .agg(n=("k", "size"), sum_k=("k", "sum"))
+                 .reset_index())
+            return g
+
+        acc = {}
+        for p in (ev.map_batches(part, batch_format="pandas")
+                  .iter_batches(batch_format="pandas")):
+            for t, n, s in zip(p["event_type"], p["n"], p["sum_k"]):
+                cur = acc.setdefault(t, [0, 0])
+                cur[0] += int(n)
+                cur[1] += int(s)
+        return pd.DataFrame(
+            {"event_type": sorted(acc),
+             "n": pd.array([acc[t][0] for t in sorted(acc)],
+                           dtype="int64"),
+             "sum_k": pd.array([acc[t][1] for t in sorted(acc)],
+                               dtype="int64")})
+
     def node_degrees_q(sf):
         from automatic_reference_extractor_ray.ops.graph import (
             node_degrees, synthetic_link_edges)
@@ -982,6 +1073,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "url_dedup": url_dedup_q,
+        "merge_corpora": merge_corpora_q,
+        "weighted_sample_exact": weighted_sample_exact_q,
+        "events_json_sum": events_json_sum_q,
         "node_degrees": node_degrees_q,
         "events_pivot": events_pivot_q,
         "user_journeys": user_journeys_q,
@@ -1481,6 +1576,26 @@ def oracle_sql() -> dict[str, str]:
         "main_content": """
             SELECT doc_id, main_text, n_blocks
             FROM read_parquet('/tmp/arx_web/sf0.01/golden_main.parquet')""",
+        "url_dedup": _url_dedup_sql(),
+        "merge_corpora": f"""
+            WITH h AS (SELECT doc_id, md5({NORM}) AS content_hash
+                       FROM documents),
+            u AS (
+              SELECT content_hash, 0 AS src, doc_id FROM h
+              WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT content_hash, 1, doc_id FROM h
+              WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT content_hash, 2, doc_id FROM h)
+            SELECT content_hash, CAST(src AS BIGINT) AS src,
+                   doc_id AS keeper_doc_id
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY content_hash
+                    ORDER BY src, doc_id) AS rn FROM u)
+            WHERE rn = 1""",
+        "weighted_sample_exact": _weighted_sample_exact_sql(),
+        "events_json_sum": _events_json_sum_sql(),
         "node_degrees": _node_degrees_sql(),
         "events_pivot": _events_pivot_sql(),
         "user_journeys": """

@@ -94,12 +94,19 @@ _EXPORTS = {
     "percent_rank": "ops.analytics",
     "corpus_diff": "ops.diff",
     "profile_table": "ops.profile",
+    "extract_json_field": "ops.jsonkit",
+    "weighted_sample_exact": "ops.analytics",
+    "node_degrees": "ops.graph",
+    "events_pivot": "ops.relational",
+    "user_journeys": "ops.relational",
     # URL canonicalization + domain bookkeeping
     "normalize_url": "ops.weburl",
     "normalize_urls": "ops.weburl",
     "registered_domain": "ops.weburl",
     "domain_counts": "ops.weburl",
     "domain_cap": "ops.weburl",
+    "url_dedup": "ops.weburl",
+    "merge_corpora": "ops.dedup",
     # linear quality classifier (bounded-sample fit, corpus scoring)
     "fit_logreg": "ops.classifier",
     "logreg_score": "ops.classifier",

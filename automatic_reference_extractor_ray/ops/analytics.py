@@ -305,6 +305,84 @@ def exact_sample(ds, id_col: str, n: int, salt: str = "exact"):
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def weighted_sample_exact(ds, id_col: str, weight_col: str, k: int,
+                          salt: str = "wse"):
+    """EXACTLY-k weighted sample without replacement — sequential
+    Poisson / priority sampling (Ohlsson 1998, the πps method): row i
+    gets priority ``u_i / w_i`` where ``u_i`` is a deterministic
+    md5-derived uniform in (0,1]; the k SMALLEST priorities win, so
+    heavier rows win proportionally more often, reproducibly, with no
+    RNG state.  Complements rate-based ``weighted_sample`` (expected
+    size) with an exact-size guarantee.  Rows with weight <= 0 never
+    qualify.  → the input rows, filtered.
+
+    Determinism contract: u = (60-bit md5 prefix + 1) / 2^60 and the
+    priority division are single IEEE-double ops, so the DuckDB oracle
+    computes bit-identical keys; ties (impossible short of md5
+    collisions) break by id.
+
+    Scale shape: ``exact_sample``'s two-pass plan — a per-block
+    k-candidate combiner over ONLY (id, weight), a capped driver
+    stream-fold to the global k-th priority, then a stateless keep
+    filter.
+    """
+    if k <= 0:
+        return ds.map_batches(lambda b: b.iloc[:0],
+                              batch_format="pandas")
+
+    def _prio(b: pd.DataFrame) -> np.ndarray:
+        h = np.fromiter(
+            (int(hashlib.md5(f"{salt}|{v}".encode()).hexdigest()[:15],
+                 16) + 1 for v in b[id_col].tolist()),
+            dtype=np.float64, count=len(b))
+        u = h / float(1 << 60)
+        w = b[weight_col].to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = u / w
+        p[~(w > 0.0)] = np.inf      # non-positive weight never wins
+        return p
+
+    def cand(b: pd.DataFrame) -> pd.DataFrame:
+        p = _prio(b)
+        order = np.argsort(p, kind="stable")[:k]
+        return pd.DataFrame({"__p": p[order]})
+
+    acc: list[float] = []
+    for part in (ds.select_columns([id_col, weight_col])
+                 .map_batches(cand, batch_format="pandas")
+                 .iter_batches(batch_format="pandas",
+                               batch_size=4096)):
+        acc.extend(part["__p"].tolist())
+        if len(acc) > 4 * k:
+            acc = sorted(acc)[:k]
+    acc = sorted(acc)[:k]
+    thr = acc[-1] if len(acc) == k else np.inf
+    if not np.isfinite(thr):
+        thr = None                   # fewer than k eligible rows
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        p = _prio(b)
+        if thr is None:
+            return b[np.isfinite(p)]
+        return b[p <= thr]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def weighted_sample_exact_sql(table: str, id_col: str,
+                              weight_col: str, k: int,
+                              salt: str = "wse") -> str:
+    """DuckDB oracle: identical priority doubles, ORDER BY + LIMIT."""
+    h = (f"CAST(CAST('0x' || substr(md5('{salt}|' || "
+         f"CAST({id_col} AS VARCHAR)), 1, 15) AS BIGINT) + 1 "
+         f"AS DOUBLE)")
+    return f"""
+        SELECT * EXCLUDE (__p) FROM (
+          SELECT *, ({h} / 1152921504606846976.0) / {weight_col} AS __p
+          FROM {table} WHERE {weight_col} > 0
+          ORDER BY __p, {id_col} LIMIT {k})"""
+
+
 # ------------------------------------------------- exact heavy hitters
 
 def topk_tokens(docs, k: int = 50, text_col: str = "text",

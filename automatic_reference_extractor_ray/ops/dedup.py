@@ -75,6 +75,59 @@ def exact_dedup(docs):
                          "n_dups": ("n_dups", "sum")})
 
 
+def merge_corpora(corpora, num_buckets: int | None = None):
+    """Priority-ordered corpus union with content dedup — the
+    dataset-mixing primitive ("take Wikipedia over CommonCrawl when
+    the text is the same"): ``corpora`` is a list of document Datasets
+    in DESCENDING priority; for each normalized-content hash the
+    surviving row comes from the highest-priority corpus containing
+    it (ties within one corpus break by min doc_id).
+
+    → (content_hash, src, keeper_doc_id): one row per distinct
+    content, ``src`` = index of the winning corpus.
+
+    Scale shape: exactly ``exact_dedup``'s — each side's batches
+    collapse to per-hash (min priority, min id at that priority)
+    partials before ONE bounded-bucket aggregate; a hash duplicated
+    across every corpus still ships ≤ one partial row per block.
+    """
+    if not corpora:
+        raise ValueError("merge_corpora: need at least one corpus")
+
+    def tag(i):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            h = add_content_hash(b)
+            # pack (priority, id) into one sortable pair via a
+            # two-level groupby min: first min id within (hash, src),
+            # then the bucketed min on the packed key
+            g = (h.groupby("content_hash", sort=False)["doc_id"]
+                 .min().reset_index())
+            g["src"] = np.int64(i)
+            return g[["content_hash", "src", "doc_id"]]
+        return fn
+
+    tagged = None
+    for i, c in enumerate(corpora):
+        t = c.map_batches(tag(i), batch_format="pandas")
+        tagged = t if tagged is None else tagged.union(t)
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        # lexicographic (src, doc_id) min per hash, vectorized: sort
+        # then first
+        b = b.sort_values(["content_hash", "src", "doc_id"],
+                          kind="mergesort")
+        return (b.groupby("content_hash", sort=False).first()
+                .reset_index())
+
+    pre = tagged.map_batches(part, batch_format="pandas")
+
+    from .shuffle import bucketed_groupby
+    out = bucketed_groupby(pre, "content_hash", part, num_buckets)
+    return out.map_batches(
+        lambda b: b.rename(columns={"doc_id": "keeper_doc_id"}),
+        batch_format="pandas")
+
+
 def incremental_dedup(base, new, num_buckets: int | None = None,
                       base_prehashed: bool = False):
     """Incremental exact dedup — the production shape at 100 TB is not

@@ -153,6 +153,30 @@ def domain_cap(ds, k: int, url_col: str = "url", id_col: str = "doc_id",
         key="domain", id_col=id_col, k=k, num_buckets=num_buckets)
 
 
+def url_dedup(ds, url_col: str = "url", id_col: str = "doc_id",
+              num_buckets: int | None = None):
+    """Exact URL dedup: one keeper per CANONICAL url (min id wins) —
+    the crawl-frontier / recrawl-collapse primitive; two presentation
+    variants of the same address count as one page.
+
+    → (url_norm, keeper, n_dups).  Scale shape: ``exact_dedup``'s —
+    per-batch (min, count) partials per url_norm, one bounded-bucket
+    aggregate; a hot URL ships ≤ one partial row per block."""
+    from .shuffle import bucketed_agg
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "url_norm": [normalize_url(u) for u in b[url_col]],
+            id_col: b[id_col].to_numpy()})
+        return (g.groupby("url_norm", sort=False)[id_col]
+                .agg(keeper="min", n_dups="size").reset_index())
+
+    return bucketed_agg(
+        ds.map_batches(part, batch_format="pandas"), "url_norm",
+        {"keeper": ("keeper", "min"), "n_dups": ("n_dups", "sum")},
+        num_buckets)
+
+
 # ------------------------------------------------ synthetic URL corpus
 
 _TLDS = ("com", "org", "net", "co.uk", "io")
@@ -199,7 +223,7 @@ def synthetic_urls(docs, id_col: str = "doc_id"):
             query = "?" + "&".join(qs) if qs else ""
             frag = f"#sec{i % 3}" if i % 5 == 0 else ""
             urls.append(f"{scheme}://{host}{port}/p/{i}{query}{frag}")
-        return pd.DataFrame({id_col: ids, "url": urls})
+        return b.assign(url=urls)   # other columns pass through
 
     return docs.map_batches(gen, batch_format="pandas")
 

@@ -365,6 +365,26 @@ def run_bench() -> dict:
     timed("quality_classifier", _quality_classifier)
     from automatic_reference_extractor_ray.ops.relational import (
         revenue_rollup)
+    from automatic_reference_extractor_ray.ops.dedup import merge_corpora
+
+    def _merge_corpora():
+        docs = read("documents", ["doc_id", "text"])
+        c0 = docs.map_batches(lambda b: b[b["doc_id"] % 3 == 0],
+                              batch_format="pandas")
+        c1 = docs.map_batches(lambda b: b[b["doc_id"] % 2 == 0],
+                              batch_format="pandas")
+        return merge_corpora([c0, c1, docs]).count()
+    timed("merge_corpora", _merge_corpora)
+    from automatic_reference_extractor_ray.ops.analytics import (
+        weighted_sample_exact)
+    timed("weighted_sample_exact", lambda: weighted_sample_exact(
+        read("documents", ["doc_id", "n_chars"]),
+        "doc_id", "n_chars", k=100).count())
+    from automatic_reference_extractor_ray.ops.jsonkit import (
+        extract_json_field)
+    timed("events_json_sum", lambda: extract_json_field(
+        read("events", ["event_type", "props"]),
+        "props", "k").count())
     from automatic_reference_extractor_ray.ops.relational import (
         events_pivot, user_journeys)
     timed("events_pivot", lambda: len(events_pivot(
@@ -398,6 +418,11 @@ def run_bench() -> dict:
         synthetic_urls(read("documents", ["doc_id"]))).count())
     timed("domain_cap", lambda: domain_cap(
         synthetic_urls(read("documents", ["doc_id"])), k=3).count())
+    from automatic_reference_extractor_ray.ops.weburl import url_dedup
+    timed("url_dedup", lambda: url_dedup(synthetic_urls(
+        read("documents", ["doc_id"]).map_batches(
+            lambda b: b.assign(gid=b["doc_id"] % 250),
+            batch_format="pandas"), id_col="gid")).count())
     from automatic_reference_extractor_ray.ops.analytics import (
         percent_rank)
     timed("doc_percentile", lambda: percent_rank(

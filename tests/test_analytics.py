@@ -558,6 +558,60 @@ def test_revenue_by_nation_star_join(ray_session):
     assert out["n_orders"].tolist() == [3, 1]
 
 
+def test_weighted_sample_exact_properties(ray_session):
+    """Priority sampling: exact k, weight bias, determinism across
+    partitionings, zero/negative weights excluded, under-k input."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.analytics import (
+        weighted_sample_exact)
+
+    n = 600
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype="int64"),
+        # first half heavy (w=40), second half light (w=1), plus a
+        # few ineligible rows
+        "w": np.array([40] * (n // 2) + [1] * (n // 2), dtype="int64")})
+    df.loc[[5, 6], "w"] = 0
+    df.loc[7, "w"] = -3
+    out = (weighted_sample_exact(rd.from_pandas(df).repartition(6),
+                                 "doc_id", "w", k=100).to_pandas())
+    assert len(out) == 100
+    assert not set(out["doc_id"]) & {5, 6, 7}
+    heavy = int((out["doc_id"] < n // 2).sum())
+    assert heavy > 80            # 40:1 weights dominate the sample
+    # partition-invariant determinism
+    out2 = (weighted_sample_exact(
+                rd.from_pandas(df.sample(frac=1.0, random_state=9))
+                .repartition(11), "doc_id", "w", k=100).to_pandas())
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # fewer eligible rows than k: all eligible kept
+    small = df.iloc[:10]
+    o3 = weighted_sample_exact(rd.from_pandas(small), "doc_id", "w",
+                               k=100).to_pandas()
+    assert sorted(o3["doc_id"]) == [0, 1, 2, 3, 4, 8, 9]
+
+
+def test_weighted_sample_exact_matches_sql(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.analytics import (
+        weighted_sample_exact, weighted_sample_exact_sql)
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(500, dtype="int64"),
+        "w": (np.arange(500) % 13 + 1).astype("int64")})
+    got = (weighted_sample_exact(rd.from_pandas(df).repartition(4),
+                                 "doc_id", "w", k=50)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = (con.sql(weighted_sample_exact_sql("t", "doc_id", "w", 50))
+           .df().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_events_pivot_crosstab(ray_session):
     """Wide hour-of-day matrix: fixed 24-column schema, counts land in
     the right cells, absent cells zero."""

@@ -172,6 +172,33 @@ def test_dedup_components_raises_when_unconverged(ray_session):
         dedup_components(docs, chain, max_rounds=2)
 
 
+def test_merge_corpora_priority(ray_session):
+    """Priority union: the same content in several corpora survives
+    from the highest-priority one; within a corpus min doc_id wins;
+    unique content always survives."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.dedup import merge_corpora
+
+    a = pd.DataFrame({"doc_id": np.array([10, 11], dtype="int64"),
+                      "text": ["shared one", "only in a"]})
+    b = pd.DataFrame({"doc_id": np.array([20, 21, 22], dtype="int64"),
+                      "text": ["shared one", "shared two",
+                               "only in b"]})
+    c = pd.DataFrame({"doc_id": np.array([30, 31], dtype="int64"),
+                      "text": ["shared two", "Shared   ONE"]})  # norm dup
+    out = (merge_corpora([rd.from_pandas(a).repartition(2),
+                          rd.from_pandas(b),
+                          rd.from_pandas(c)])
+           .to_pandas().set_index("keeper_doc_id").sort_index())
+    # "shared one" (normalized) exists in a(10), b(20), c(31) -> a wins
+    # "shared two" in b(21), c(30) -> b wins
+    keepers = set(out.index)
+    assert keepers == {10, 11, 21, 22}
+    assert out.loc[10, "src"] == 0
+    assert out.loc[21, "src"] == 1
+
+
 def test_incremental_dedup_verdicts(ray_session):
     """A new doc survives iff its content hash is absent from the base
     AND it is the min-doc_id holder within the increment; verdicts are

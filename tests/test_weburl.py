@@ -79,6 +79,22 @@ def test_domain_cap_enforces_quota(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_url_dedup_collapses_variants(ray_session):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.weburl import url_dedup
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype="int64"),
+        "url": ["http://A.com/x?utm_s=1",      # variants of one page
+                "http://www.a.com/x",
+                "HTTP://a.com:80/x#frag",
+                "http://a.com/y"]})
+    out = (url_dedup(rd.from_pandas(df).repartition(2))
+           .to_pandas().set_index("url_norm").sort_index())
+    assert out.loc["http://a.com/x", "keeper"] == 0
+    assert out.loc["http://a.com/x", "n_dups"] == 3
+    assert out.loc["http://a.com/y", "n_dups"] == 1
+
+
 def test_domain_counts_hot_domain(ray_session):
     import ray.data as rd
     urls = (["http://hot.com/p/%d" % i for i in range(30)]
