@@ -331,6 +331,28 @@ _T39 = re.compile(
     r"(?P<publisher>[^,]+), (?P<loc>[^,]+), "
     r"(?P<p1>\d+)-(?P<p2>\d+)\.$")
 
+# T40 GB/T 7714 journal article: "Smith J, Jones B. Title[J].
+# Journal Name, 1999, 12(3): 45-67." — T36's dotless author tokens,
+# the "[J]" document-type marker after the title (drops; the
+# GB/T-distinctive anchor no other shape carries), year after the
+# journal, space-separated colon pages.
+_T40 = re.compile(
+    r"^(?P<auth>[A-Z][A-Za-z]+ [A-Z]{1,2}(?:, [A-Z][A-Za-z]+ [A-Z]{1,2})*)\. "
+    r"(?P<title>[^.\[]+)\[J\]\. (?P<journal>[^,]+), "
+    r"(?P<year>(?:19|20)\d{2}), (?P<vol>\d+)\((?P<iss>\d+)\): "
+    r"(?P<p1>\d+)-(?P<p2>\d+)\.$")
+
+# T41 raw BibTeX @article entry — the pasted-source long tail.  The
+# cite key and braces drop, " and "-joined inverted full names stay
+# ONE author each (the T26 single-name convention), "--" page dashes
+# normalize to "-", the optional number field maps to issue.
+_T41 = re.compile(
+    r"^@article\{[A-Za-z0-9:_-]+, author = \{(?P<auth>[^{}]+)\}, "
+    r"title = \{(?P<title>[^{}]+)\}, journal = \{(?P<journal>[^{}]+)\}, "
+    r"year = \{(?P<year>\d{4})\}, volume = \{(?P<vol>\d+)\},"
+    r"(?: number = \{(?P<iss>\d+)\},)? "
+    r"pages = \{(?P<p1>\d+)--(?P<p2>\d+)\}\}\.$")
+
 # T26 Chicago bibliography article: 'Miller, Anne. "Title." Journal
 # Name 12, no. 3 (1999): 45-67.' — fully-spelled inverted name
 # (stays ONE author), quoted title with its period INSIDE the quotes
@@ -656,6 +678,21 @@ def _match_templates(s: str) -> tuple[dict[str, object], str]:
                  date=m["year"], publisher=m["publisher"],
                  location=m["loc"], pages=f"{m['p1']}-{m['p2']}")
         return f, "T34"
+    m = _T41.match(s)
+    if m:
+        # raw BibTeX: braces/key drop, inverted names stay whole,
+        # "--" pages normalize, number -> issue (may be absent)
+        f.update(authors=m["auth"].split(" and "), title=m["title"],
+                 journal=m["journal"], date=m["year"], volume=m["vol"],
+                 issue=m["iss"] or "", pages=f"{m['p1']}-{m['p2']}")
+        return f, "T41"
+    m = _T40.match(s)
+    if m:
+        # GB/T 7714: [J] marker drops, year after the journal
+        f.update(authors=m["auth"].split(", "), title=m["title"],
+                 journal=m["journal"], date=m["year"], volume=m["vol"],
+                 issue=m["iss"], pages=f"{m['p1']}-{m['p2']}")
+        return f, "T40"
     m = _T36.match(s)
     if m:
         # CSE name-year: dotless tokens, commas are list separators

@@ -2,7 +2,7 @@
 fields (FIXTURES.md: "templated citations … so the field tokenizer has
 deterministic ground truth").
 
-Thirty-nine template shapes (T1-T39 below), matching the shapes
+Forty-one template shapes (T1-T41 below), matching the shapes
 ``functions.fields.parse_fields`` recognizes exactly; the generator
 returns both the raw string and the expected BibStructured field dict,
 so field extraction has an analytic oracle that never calls the parser.
@@ -200,7 +200,7 @@ def gen_citation(rng: np.random.Generator) -> Citation:
            Publisher, City, 45-67.") — full dotless names, year
            after the head, proceedings name (level m) drops
     """
-    t = int(rng.integers(0, 40))
+    t = int(rng.integers(0, 42))
     year = str(int(rng.integers(1970, 2024)))
     title = _title(rng)
     f = dict(EMPTY_FIELDS)
@@ -565,6 +565,38 @@ def gen_citation(rng: np.random.Generator) -> Citation:
                f"{p1} ({year}).")
         f.update(authors=authors, journal=journal, volume=vol,
                  pages=str(p1), title="")
+    elif t == 40:  # T40 GB/T 7714 journal article — dotless author
+        # tokens (T36's), the "[J]" document-type marker after the
+        # title (drops), year after the journal, vol(iss): colon pages
+        n = int(rng.integers(1, 4))
+        authors = [f"{_pick(rng, SURNAMES)} {_pick(rng, INITIALS)}"
+                   for _ in range(n)]
+        journal, vol, iss, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f"{', '.join(authors)}. {title}[J]. {journal}, "
+               f"{year}, {vol}({iss}): {p1}-{p2}.")
+        f.update(authors=authors, journal=journal, volume=vol, issue=iss,
+                 pages=f"{p1}-{p2}")
+    elif t == 41:  # T41 raw BibTeX @article — pasted-source long
+        # tail; inverted full names joined " and " stay one author
+        # each (the T26 convention), "--" page dashes normalize, the
+        # cite key and braces drop; "number" may be absent
+        n = int(rng.integers(1, 3))
+        authors = [f"{_pick(rng, SURNAMES)}, {_pick(rng, FORENAMES)}"
+                   for _ in range(n)]
+        journal, vol, iss, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        key = f"{authors[0].split(',')[0].lower()}{year}"
+        num = f" number = {{{iss}}}," if int(rng.integers(0, 2)) else ""
+        # the terminal "." after the closing braces keeps the
+        # every-template-ends-with-a-dot invariant the HTML selector
+        # families strip-and-restore (corpus.py _html_dl/_pll_doc)
+        raw = (f"@article{{{key}, author = {{{' and '.join(authors)}}}, "
+               f"title = {{{title}}}, journal = {{{journal}}}, "
+               f"year = {{{year}}}, volume = {{{vol}}},{num} "
+               f"pages = {{{p1}--{p2}}}}}.")
+        f.update(authors=authors, journal=journal, volume=vol,
+                 issue=iss if num else "", pages=f"{p1}-{p2}")
     else:  # T39 ACM reference format — full dotless names, year after
         # the head, proceedings name (level m) drops, publisher/place/
         # pages map
