@@ -74,6 +74,14 @@ def _bm25_sql() -> str:
     return bm25_topk_sql(_BM25_TERMS, k=10)
 
 
+def _stratified_split_sql() -> str:
+    from automatic_reference_extractor_ray.ops.analytics import (
+        stratified_split_sql)
+    return stratified_split_sql(
+        "(SELECT doc_id, lang FROM documents)", "lang", "doc_id",
+        n_val=10, n_test=15)
+
+
 def _url_dedup_sql() -> str:
     from automatic_reference_extractor_ray.ops.weburl import (
         synthetic_urls_sql)
@@ -588,6 +596,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def stratified_split_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            stratified_split)
+        return stratified_split(
+            _read(sf, "documents", ["doc_id", "lang"]),
+            strata_col="lang", id_col="doc_id", n_val=10, n_test=15)
+
     def url_dedup_q(sf):
         # recrawl collapse: ids map onto 250 shared URL slots, so
         # most canonical URLs carry 2 docs; min doc_id keeps
@@ -1073,6 +1088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "stratified_split": stratified_split_q,
         "url_dedup": url_dedup_q,
         "merge_corpora": merge_corpora_q,
         "weighted_sample_exact": weighted_sample_exact_q,
@@ -1581,6 +1597,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content": """
             SELECT doc_id, main_text, n_blocks
             FROM read_parquet('/tmp/arx_web/sf0.01/golden_main.parquet')""",
+        "stratified_split": _stratified_split_sql(),
         "url_dedup": _url_dedup_sql(),
         "merge_corpora": f"""
             WITH h AS (SELECT doc_id, md5({NORM}) AS content_hash

@@ -96,6 +96,7 @@ _EXPORTS = {
     "profile_table": "ops.profile",
     "extract_json_field": "ops.jsonkit",
     "weighted_sample_exact": "ops.analytics",
+    "stratified_split": "ops.analytics",
     "node_degrees": "ops.graph",
     "events_pivot": "ops.relational",
     "user_journeys": "ops.relational",

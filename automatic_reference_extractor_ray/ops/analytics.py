@@ -383,6 +383,75 @@ def weighted_sample_exact_sql(table: str, id_col: str,
           ORDER BY __p, {id_col} LIMIT {k})"""
 
 
+def stratified_split(ds, strata_col: str, id_col: str,
+                     n_val: int, n_test: int, salt: str = "strat",
+                     num_buckets: int | None = None):
+    """Exact-size stratified train/val/test split: within every
+    stratum the ``n_val`` smallest ``md5("{salt}|{id}")`` digests go
+    to val, the next ``n_test`` to test, everything else to train —
+    the eval-carve-out shape where rate-based ``hash_split`` can't
+    guarantee per-stratum eval sizes (a rare language must still get
+    its full eval slice).  → input columns + ``split`` ∈
+    {train, val, test}; strata smaller than the quotas fill val first.
+
+    Scale shape: a per-batch (n_val+n_test)-candidate cut per stratum
+    feeds one bounded-bucket per-stratum rank (≤ strata × quota ×
+    blocks candidate rows); the chosen (id → split) assignments —
+    ≤ strata × quota rows total, eval slices are small by design —
+    broadcast via ``ray.put`` into a stateless verdict map, so the
+    full corpus streams through exactly once.
+    """
+    import ray
+
+    from .shuffle import bucketed_groupby
+
+    quota = n_val + n_test
+
+    def hashed(b: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(f"{salt}|{v}".encode("utf-8")).hexdigest()
+             for v in b[id_col]]
+        out = pd.DataFrame({strata_col: b[strata_col].to_numpy(),
+                            id_col: b[id_col].to_numpy(), "__h": h})
+        out = out.sort_values(["__h", id_col], kind="mergesort")
+        return out.groupby(strata_col, sort=False).head(quota)
+
+    def cut(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.sort_values(["__h", id_col], kind="mergesort")
+        g = g.groupby(strata_col, sort=False).head(quota)
+        rank = g.groupby(strata_col, sort=False).cumcount()
+        g = g.assign(split=np.where(rank < n_val, "val", "test"))
+        return g[[id_col, "split"]]
+
+    chosen = bucketed_groupby(
+        ds.map_batches(hashed, batch_format="pandas"),
+        strata_col, cut, num_buckets).to_pandas()
+    ref = ray.put(dict(zip(chosen[id_col], chosen["split"])))
+
+    def verdict(b: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        return b.assign(split=pd.Series(
+            [lookup.get(v, "train") for v in b[id_col]],
+            index=b.index, dtype="object"))
+
+    return ds.map_batches(verdict, batch_format="pandas")
+
+
+def stratified_split_sql(table: str, strata_col: str, id_col: str,
+                         n_val: int, n_test: int,
+                         salt: str = "strat") -> str:
+    """DuckDB oracle matching ``stratified_split`` bit-for-bit."""
+    return f"""
+        SELECT * EXCLUDE (rn),
+               CASE WHEN rn <= {n_val} THEN 'val'
+                    WHEN rn <= {n_val + n_test} THEN 'test'
+                    ELSE 'train' END AS split
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY {strata_col}
+                ORDER BY md5('{salt}|' || CAST({id_col} AS VARCHAR)),
+                         {id_col}) AS rn
+              FROM {table})"""
+
+
 # ------------------------------------------------- exact heavy hitters
 
 def topk_tokens(docs, k: int = 50, text_col: str = "text",

@@ -365,6 +365,11 @@ def run_bench() -> dict:
     timed("quality_classifier", _quality_classifier)
     from automatic_reference_extractor_ray.ops.relational import (
         revenue_rollup)
+    from automatic_reference_extractor_ray.ops.analytics import (
+        stratified_split)
+    timed("stratified_split", lambda: stratified_split(
+        read("documents", ["doc_id", "lang"]),
+        "lang", "doc_id", n_val=10, n_test=15).count())
     from automatic_reference_extractor_ray.ops.dedup import merge_corpora
 
     def _merge_corpora():

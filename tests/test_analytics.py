@@ -558,6 +558,37 @@ def test_revenue_by_nation_star_join(ray_session):
     assert out["n_orders"].tolist() == [3, 1]
 
 
+def test_stratified_split_quotas(ray_session):
+    """Exact per-stratum eval sizes, small-stratum val-first fill,
+    partition-invariant determinism, full-row coverage."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.analytics import (
+        stratified_split)
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(130, dtype="int64"),
+        "lang": (["en"] * 100 + ["fr"] * 25 + ["zh"] * 5)})
+    out = (stratified_split(rd.from_pandas(df).repartition(5),
+                            "lang", "doc_id", n_val=4, n_test=6)
+           .to_pandas())
+    assert len(out) == 130
+    counts = out.groupby(["lang", "split"]).size()
+    assert counts[("en", "val")] == 4 and counts[("en", "test")] == 6
+    assert counts[("en", "train")] == 90
+    assert counts[("fr", "val")] == 4 and counts[("fr", "test")] == 6
+    # zh has only 5 rows: val fills first (4), then test (1), no train
+    assert counts[("zh", "val")] == 4 and counts[("zh", "test")] == 1
+    assert ("zh", "train") not in counts
+    # determinism under repartitioning + row shuffle
+    out2 = (stratified_split(
+                rd.from_pandas(df.sample(frac=1.0, random_state=4))
+                .repartition(9), "lang", "doc_id", n_val=4, n_test=6)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, out2)
+
+
 def test_weighted_sample_exact_properties(ray_session):
     """Priority sampling: exact k, weight bias, determinism across
     partitionings, zero/negative weights excluded, under-k input."""
