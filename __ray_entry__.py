@@ -596,6 +596,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def compression_metrics_q(sf):
+        # zlib compressibility signal — SQL has no zlib, rows-only
+        # oracle; pinned against direct zlib in tests
+        from automatic_reference_extractor_ray.ops.textstats import (
+            compression_metrics)
+        return (_read(sf, "documents", ["doc_id", "text"])
+                .map_batches(compression_metrics,
+                             batch_format="pandas"))
+
     def stratified_split_q(sf):
         from automatic_reference_extractor_ray.ops.analytics import (
             stratified_split)
@@ -1088,6 +1097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "compression_metrics": compression_metrics_q,
         "stratified_split": stratified_split_q,
         "url_dedup": url_dedup_q,
         "merge_corpora": merge_corpora_q,

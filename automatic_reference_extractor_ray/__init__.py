@@ -97,6 +97,7 @@ _EXPORTS = {
     "extract_json_field": "ops.jsonkit",
     "weighted_sample_exact": "ops.analytics",
     "stratified_split": "ops.analytics",
+    "compression_metrics": "ops.textstats",
     "node_degrees": "ops.graph",
     "events_pivot": "ops.relational",
     "user_journeys": "ops.relational",

@@ -795,6 +795,38 @@ def pack_sql(budget: int = 256, chunk: int = 64, overlap: int = 8,
         FROM c"""
 
 
+# --------------------------------------- compression-ratio signal
+
+def compression_metrics(batch: pd.DataFrame,
+                        level: int = 6) -> pd.DataFrame:
+    """Per-doc zlib compressibility — the low-entropy spam signal
+    (boilerplate, keyword stuffing, repeated blocks compress far
+    below prose; prose sits around ratio 2.5-4×): → (doc_id, n_bytes,
+    z_bytes, ratio_micro) with ratio = n_bytes / z_bytes in int64
+    micro-units (0 for empty text).  Pure streaming ``map_batches``
+    stage; compression is per-row by nature but zlib's C loop
+    dominates, not the Python iteration.  SQL has no zlib →
+    rows-only oracle, pinned against direct zlib in tests.
+    """
+    import zlib
+
+    n_bytes, z_bytes = [], []
+    for t in batch["text"]:
+        raw = (t or "").encode("utf-8")
+        n_bytes.append(len(raw))
+        z_bytes.append(len(zlib.compress(raw, level)) if raw else 0)
+    nb = np.asarray(n_bytes, dtype=np.int64)
+    zb = np.asarray(z_bytes, dtype=np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(zb > 0, nb / np.maximum(zb, 1), 0.0)
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"].to_numpy(),
+        "n_bytes": nb,
+        "z_bytes": zb,
+        "ratio_micro": np.floor(ratio * 1_000_000.0 + 0.5)
+        .astype(np.int64)})
+
+
 # --------------------------------------------- repetition metrics
 
 def repetition_metrics(batch: pd.DataFrame) -> pd.DataFrame:

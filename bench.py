@@ -365,6 +365,11 @@ def run_bench() -> dict:
     timed("quality_classifier", _quality_classifier)
     from automatic_reference_extractor_ray.ops.relational import (
         revenue_rollup)
+    from automatic_reference_extractor_ray.ops.textstats import (
+        compression_metrics)
+    timed("compression_metrics", lambda: read(
+        "documents", ["doc_id", "text"]).map_batches(
+        compression_metrics, batch_format="pandas").count())
     from automatic_reference_extractor_ray.ops.analytics import (
         stratified_split)
     timed("stratified_split", lambda: stratified_split(

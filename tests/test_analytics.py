@@ -558,6 +558,34 @@ def test_revenue_by_nation_star_join(ray_session):
     assert out["n_orders"].tolist() == [3, 1]
 
 
+def test_compression_metrics_signal(ray_session):
+    """Pinned vs direct zlib; repeated text compresses far better
+    than varied text; empty text yields zeros."""
+    import zlib
+
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.textstats import (
+        compression_metrics)
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype="int64"),
+        "text": ["spam " * 400,
+                 " ".join(f"w{i}x{i * 7 % 113}" for i in range(400)),
+                 ""]})
+    out = (rd.from_pandas(df).repartition(2)
+           .map_batches(compression_metrics, batch_format="pandas")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i in range(2):
+        raw = df.loc[i, "text"].encode()
+        assert out.loc[i, "n_bytes"] == len(raw)
+        assert out.loc[i, "z_bytes"] == len(zlib.compress(raw, 6))
+        assert out.loc[i, "ratio_micro"] == int(np.floor(
+            len(raw) / len(zlib.compress(raw, 6)) * 1e6 + 0.5))
+    assert out.loc[0, "ratio_micro"] > 3 * out.loc[1, "ratio_micro"]
+    assert (out.loc[2, ["n_bytes", "z_bytes", "ratio_micro"]] == 0).all()
+
+
 def test_stratified_split_quotas(ray_session):
     """Exact per-stratum eval sizes, small-stratum val-first fill,
     partition-invariant determinism, full-row coverage."""
