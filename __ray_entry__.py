@@ -74,6 +74,12 @@ def _bm25_sql() -> str:
     return bm25_topk_sql(_BM25_TERMS, k=10)
 
 
+def _curate_web_sql() -> str:
+    from automatic_reference_extractor_ray.pipelines.webcurate import (
+        curate_web_sql)
+    return curate_web_sql("/tmp/arx_web/sf0.01/golden_main.parquet")
+
+
 def _stratified_split_sql() -> str:
     from automatic_reference_extractor_ray.ops.analytics import (
         stratified_split_sql)
@@ -596,6 +602,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def curate_web_q(sf):
+        from automatic_reference_extractor_ray.pipelines.webcurate import (
+            curate_web_corpus)
+        from automatic_reference_extractor_ray.sources.readers import (
+            read_parquet_clean)
+        from automatic_reference_extractor_ray.sources.webgen import (
+            write_web_tables)
+        d = write_web_tables(sf)
+        return curate_web_corpus(
+            read_parquet_clean(f"{d}/pages.parquet"))
+
     def compression_metrics_q(sf):
         # zlib compressibility signal — SQL has no zlib, rows-only
         # oracle; pinned against direct zlib in tests
@@ -1097,6 +1114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "curate_web": curate_web_q,
         "compression_metrics": compression_metrics_q,
         "stratified_split": stratified_split_q,
         "url_dedup": url_dedup_q,
@@ -1607,6 +1625,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content": """
             SELECT doc_id, main_text, n_blocks
             FROM read_parquet('/tmp/arx_web/sf0.01/golden_main.parquet')""",
+        "curate_web": _curate_web_sql(),
         "stratified_split": _stratified_split_sql(),
         "url_dedup": _url_dedup_sql(),
         "merge_corpora": f"""

@@ -98,6 +98,7 @@ _EXPORTS = {
     "weighted_sample_exact": "ops.analytics",
     "stratified_split": "ops.analytics",
     "compression_metrics": "ops.textstats",
+    "curate_web_corpus": "pipelines.webcurate",
     "node_degrees": "ops.graph",
     "events_pivot": "ops.relational",
     "user_journeys": "ops.relational",

@@ -353,6 +353,16 @@ def run_bench() -> dict:
         return extract_main_dataset(
             read_parquet_clean(f"{d}/pages.parquet")).count()
     timed("main_content", _main_content)
+    from automatic_reference_extractor_ray.pipelines.webcurate import (
+        curate_web_corpus)
+
+    def _curate_web():
+        from automatic_reference_extractor_ray.sources.readers import (
+            read_parquet_clean)
+        d = write_web_tables(SF_DIR)
+        return curate_web_corpus(
+            read_parquet_clean(f"{d}/pages.parquet")).count()
+    timed("curate_web", _curate_web)
     from automatic_reference_extractor_ray.ops.classifier import (
         quality_classifier as _qc)
 

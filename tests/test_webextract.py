@@ -110,6 +110,34 @@ def test_ray_dataset_end_to_end(ray_session):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_curate_web_composed_pipeline(ray_session, tmp_path):
+    """Composed crawl-to-clean pipeline vs its stage-composed DuckDB
+    oracle on a fresh sf0.001 web corpus, plus partition invariance."""
+    import duckdb
+
+    from automatic_reference_extractor_ray.pipelines.webcurate import (
+        curate_web_corpus, curate_web_sql)
+    from automatic_reference_extractor_ray.sources.readers import (
+        read_parquet_clean)
+    from automatic_reference_extractor_ray.sources.webgen import (
+        write_web_tables)
+
+    d = write_web_tables("/root/testdata/sf0.001",
+                         out_root=str(tmp_path))
+    pages = read_parquet_clean(f"{d}/pages.parquet")
+    got = (curate_web_corpus(pages).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = (duckdb.sql(curate_web_sql(f"{d}/golden_main.parquet")).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+    # the pipeline actually bites: some pages dropped, some kept
+    assert 0 < len(got) < 500
+    # partition invariance
+    got2 = (curate_web_corpus(pages.repartition(7)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)
+
+
 def test_separability_contract_asserts():
     # the generator must refuse to emit a page whose boilerplate could
     # pass the keep rule — drive the assert directly
