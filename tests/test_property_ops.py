@@ -310,3 +310,56 @@ def test_scrub_dup_windows_edges(ray_session):
         {"doc_id": pd.Series([], dtype="int64"),
          "text": pd.Series([], dtype=object)}))
     assert scrub_dup_windows(empty).count() == 0
+
+
+def test_normalize_url_idempotent_property():
+    """Canonicalization is a projection: normalize∘normalize ==
+    normalize over a hypothesis-driven messy-URL space."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from automatic_reference_extractor_ray.ops.weburl import normalize_url
+
+    host_label = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ09-",
+        min_size=1, max_size=8).filter(
+        lambda s: not s.startswith("-") and not s.endswith("-"))
+    params = st.lists(st.tuples(
+        st.sampled_from(["a", "b", "utm_x", "ref", "gclid", "zz"]),
+        st.integers(0, 99)), max_size=4)
+
+    @settings(max_examples=200, deadline=None)
+    @given(scheme=st.sampled_from(["http", "https", "HTTP", "Https"]),
+           labels=st.lists(host_label, min_size=1, max_size=4),
+           port=st.sampled_from(["", ":80", ":443", ":8080"]),
+           path=st.sampled_from(["", "/", "/x", "/x/y.html"]),
+           ps=params,
+           frag=st.sampled_from(["", "#top", "#sec2"]))
+    def check(scheme, labels, port, path, ps, frag):
+        q = "&".join(f"{k}={v}" for k, v in ps)
+        url = (f"{scheme}://{'.'.join(labels)}{port}{path}"
+               f"{'?' + q if q else ''}{frag}")
+        once = normalize_url(url)
+        assert normalize_url(once) == once
+
+    check()
+
+
+def test_percent_rank_bounds_property(ray_session):
+    """pct_micro is a bijection-ranked integer in [0, 1e6] hitting
+    both endpoints for any n >= 2 and any value multiset."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.analytics import percent_rank
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    for n in (2, 3, 17, 100):
+        df = pd.DataFrame({
+            "doc_id": np.arange(n, dtype="int64"),
+            "v": rng.integers(0, 5, n).astype("int64")})
+        out = percent_rank(rd.from_pandas(df).repartition(3),
+                           "v", "doc_id").to_pandas()
+        assert out["pct_micro"].min() == 0
+        assert out["pct_micro"].max() == 1_000_000
+        assert out["pct_micro"].between(0, 1_000_000).all()
+        assert sorted(out["rank"]) == list(range(1, n + 1))
