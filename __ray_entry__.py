@@ -602,6 +602,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def lang_confusion_q(sf):
+        # evaluation aggregate: lang_guess predictions vs the truth
+        # lang column, long-format confusion matrix
+        from automatic_reference_extractor_ray.ops.analytics import (
+            confusion_matrix)
+        from automatic_reference_extractor_ray.ops.textstats import (
+            lang_guess)
+        docs = _read(sf, "documents", ["doc_id", "text", "lang"])
+        preds = docs.map_batches(
+            lambda b: b.assign(
+                lang_guess=lang_guess(b[["doc_id", "text"]])
+                ["lang_guess"].to_numpy())
+            [["lang", "lang_guess"]],
+            batch_format="pandas")
+        return confusion_matrix(preds, "lang", "lang_guess")
+
     def curate_web_q(sf):
         from automatic_reference_extractor_ray.pipelines.webcurate import (
             curate_web_corpus)
@@ -1114,6 +1130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "lang_confusion": lang_confusion_q,
         "curate_web": curate_web_q,
         "compression_metrics": compression_metrics_q,
         "stratified_split": stratified_split_q,
@@ -1625,6 +1642,21 @@ def oracle_sql() -> dict[str, str]:
         "main_content": """
             SELECT doc_id, main_text, n_blocks
             FROM read_parquet('/tmp/arx_web/sf0.01/golden_main.parquet')""",
+        "lang_confusion": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     len(list_filter({TOK}, t -> t IN
+                         ('the','and','of','to','a','in','is','for','with','on'))) AS en_hits,
+                     len(list_filter({TOK}, t -> t IN
+                         ('der','die','das','und','ist','mit','für','von','ein','nicht'))) AS de_hits
+              FROM documents)
+            SELECT d.lang AS truth,
+                   CASE WHEN h.en_hits > h.de_hits THEN 'en'
+                        WHEN h.de_hits > h.en_hits THEN 'de'
+                        ELSE 'unknown' END AS pred,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM h JOIN documents d USING (doc_id)
+            GROUP BY 1, 2""",
         "curate_web": _curate_web_sql(),
         "stratified_split": _stratified_split_sql(),
         "url_dedup": _url_dedup_sql(),

@@ -99,6 +99,7 @@ _EXPORTS = {
     "stratified_split": "ops.analytics",
     "compression_metrics": "ops.textstats",
     "curate_web_corpus": "pipelines.webcurate",
+    "confusion_matrix": "ops.analytics",
     "node_degrees": "ops.graph",
     "events_pivot": "ops.relational",
     "user_journeys": "ops.relational",

@@ -383,6 +383,34 @@ def weighted_sample_exact_sql(table: str, id_col: str,
           ORDER BY __p, {id_col} LIMIT {k})"""
 
 
+def confusion_matrix(ds, truth_col: str, pred_col: str) -> pd.DataFrame:
+    """Classifier evaluation aggregate: → pandas (truth, pred, n),
+    one row per observed label pair (the long-format confusion
+    matrix feeding accuracy / per-class recall).
+
+    Scale shape: the value_histogram pattern — each batch collapses
+    to ≤ |truth classes| × |pred classes| count partials and the
+    driver folds that bounded stream; no shuffle at any row count
+    (label vocabularies are small by definition — this is an
+    EVALUATION aggregate, not a join)."""
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby([truth_col, pred_col]).size()
+             .reset_index(name="n"))
+        return g
+
+    acc: dict[tuple, int] = {}
+    for p in (ds.map_batches(part, batch_format="pandas")
+              .iter_batches(batch_format="pandas")):
+        for t, pr, n in zip(p[truth_col], p[pred_col], p["n"]):
+            acc[(t, pr)] = acc.get((t, pr), 0) + int(n)
+    out = pd.DataFrame(
+        [(t, pr, n) for (t, pr), n in sorted(acc.items())],
+        columns=["truth", "pred", "n"])
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 def stratified_split(ds, strata_col: str, id_col: str,
                      n_val: int, n_test: int, salt: str = "strat",
                      num_buckets: int | None = None):

@@ -558,6 +558,22 @@ def test_revenue_by_nation_star_join(ray_session):
     assert out["n_orders"].tolist() == [3, 1]
 
 
+def test_confusion_matrix_counts(ray_session):
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.analytics import (
+        confusion_matrix)
+
+    df = pd.DataFrame({
+        "y": ["a", "a", "a", "b", "b", "c"],
+        "p": ["a", "a", "b", "b", "a", "c"]})
+    out = confusion_matrix(rd.from_pandas(df).repartition(3), "y", "p")
+    m = {(r.truth, r.pred): r.n for r in out.itertuples()}
+    assert m == {("a", "a"): 2, ("a", "b"): 1, ("b", "b"): 1,
+                 ("b", "a"): 1, ("c", "c"): 1}
+    assert out["n"].dtype == np.int64
+
+
 def test_compression_metrics_signal(ray_session):
     """Pinned vs direct zlib; repeated text compresses far better
     than varied text; empty text yields zeros."""
