@@ -375,6 +375,20 @@ def run_bench() -> dict:
     timed("quality_classifier", _quality_classifier)
     from automatic_reference_extractor_ray.ops.relational import (
         revenue_rollup)
+    from automatic_reference_extractor_ray.ops.analytics import (
+        confusion_matrix)
+    from automatic_reference_extractor_ray.ops.textstats import (
+        lang_guess)
+
+    def _lang_confusion():
+        docs = read("documents", ["doc_id", "text", "lang"])
+        preds = docs.map_batches(
+            lambda b: b.assign(
+                lang_guess=lang_guess(b[["doc_id", "text"]])
+                ["lang_guess"].to_numpy())[["lang", "lang_guess"]],
+            batch_format="pandas")
+        return len(confusion_matrix(preds, "lang", "lang_guess"))
+    timed("lang_confusion", _lang_confusion)
     from automatic_reference_extractor_ray.ops.textstats import (
         compression_metrics)
     timed("compression_metrics", lambda: read(
