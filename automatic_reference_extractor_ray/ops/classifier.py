@@ -102,21 +102,35 @@ def fit_logreg(ds, label_col: str, text_col: str = "text",
     size."""
     cols = [id_col, text_col, label_col]
 
+    # pass 1 sees ONLY id digests (the exact_sample candidate-prune
+    # lesson: shipping text with every block's candidates would move
+    # blocks × fit_sample documents to the driver); pass 2 filters
+    # the ≤ fit_sample winning rows and pulls just those
     def cand(b: pd.DataFrame) -> pd.DataFrame:
+        hs = sorted(_digest(salt, v)
+                    for v in b[id_col].tolist())[:fit_sample]
+        return pd.DataFrame({"__h": pd.Series(hs, dtype="object")})
+
+    acc: list[str] = []
+    for part in (ds.select_columns([id_col])
+                 .map_batches(cand, batch_format="pandas")
+                 .iter_batches(batch_format="pandas",
+                               batch_size=4096)):
+        acc.extend(part["__h"].tolist())
+        if len(acc) > 4 * fit_sample:
+            acc = sorted(acc)[:fit_sample]
+    if not acc:
+        raise ValueError("fit_logreg: empty input dataset")
+    acc = sorted(acc)[:fit_sample]
+    thr = acc[-1]
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
         b = b[cols].copy()
         b["__h"] = [_digest(salt, v) for v in b[id_col].tolist()]
-        return b.sort_values("__h", kind="mergesort").head(fit_sample)
+        return b[b["__h"] <= thr]
 
-    acc: pd.DataFrame | None = None
-    for part in (ds.map_batches(cand, batch_format="pandas")
-                 .iter_batches(batch_format="pandas")):
-        acc = part if acc is None else pd.concat([acc, part])
-        if len(acc) > 4 * fit_sample:
-            acc = (acc.sort_values("__h", kind="mergesort")
-                   .head(fit_sample))
-    if acc is None or acc.empty:
-        raise ValueError("fit_logreg: empty input dataset")
-    sample = acc.sort_values("__h", kind="mergesort").head(fit_sample)
+    sample = (ds.map_batches(keep, batch_format="pandas").to_pandas()
+              .sort_values("__h", kind="mergesort").head(fit_sample))
     X = _features(sample[text_col].tolist(), n_buckets)
     y = sample[label_col].to_numpy(dtype=np.float64)
     return LogRegModel(w=_gd_fit(X, y, n_iter, lr, l2),
