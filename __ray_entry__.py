@@ -602,6 +602,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def q18_volume_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import (
+            large_volume_customers)
+        return large_volume_customers(
+            _read(sf, "customer", ["c_custkey", "c_name"]),
+            _read(sf, "orders", ["o_orderkey", "o_custkey",
+                                 "o_orderdate", "o_totalprice"]),
+            _read(sf, "lineitem", ["l_orderkey", "l_quantity"]))
+
     def lang_confusion_q(sf):
         # evaluation aggregate: lang_guess predictions vs the truth
         # lang column, long-format confusion matrix
@@ -1130,6 +1139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "q18_volume": q18_volume_q,
         "lang_confusion": lang_confusion_q,
         "curate_web": curate_web_q,
         "compression_metrics": compression_metrics_q,
@@ -1642,6 +1652,26 @@ def oracle_sql() -> dict[str, str]:
         "main_content": """
             SELECT doc_id, main_text, n_blocks
             FROM read_parquet('/tmp/arx_web/sf0.01/golden_main.parquet')""",
+        "q18_volume": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT))
+                          AS BIGINT) AS qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 250),
+            j AS (
+              SELECT c_name, o_custkey, o_orderkey, o_orderdate,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       AS total_c, qty
+              FROM big
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey)
+            SELECT CAST(ROW_NUMBER() OVER (
+                     ORDER BY total_c DESC, o_orderdate ASC,
+                              o_orderkey ASC) AS BIGINT) AS rank,
+                   c_name, o_custkey, o_orderkey, o_orderdate,
+                   total_c, qty
+            FROM j ORDER BY rank LIMIT 100""",
         "lang_confusion": f"""
             WITH h AS (
               SELECT doc_id,

@@ -100,6 +100,7 @@ _EXPORTS = {
     "compression_metrics": "ops.textstats",
     "curate_web_corpus": "pipelines.webcurate",
     "confusion_matrix": "ops.analytics",
+    "large_volume_customers": "ops.relational",
     "node_degrees": "ops.graph",
     "events_pivot": "ops.relational",
     "user_journeys": "ops.relational",

@@ -747,6 +747,91 @@ def revenue_by_nation(orders, customer, nation,
         num_buckets)
 
 
+def large_volume_customers(customer, orders, lineitem,
+                           threshold: int = 250, k: int = 100,
+                           num_buckets: int | None = None) -> pd.DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line quantity exceeds ``threshold``, joined to their customer,
+    top-``k`` by (o_totalprice DESC, o_orderdate ASC, o_orderkey ASC)
+    → pandas (rank, c_name, o_custkey, o_orderkey, o_orderdate,
+    total_c, qty) with integer cents / integer quantity.
+
+    Scale shape: the HAVING subquery collapses lineitem to per-batch
+    (orderkey, qty) partials before ONE bucketed sum; the > threshold
+    survivors (selective by construction) join orders then customer
+    through bucketed exchanges; the top-k is the per-block k-candidate
+    cut — no distributed sort anywhere.
+    """
+    from .shuffle import bucketed_agg, bucketed_join
+
+    def qty_part(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.assign(qty=np.round(b["l_quantity"]).astype("int64"))
+             .groupby("l_orderkey", sort=False)["qty"].sum()
+             .reset_index())
+        g["l_orderkey"] = g["l_orderkey"].astype("int64")
+        return g
+
+    per_order = bucketed_agg(
+        lineitem.map_batches(qty_part, batch_format="pandas"),
+        "l_orderkey", {"qty": ("qty", "sum")}, num_buckets)
+    big = per_order.map_batches(
+        lambda b: pd.DataFrame({
+            "o_orderkey": b.loc[b["qty"] > threshold,
+                                "l_orderkey"].astype("int64"),
+            "qty": b.loc[b["qty"] > threshold, "qty"].astype("int64")}),
+        batch_format="pandas")
+
+    ords = orders.map_batches(
+        lambda b: pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].astype("int64"),
+            "o_custkey": b["o_custkey"].astype("int64"),
+            "o_orderdate": b["o_orderdate"],
+            "total_c": np.round(b["o_totalprice"] * 100)
+            .astype("int64")}),
+        batch_format="pandas")
+    j1 = bucketed_join(
+        ords, big, on="o_orderkey",
+        left_schema={"o_orderkey": "int64", "o_custkey": "int64",
+                     "o_orderdate": "datetime64[us]",
+                     "total_c": "int64"},
+        right_schema={"o_orderkey": "int64", "qty": "int64"},
+        num_buckets=num_buckets, how="inner")
+
+    cust = customer.map_batches(
+        lambda b: pd.DataFrame({
+            "o_custkey": b["c_custkey"].astype("int64"),
+            "c_name": b["c_name"]}),
+        batch_format="pandas")
+    j2 = bucketed_join(
+        j1, cust, on="o_custkey",
+        left_schema={"o_orderkey": "int64", "o_custkey": "int64",
+                     "o_orderdate": "datetime64[us]",
+                     "total_c": "int64", "qty": "int64"},
+        right_schema={"o_custkey": "int64", "c_name": "object"},
+        num_buckets=num_buckets, how="inner")
+
+    def cut(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(
+            ["total_c", "o_orderdate", "o_orderkey"],
+            ascending=[False, True, True], kind="mergesort").head(k)
+
+    acc: pd.DataFrame | None = None
+    for p in (j2.map_batches(cut, batch_format="pandas")
+              .iter_batches(batch_format="pandas")):
+        acc = p if acc is None else pd.concat([acc, p],
+                                              ignore_index=True)
+        if len(acc) > 4 * k:
+            acc = cut(acc)
+    if acc is None or acc.empty:
+        return pd.DataFrame(columns=["rank", "c_name", "o_custkey",
+                                     "o_orderkey", "o_orderdate",
+                                     "total_c", "qty"])
+    out = cut(acc).reset_index(drop=True)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype="int64"))
+    return out[["rank", "c_name", "o_custkey", "o_orderkey",
+                "o_orderdate", "total_c", "qty"]]
+
+
 def revenue_rollup(orders, customer, nation,
                    num_buckets: int | None = None) -> pd.DataFrame:
     """ROLLUP(n_name, order_year) revenue — the warehouse

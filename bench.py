@@ -160,6 +160,13 @@ def run_bench() -> dict:
         read("lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice",
                           "l_discount"]))))
     from automatic_reference_extractor_ray.ops.relational import (
+        large_volume_customers)
+    timed("q18_volume", lambda: len(large_volume_customers(
+        read("customer", ["c_custkey", "c_name"]),
+        read("orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                        "o_totalprice"]),
+        read("lineitem", ["l_orderkey", "l_quantity"]))))
+    from automatic_reference_extractor_ray.ops.relational import (
         user_window_functions)
     timed("events_window", lambda: user_window_functions(
         read("events", ["user_id", "ts", "event_id", "value"])).count())

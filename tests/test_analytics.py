@@ -558,6 +558,36 @@ def test_revenue_by_nation_star_join(ray_session):
     assert out["n_orders"].tolist() == [3, 1]
 
 
+def test_large_volume_customers_q18(ray_session):
+    """Q18 shape: HAVING cut, joins, cents, top-k tie-break."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.relational import (
+        large_volume_customers)
+
+    customer = pd.DataFrame({
+        "c_custkey": np.array([1, 2], dtype="int64"),
+        "c_name": ["Cust1", "Cust2"]})
+    orders = pd.DataFrame({
+        "o_orderkey": np.array([10, 11, 12], dtype="int64"),
+        "o_custkey": np.array([1, 2, 1], dtype="int64"),
+        "o_orderdate": pd.to_datetime(["2000-01-02", "2000-01-01",
+                                       "2000-03-01"]),
+        "o_totalprice": [100.0, 100.0, 50.0]})
+    lineitem = pd.DataFrame({
+        "l_orderkey": np.array([10, 10, 11, 11, 12], dtype="int64"),
+        # 10: 30+20=50 (cut), 11: 40+25=65 (keep), 12: 70 (keep)
+        "l_quantity": [30.0, 20.0, 40.0, 25.0, 70.0]})
+    out = large_volume_customers(
+        rd.from_pandas(customer), rd.from_pandas(orders).repartition(2),
+        rd.from_pandas(lineitem).repartition(3), threshold=60, k=10)
+    assert out["o_orderkey"].tolist() == [11, 12]   # price desc
+    assert out["qty"].tolist() == [65, 70]
+    assert out["total_c"].tolist() == [10000, 5000]
+    assert out["rank"].tolist() == [1, 2]
+    assert out["c_name"].tolist() == ["Cust2", "Cust1"]
+
+
 def test_confusion_matrix_counts(ray_session):
     import ray.data as rd
 
