@@ -602,6 +602,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def q5_local_supplier_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import (
+            local_supplier_volume)
+        return local_supplier_volume(
+            _read(sf, "customer", ["c_custkey", "c_nationkey"]),
+            _read(sf, "orders", ["o_orderkey", "o_custkey",
+                                 "o_orderdate"]),
+            _read(sf, "lineitem", ["l_orderkey", "l_suppkey",
+                                   "l_extendedprice", "l_discount"]),
+            _read(sf, "supplier", ["s_suppkey", "s_nationkey"]),
+            _read(sf, "nation", ["n_nationkey", "n_name",
+                                 "n_regionkey"]),
+            _read(sf, "region", ["r_regionkey", "r_name"]))
+
     def q18_volume_q(sf):
         from automatic_reference_extractor_ray.ops.relational import (
             large_volume_customers)
@@ -1139,6 +1153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "q5_local_supplier": q5_local_supplier_q,
         "q18_volume": q18_volume_q,
         "lang_confusion": lang_confusion_q,
         "curate_web": curate_web_q,
@@ -1652,6 +1667,22 @@ def oracle_sql() -> dict[str, str]:
         "main_content": """
             SELECT doc_id, main_text, n_blocks
             FROM read_parquet('/tmp/arx_web/sf0.01/golden_main.parquet')""",
+        "q5_local_supplier": """
+            SELECT n_name,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                     AS revenue_c
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+              AND r_name = 'ASIA'
+              AND EXTRACT(year FROM o_orderdate) = 1996
+            GROUP BY n_name""",
         "q18_volume": """
             WITH big AS (
               SELECT l_orderkey,

@@ -101,6 +101,7 @@ _EXPORTS = {
     "curate_web_corpus": "pipelines.webcurate",
     "confusion_matrix": "ops.analytics",
     "large_volume_customers": "ops.relational",
+    "local_supplier_volume": "ops.relational",
     "node_degrees": "ops.graph",
     "events_pivot": "ops.relational",
     "user_journeys": "ops.relational",

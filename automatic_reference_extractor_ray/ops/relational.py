@@ -747,6 +747,121 @@ def revenue_by_nation(orders, customer, nation,
         num_buckets)
 
 
+def local_supplier_volume(customer, orders, lineitem, supplier,
+                          nation, region, region_name: str = "ASIA",
+                          year: int = 1996,
+                          num_buckets: int | None = None) -> pd.DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue from lineitems
+    where the CUSTOMER and the SUPPLIER share a nation inside one
+    region, for one order-date year → pandas (n_name, revenue_c)
+    in exact centi-cent integers (cents × integer discount percent,
+    the q1/q3 convention), revenue descending.  The deepest join tree
+    in the repo — all six TPC-H tables, one of each strategy:
+
+    - region ⋈ nation (25 × 5 rows) folds to a broadcast nationkey →
+      name map on the driver;
+    - orders date-filters in-batch, joins customer (mid dim) through
+      a bucketed exchange on custkey;
+    - lineitem collapses to (orderkey, suppkey, cents) rows in-batch,
+      joins supplier (mid dim) on suppkey bucketed, then the order
+      side on orderkey bucketed; the same-nation equality is a
+      post-filter inside that last exchange;
+    - the final per-nation sum is a bounded driver fold (≤ 25 keys).
+    """
+    import ray
+
+    from .shuffle import bucketed_join
+
+    nd = nation.select_columns(
+        ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    rd_ = region.select_columns(["r_regionkey", "r_name"]).to_pandas()
+    keep_regions = set(
+        rd_.loc[rd_["r_name"] == region_name, "r_regionkey"]
+        .astype("int64"))
+    nd = nd[nd["n_regionkey"].astype("int64").isin(keep_regions)]
+    name_of = dict(zip(nd["n_nationkey"].astype("int64"), nd["n_name"]))
+    nref = ray.put(name_of)
+
+    def ord_f(b: pd.DataFrame) -> pd.DataFrame:
+        yr = b["o_orderdate"].dt.year
+        b = b[yr == year]
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].astype("int64"),
+            "o_custkey": b["o_custkey"].astype("int64")})
+
+    def cust_f(b: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(nref)
+        nk = b["c_nationkey"].astype("int64")
+        b = b[nk.isin(lookup.keys())]
+        return pd.DataFrame({
+            "o_custkey": b["c_custkey"].astype("int64"),
+            "c_nationkey": b["c_nationkey"].astype("int64")})
+
+    cust_orders = bucketed_join(
+        orders.map_batches(ord_f, batch_format="pandas"),
+        customer.map_batches(cust_f, batch_format="pandas"),
+        on="o_custkey",
+        left_schema={"o_orderkey": "int64", "o_custkey": "int64"},
+        right_schema={"o_custkey": "int64", "c_nationkey": "int64"},
+        num_buckets=num_buckets, how="inner").map_batches(
+        lambda b: b[["o_orderkey", "c_nationkey"]],
+        batch_format="pandas")
+
+    def li_f(b: pd.DataFrame) -> pd.DataFrame:
+        # cents × integer percent — exact, no float-rounding-mode
+        # divergence vs the SQL oracle (the q1/q3 convention)
+        price_c = np.round(b["l_extendedprice"] * 100).astype("int64")
+        disc_pct = np.round(b["l_discount"] * 100).astype("int64")
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].astype("int64"),
+            "l_suppkey": b["l_suppkey"].astype("int64"),
+            "rev_c": price_c * (100 - disc_pct)})
+
+    def supp_f(b: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(nref)
+        nk = b["s_nationkey"].astype("int64")
+        b = b[nk.isin(lookup.keys())]
+        return pd.DataFrame({
+            "l_suppkey": b["s_suppkey"].astype("int64"),
+            "s_nationkey": b["s_nationkey"].astype("int64")})
+
+    li_supp = bucketed_join(
+        lineitem.map_batches(li_f, batch_format="pandas"),
+        supplier.map_batches(supp_f, batch_format="pandas"),
+        on="l_suppkey",
+        left_schema={"l_orderkey": "int64", "l_suppkey": "int64",
+                     "rev_c": "int64"},
+        right_schema={"l_suppkey": "int64", "s_nationkey": "int64"},
+        num_buckets=num_buckets, how="inner").map_batches(
+        lambda b: b.rename(columns={"l_orderkey": "o_orderkey"})
+        [["o_orderkey", "s_nationkey", "rev_c"]],
+        batch_format="pandas")
+
+    def same_nation(m: pd.DataFrame) -> pd.DataFrame:
+        m = m[m["c_nationkey"] == m["s_nationkey"]]
+        return (m.groupby("s_nationkey", sort=False)["rev_c"].sum()
+                .reset_index())
+
+    joined = bucketed_join(
+        li_supp, cust_orders, on="o_orderkey",
+        left_schema={"o_orderkey": "int64", "s_nationkey": "int64",
+                     "rev_c": "int64"},
+        right_schema={"o_orderkey": "int64", "c_nationkey": "int64"},
+        num_buckets=num_buckets, post=same_nation, how="inner")
+
+    acc: dict[int, int] = {}
+    for p in joined.iter_batches(batch_format="pandas"):
+        for nk, rc in zip(p["s_nationkey"], p["rev_c"]):
+            acc[int(nk)] = acc.get(int(nk), 0) + int(rc)
+    out = pd.DataFrame(
+        [(name_of[nk], rc) for nk, rc in acc.items()],
+        columns=["n_name", "revenue_c"])
+    out["revenue_c"] = out["revenue_c"].astype("int64")
+    return (out.sort_values(["revenue_c", "n_name"],
+                            ascending=[False, True], kind="mergesort")
+            .reset_index(drop=True))
+
+
 def large_volume_customers(customer, orders, lineitem,
                            threshold: int = 250, k: int = 100,
                            num_buckets: int | None = None) -> pd.DataFrame:

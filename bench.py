@@ -161,6 +161,16 @@ def run_bench() -> dict:
                           "l_discount"]))))
     from automatic_reference_extractor_ray.ops.relational import (
         large_volume_customers)
+    from automatic_reference_extractor_ray.ops.relational import (
+        local_supplier_volume)
+    timed("q5_local_supplier", lambda: len(local_supplier_volume(
+        read("customer", ["c_custkey", "c_nationkey"]),
+        read("orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        read("lineitem", ["l_orderkey", "l_suppkey",
+                          "l_extendedprice", "l_discount"]),
+        read("supplier", ["s_suppkey", "s_nationkey"]),
+        read("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+        read("region", ["r_regionkey", "r_name"]))))
     timed("q18_volume", lambda: len(large_volume_customers(
         read("customer", ["c_custkey", "c_name"]),
         read("orders", ["o_orderkey", "o_custkey", "o_orderdate",

@@ -558,6 +558,48 @@ def test_revenue_by_nation_star_join(ray_session):
     assert out["n_orders"].tolist() == [3, 1]
 
 
+def test_local_supplier_volume_q5(ray_session):
+    """Q5 shape: region gate, date window, SAME-nation cust/supp
+    equality, centi-cent revenue."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.relational import (
+        local_supplier_volume)
+
+    region = pd.DataFrame({"r_regionkey": np.array([0, 1], dtype="int32"),
+                           "r_name": ["ASIA", "EUROPE"]})
+    nation = pd.DataFrame({
+        "n_nationkey": np.array([0, 1, 2], dtype="int32"),
+        "n_name": ["JAPAN", "CHINA", "FRANCE"],
+        "n_regionkey": np.array([0, 0, 1], dtype="int32")})
+    customer = pd.DataFrame({
+        "c_custkey": np.array([1, 2, 3], dtype="int64"),
+        "c_nationkey": np.array([0, 1, 2], dtype="int32")})
+    supplier = pd.DataFrame({
+        "s_suppkey": np.array([7, 8], dtype="int64"),
+        "s_nationkey": np.array([0, 1], dtype="int32")})
+    orders = pd.DataFrame({
+        "o_orderkey": np.array([10, 11, 12], dtype="int64"),
+        "o_custkey": np.array([1, 2, 1], dtype="int64"),
+        "o_orderdate": pd.to_datetime(
+            ["1996-05-01", "1996-06-01", "1997-01-01"])})  # 12: wrong yr
+    lineitem = pd.DataFrame({
+        "l_orderkey": np.array([10, 10, 11, 12], dtype="int64"),
+        # (10,7): JP cust + JP supp ok; (10,8): JP cust + CN supp drop;
+        # (11,8): CN+CN ok; (12,7): 1997 drop
+        "l_suppkey": np.array([7, 8, 8, 7], dtype="int64"),
+        "l_extendedprice": [10.0, 20.0, 30.0, 40.0],
+        "l_discount": [0.05, 0.0, 0.10, 0.0]})
+    out = local_supplier_volume(
+        rd.from_pandas(customer), rd.from_pandas(orders),
+        rd.from_pandas(lineitem).repartition(2),
+        rd.from_pandas(supplier), rd.from_pandas(nation),
+        rd.from_pandas(region), region_name="ASIA", year=1996)
+    m = dict(zip(out["n_name"], out["revenue_c"]))
+    assert m == {"JAPAN": 1000 * 95, "CHINA": 3000 * 90}
+    assert out["n_name"].tolist() == ["CHINA", "JAPAN"]  # revenue desc
+
+
 def test_large_volume_customers_q18(ray_session):
     """Q18 shape: HAVING cut, joins, cents, top-k tie-break."""
     import ray.data as rd
