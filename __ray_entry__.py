@@ -602,6 +602,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def q14_promo_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import (
+            promo_revenue_share)
+        return promo_revenue_share(
+            _read(sf, "lineitem", ["l_partkey", "l_shipdate",
+                                   "l_extendedprice", "l_discount"]),
+            _read(sf, "part", ["p_partkey", "p_type"]))
+
     def q5_local_supplier_q(sf):
         from automatic_reference_extractor_ray.ops.relational import (
             local_supplier_volume)
@@ -1153,6 +1161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "q14_promo": q14_promo_q,
         "q5_local_supplier": q5_local_supplier_q,
         "q18_volume": q18_volume_q,
         "lang_confusion": lang_confusion_q,
@@ -1667,6 +1676,19 @@ def oracle_sql() -> dict[str, str]:
         "main_content": """
             SELECT doc_id, main_text, n_blocks
             FROM read_parquet('/tmp/arx_web/sf0.01/golden_main.parquet')""",
+        "q14_promo": """
+            WITH j AS (
+              SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100)
+                                     AS BIGINT)) AS rev_cc,
+                     CAST(p_type = 'ECONOMY' AS BIGINT) AS is_promo
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE EXTRACT(year FROM l_shipdate) = 1996)
+            SELECT CAST(SUM(rev_cc * is_promo) AS BIGINT) AS promo_cc,
+                   CAST(SUM(rev_cc) AS BIGINT) AS total_cc,
+                   CAST((SUM(rev_cc * is_promo) * 1000000)
+                        // SUM(rev_cc) AS BIGINT) AS share_micro
+            FROM j""",
         "q5_local_supplier": """
             SELECT n_name,
                    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)

@@ -102,6 +102,7 @@ _EXPORTS = {
     "confusion_matrix": "ops.analytics",
     "large_volume_customers": "ops.relational",
     "local_supplier_volume": "ops.relational",
+    "promo_revenue_share": "ops.relational",
     "node_degrees": "ops.graph",
     "events_pivot": "ops.relational",
     "user_journeys": "ops.relational",

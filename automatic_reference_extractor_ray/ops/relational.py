@@ -747,6 +747,60 @@ def revenue_by_nation(orders, customer, nation,
         num_buckets)
 
 
+def promo_revenue_share(lineitem, part, promo_type: str = "ECONOMY",
+                        year: int = 1996,
+                        num_buckets: int | None = None) -> pd.DataFrame:
+    """TPC-H Q14 shape (promotion effect): the share of one ship-year's
+    revenue that came from parts of one type → one row
+    (promo_cc, total_cc, share_micro) — exact centi-cent sums and an
+    integer micro-unit ratio (promo·1e6 // total), all bit-exact.
+
+    Scale shape: lineitem date-filters and collapses to per-batch
+    (partkey, cents) partials before the ONE bucketed part join; each
+    bucket folds to a single (promo, total) pair via ``post``, so the
+    driver sums ≤ #buckets rows.
+    """
+    from .shuffle import bucketed_join
+
+    def li_f(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"].dt.year == year]
+        price_c = np.round(b["l_extendedprice"] * 100).astype("int64")
+        disc_pct = np.round(b["l_discount"] * 100).astype("int64")
+        g = pd.DataFrame({
+            "p_partkey": b["l_partkey"].astype("int64"),
+            "rev_cc": price_c * (100 - disc_pct)})
+        return (g.groupby("p_partkey", sort=False)["rev_cc"].sum()
+                .reset_index())
+
+    def part_f(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_partkey": b["p_partkey"].astype("int64"),
+            "is_promo": (b["p_type"] == promo_type).astype("int64")})
+
+    def fold(m: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "promo_cc": [int((m["rev_cc"] * m["is_promo"]).sum())],
+            "total_cc": [int(m["rev_cc"].sum())]})
+
+    joined = bucketed_join(
+        lineitem.map_batches(li_f, batch_format="pandas"),
+        part.map_batches(part_f, batch_format="pandas"),
+        on="p_partkey",
+        left_schema={"p_partkey": "int64", "rev_cc": "int64"},
+        right_schema={"p_partkey": "int64", "is_promo": "int64"},
+        num_buckets=num_buckets, post=fold, how="inner")
+
+    promo = total = 0
+    for p in joined.iter_batches(batch_format="pandas"):
+        promo += int(p["promo_cc"].sum())
+        total += int(p["total_cc"].sum())
+    share = promo * 1_000_000 // total if total else 0
+    return pd.DataFrame({"promo_cc": pd.array([promo], dtype="int64"),
+                         "total_cc": pd.array([total], dtype="int64"),
+                         "share_micro": pd.array([share],
+                                                 dtype="int64")})
+
+
 def local_supplier_volume(customer, orders, lineitem, supplier,
                           nation, region, region_name: str = "ASIA",
                           year: int = 1996,

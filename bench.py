@@ -162,6 +162,12 @@ def run_bench() -> dict:
     from automatic_reference_extractor_ray.ops.relational import (
         large_volume_customers)
     from automatic_reference_extractor_ray.ops.relational import (
+        promo_revenue_share)
+    timed("q14_promo", lambda: len(promo_revenue_share(
+        read("lineitem", ["l_partkey", "l_shipdate",
+                          "l_extendedprice", "l_discount"]),
+        read("part", ["p_partkey", "p_type"]))))
+    from automatic_reference_extractor_ray.ops.relational import (
         local_supplier_volume)
     timed("q5_local_supplier", lambda: len(local_supplier_volume(
         read("customer", ["c_custkey", "c_nationkey"]),

@@ -558,6 +558,30 @@ def test_revenue_by_nation_star_join(ray_session):
     assert out["n_orders"].tolist() == [3, 1]
 
 
+def test_promo_revenue_share_q14(ray_session):
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.relational import (
+        promo_revenue_share)
+
+    part = pd.DataFrame({
+        "p_partkey": np.array([1, 2], dtype="int64"),
+        "p_type": ["ECONOMY", "SMALL"]})
+    lineitem = pd.DataFrame({
+        "l_partkey": np.array([1, 2, 1], dtype="int64"),
+        "l_shipdate": pd.to_datetime(
+            ["1996-02-01", "1996-03-01", "1997-01-01"]),  # 3rd drops
+        "l_extendedprice": [10.0, 30.0, 99.0],
+        "l_discount": [0.10, 0.0, 0.0]})
+    out = promo_revenue_share(
+        rd.from_pandas(lineitem).repartition(2), rd.from_pandas(part))
+    promo = 1000 * 90                      # 10.00 at 10% off
+    total = promo + 3000 * 100
+    assert out["promo_cc"].tolist() == [promo]
+    assert out["total_cc"].tolist() == [total]
+    assert out["share_micro"].tolist() == [promo * 1_000_000 // total]
+
+
 def test_local_supplier_volume_q5(ray_session):
     """Q5 shape: region gate, date window, SAME-nation cust/supp
     equality, centi-cent revenue."""
