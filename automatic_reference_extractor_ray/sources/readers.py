@@ -34,3 +34,49 @@ def read_parquet_clean(paths, *, columns: list[str] | None = None, **kw):
     blocks carry a metadata-free (hashable) schema."""
     return rd.read_parquet(paths, columns=columns,
                            schema=clean_schema(paths, columns), **kw)
+
+
+def read_docs_jsonl(paths, *, columns: list[str] | None = None,
+                    dtypes: dict[str, str] | None = None, **kw):
+    """Document corpus from JSON Lines — the raw-crawl-dump interchange
+    format (one JSON object per line).  ``ray.data.read_json`` handles
+    the distributed file split; this wrapper projects to ``columns``
+    and pins pandas dtypes (``dtypes`` maps col → dtype-str, e.g.
+    ``{"doc_id": "int64"}``) so a file whose first block happens to be
+    all-missing in some field can't flip the corpus schema mid-read."""
+    import pandas as pd
+
+    ds = rd.read_json(paths, **kw)
+    if columns is None and dtypes is None:
+        return ds
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        if columns is not None:
+            b = b[list(columns)]
+        for c, t in (dtypes or {}).items():
+            if c in b.columns:
+                b = b.assign(**{c: b[c].astype(t)})
+        return b
+
+    return ds.map_batches(project, batch_format="pandas")
+
+
+def read_docs_csv(paths, *, columns: list[str] | None = None,
+                  dtypes: dict[str, str] | None = None, **kw):
+    """Document corpus from CSV — same projection/dtype-pinning
+    contract as ``read_docs_jsonl`` over ``ray.data.read_csv``."""
+    import pandas as pd
+
+    ds = rd.read_csv(paths, **kw)
+    if columns is None and dtypes is None:
+        return ds
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        if columns is not None:
+            b = b[list(columns)]
+        for c, t in (dtypes or {}).items():
+            if c in b.columns:
+                b = b.assign(**{c: b[c].astype(t)})
+        return b
+
+    return ds.map_batches(project, batch_format="pandas")
