@@ -602,6 +602,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def dedup_lsh_incremental_q(sf):
+        # persistent-LSH-index landing: base = ids %10 in 0-6 indexed
+        # on disk, increment = ids %10 in 7-9 landed against it —
+        # signature-estimated verify, approximate by design ->
+        # rows-only oracle; clone/novel/twin/idempotence/pruning
+        # behavior pinned in tests/test_lsh_index.py
+        import os as _os
+
+        from automatic_reference_extractor_ray.state.lsh_index import (
+            build_lsh_index, incremental_minhash_dedup)
+        docs = _read(sf, "documents", ["doc_id", "text"])
+        base = docs.map_batches(lambda b: b[b["doc_id"] % 10 < 7],
+                                batch_format="pandas")
+        inc = docs.map_batches(lambda b: b[b["doc_id"] % 10 >= 7],
+                               batch_format="pandas")
+        idx = f"/tmp/arx_lsh/{_os.path.basename(_os.path.normpath(sf))}"
+        _os.makedirs("/tmp/arx_lsh", exist_ok=True)
+        build_lsh_index(base, idx, num_parts=16)
+        return incremental_minhash_dedup(inc, idx).to_pandas()
+
     def q14_promo_q(sf):
         from automatic_reference_extractor_ray.ops.relational import (
             promo_revenue_share)
@@ -1161,6 +1181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "dedup_lsh_incremental": dedup_lsh_incremental_q,
         "q14_promo": q14_promo_q,
         "q5_local_supplier": q5_local_supplier_q,
         "q18_volume": q18_volume_q,

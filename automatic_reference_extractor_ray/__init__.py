@@ -103,6 +103,8 @@ _EXPORTS = {
     "large_volume_customers": "ops.relational",
     "local_supplier_volume": "ops.relational",
     "promo_revenue_share": "ops.relational",
+    "build_lsh_index": "state.lsh_index",
+    "incremental_minhash_dedup": "state.lsh_index",
     "read_docs_jsonl": "sources.readers",
     "read_docs_csv": "sources.readers",
     "node_degrees": "ops.graph",

@@ -1,0 +1,228 @@
+"""Persistent MinHash-LSH index for incremental NEAR-dup dedup.
+
+``state/hash_index.py`` answers "is this exact content already in the
+corpus?" across daily landings; this module answers the same question
+for NEAR-duplicates: the base corpus' minhash band buckets live on
+disk, partitioned so landing an increment reads ONLY the band buckets
+its own documents hash into — never the base corpus, never the whole
+index.
+
+Layout (hive-partitioned, atomic writes):
+
+    <dir>/band=<b>/part=<p>/*.parquet   (bh, doc_id, sig) rows,
+                                        p = bh % num_parts
+    <dir>/_META.json                    {"num_parts": P}
+
+Each row carries the doc's FULL 64-hash signature (512 B), duplicated
+across its 12 band rows — the duplication (~6 KB/doc) buys candidate
+verification inside the same pruned read, with no second exchange; at
+extreme scale the signature column can move to its own doc-keyed
+table at the cost of one more pruned fetch (documented tradeoff).
+
+Verification contract: a candidate pair matches when the fraction of
+EQUAL signature components ≥ ``tau`` — the standard signature-
+estimated Jaccard (E[matches/k] = J).  This is the approximate sibling
+of ``minhash_lsh_pairs``' exact token-set verify: at k=64 the
+estimator's σ is ~0.04 near J=0.9, and re-landed identical documents
+always estimate J=1.  Approximate by design → pytest-pinned (re-land
+idempotence, clone detection, pruning proof), no SQL oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from ..ops.dedup import (LSH_BANDS, MINHASH_K, _token_set,
+                         batch_band_hashes, batch_minhash_signatures)
+
+META = "_META.json"
+
+
+def _sig_rows(pdf: pd.DataFrame, num_parts: int) -> pd.DataFrame:
+    """One (band, bh, part, doc_id, sig) row per doc per band."""
+    toks = [_token_set(t) for t in pdf["text"]]
+    sigs = batch_minhash_signatures(toks)
+    bhs = batch_band_hashes(sigs)
+    n = len(pdf)
+    sig_bytes = [sigs[i].tobytes() for i in range(n)]
+    return pd.DataFrame({
+        "band": np.tile(np.arange(LSH_BANDS, dtype=np.int64), n),
+        "bh": bhs.reshape(-1),
+        "doc_id": np.repeat(pdf["doc_id"].to_numpy(), LSH_BANDS),
+        "sig": np.repeat(np.asarray(sig_bytes, dtype=object),
+                         LSH_BANDS),
+    }).assign(part=lambda d: d["bh"] % num_parts)
+
+
+def build_lsh_index(docs, index_dir: str, num_parts: int = 32) -> None:
+    """One pass over the base corpus → band-bucket rows on disk,
+    hive-partitioned (band, part); atomic publish (tmp + rename)."""
+    import shutil
+
+    tmp = index_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    (docs.map_batches(lambda b: _sig_rows(b, num_parts),
+                      batch_format="pandas")
+     .write_parquet(tmp, partition_cols=["band", "part"]))
+    with open(os.path.join(tmp, META), "w") as f:
+        json.dump({"num_parts": num_parts}, f)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.rename(tmp, index_dir)
+
+
+def _read_index_partitions(index_dir: str, needed: set[tuple[int, int]]):
+    """Dataset of (band, bh, doc_id, sig) from ONLY the named
+    (band, part) hive partitions."""
+    import ray.data as rd
+
+    paths = []
+    for band, part in sorted(needed):
+        d = os.path.join(index_dir, f"band={band}", f"part={part}")
+        if os.path.isdir(d):
+            paths.extend(os.path.join(d, f)
+                         for f in sorted(os.listdir(d))
+                         if f.endswith(".parquet"))
+    if not paths:
+        return rd.from_pandas(pd.DataFrame({
+            "bh": pd.Series([], dtype="int64"),
+            "doc_id": pd.Series([], dtype="int64"),
+            "sig": pd.Series([], dtype=object)}))
+    return rd.read_parquet(paths, columns=["bh", "doc_id", "sig"])
+
+
+def _est_match(sig_a: np.ndarray, sig_b: np.ndarray,
+               tau: float) -> np.ndarray:
+    """Row-wise signature-estimated match for stacked (n, K) uint64
+    signature matrices."""
+    agree = (sig_a == sig_b).mean(axis=1)
+    return agree >= tau
+
+
+def incremental_minhash_dedup(new, index_dir: str, tau: float = 0.9,
+                              append: bool = False,
+                              num_buckets: int | None = None):
+    """Land an increment against the on-disk LSH index → one verdict
+    row per NEW doc: (doc_id, keep) — keep=0 when a base document (or
+    an earlier, smaller-id document of the same increment) shares a
+    band bucket AND the signature-estimated Jaccard ≥ ``tau``.
+
+    Scale shape: the increment's (band, part) set is the one small
+    driver collect (≤ 12 × num_parts pairs); the index read is pruned
+    to those partitions; candidates co-locate through ONE bounded-
+    bucket exchange keyed (band, bh) where verification is a
+    vectorized signature compare; the per-doc verdict folds through a
+    second bounded exchange (max of per-bucket match flags).  With
+    ``append=True`` the surviving docs' band rows are written back, so
+    re-landing the same increment yields keep=0 everywhere.
+    """
+    from ..ops.shuffle import bucketed_agg, bucketed_groupby
+
+    num_parts = _index_meta(index_dir)
+    new_rows = new.map_batches(
+        lambda b: _sig_rows(b, num_parts).assign(side="n"),
+        batch_format="pandas").materialize()
+
+    needed: set[tuple[int, int]] = set()
+    for row in new_rows.map_batches(
+            lambda d: d[["band", "part"]].drop_duplicates(),
+            batch_format="pandas").take_all():
+        needed.add((int(row["band"]), int(row["part"])))
+
+    base = _read_index_partitions(index_dir, needed)
+    # base rows need band for the key; the read drops the hive cols,
+    # so recompute nothing — key on bh alone WITHIN a band-filtered
+    # read would lose band separation; instead carry band from the
+    # partition path via per-partition reads... simpler: the bh
+    # already mixes the band index into its seed (batch_band_hashes),
+    # so (bh) alone is collision-safe across bands by construction.
+    base_k = base.map_batches(
+        lambda b: pd.DataFrame({
+            "bh": b["bh"].astype("int64"),
+            "doc_id": b["doc_id"].astype("int64"),
+            "sig": b["sig"], "side": "b"}),
+        batch_format="pandas")
+    new_k = new_rows.map_batches(
+        lambda b: pd.DataFrame({
+            "bh": b["bh"].astype("int64"),
+            "doc_id": b["doc_id"].astype("int64"),
+            "sig": b["sig"], "side": "n"}),
+        batch_format="pandas")
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in pdf.groupby("bh", sort=False):
+            nn = g[g["side"] == "n"]
+            if nn.empty:
+                continue
+            bb = g[g["side"] == "b"]
+            n_sig = np.frombuffer(
+                b"".join(nn["sig"]), dtype=np.uint64).reshape(
+                len(nn), MINHASH_K)
+            matched = np.zeros(len(nn), dtype=bool)
+            if not bb.empty:
+                b_sig = np.frombuffer(
+                    b"".join(bb["sig"]), dtype=np.uint64).reshape(
+                    len(bb), MINHASH_K)
+                # each new doc vs every base doc in the bucket
+                for j in range(len(bb)):
+                    matched |= _est_match(
+                        n_sig, b_sig[j][None, :], tau)
+            # within-increment: earlier (smaller id) new doc wins
+            ids = nn["doc_id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            for pos, i in enumerate(order):
+                if matched[i]:
+                    continue
+                for jj in order[:pos]:
+                    if _est_match(n_sig[i][None, :],
+                                  n_sig[jj][None, :], tau)[0]:
+                        matched[i] = True
+                        break
+            outs.append(pd.DataFrame({"doc_id": ids,
+                                      "m": matched.astype("int64")}))
+        if not outs:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "m": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    flags = bucketed_groupby(base_k.union(new_k), "bh", verify,
+                             num_buckets)
+    verdict = bucketed_agg(flags, "doc_id", {"m": ("m", "max")},
+                           num_buckets).map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "keep": (1 - b["m"]).astype("int64")}),
+        batch_format="pandas")
+
+    if append:
+        from ..ops.shuffle import bucketed_join
+
+        verdict = verdict.materialize()
+        keepers = verdict.map_batches(
+            lambda b: b.loc[b["keep"] == 1, ["doc_id"]],
+            batch_format="pandas")
+        # increment-proportional, so the keeper set rides a bucketed
+        # SEMI join, never a driver-side set
+        surviving = bucketed_join(
+            new_rows.map_batches(
+                lambda b: b[["band", "bh", "doc_id", "sig", "part"]],
+                batch_format="pandas"),
+            keepers, on="doc_id",
+            left_schema={"band": "int64", "bh": "int64",
+                         "doc_id": "int64", "sig": "object",
+                         "part": "int64"},
+            right_schema={"doc_id": "int64"},
+            num_buckets=num_buckets, how="semi")
+        surviving.write_parquet(index_dir,
+                                partition_cols=["band", "part"])
+    return verdict
+
+
+def _index_meta(index_dir: str) -> int:
+    with open(os.path.join(index_dir, META)) as f:
+        return int(json.load(f)["num_parts"])

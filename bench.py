@@ -161,6 +161,21 @@ def run_bench() -> dict:
                           "l_discount"]))))
     from automatic_reference_extractor_ray.ops.relational import (
         large_volume_customers)
+    from automatic_reference_extractor_ray.state.lsh_index import (
+        build_lsh_index, incremental_minhash_dedup)
+
+    def _lsh_incremental():
+        import pandas as _pd
+        docs = read("documents", ["doc_id", "text"])
+        base = docs.map_batches(lambda b: b[b["doc_id"] % 10 < 7],
+                                batch_format="pandas")
+        inc = docs.map_batches(lambda b: b[b["doc_id"] % 10 >= 7],
+                               batch_format="pandas")
+        idx = "/tmp/arx_lsh/bench"
+        os.makedirs("/tmp/arx_lsh", exist_ok=True)
+        build_lsh_index(base, idx, num_parts=16)
+        return len(incremental_minhash_dedup(inc, idx).to_pandas())
+    timed("dedup_lsh_incremental", _lsh_incremental)
     from automatic_reference_extractor_ray.ops.relational import (
         promo_revenue_share)
     timed("q14_promo", lambda: len(promo_revenue_share(
