@@ -226,3 +226,14 @@ def incremental_minhash_dedup(new, index_dir: str, tau: float = 0.9,
 def _index_meta(index_dir: str) -> int:
     with open(os.path.join(index_dir, META)) as f:
         return int(json.load(f)["num_parts"])
+
+
+def append_to_lsh_index(docs, index_dir: str) -> None:
+    """Fold a (surviving) document set's band rows into an existing
+    index — the publish-then-append half of a landing job (the CLI
+    publishes data FIRST so a crash between the two re-lands the
+    increment as duplicates-of-nothing rather than losing it)."""
+    num_parts = _index_meta(index_dir)
+    (docs.map_batches(lambda b: _sig_rows(b, num_parts),
+                      batch_format="pandas")
+     .write_parquet(index_dir, partition_cols=["band", "part"]))

@@ -51,6 +51,11 @@ def main() -> int:
     ap.add_argument("--index-parts", type=int, default=64)
     ap.add_argument("--no-append", action="store_true",
                     help="dry-run: verdicts + output, index untouched")
+    ap.add_argument("--method", choices=["exact", "lsh"],
+                    default="exact",
+                    help="exact: content-hash index (state/hash_index);"
+                         " lsh: MinHash-LSH NEAR-dup index "
+                         "(state/lsh_index)")
     args = ap.parse_args()
 
     import ray
@@ -65,15 +70,28 @@ def main() -> int:
 
     t0 = time.perf_counter()
     if args.build_base:
-        build_hash_index(_docs(args.build_base), args.index,
-                         num_parts=args.index_parts)
+        if args.method == "lsh":
+            from automatic_reference_extractor_ray.state.lsh_index import (
+                build_lsh_index)
+            build_lsh_index(_docs(args.build_base), args.index,
+                            num_parts=args.index_parts)
+        else:
+            build_hash_index(_docs(args.build_base), args.index,
+                             num_parts=args.index_parts)
     elif not os.path.isdir(args.index):
         print(f"error: index {args.index} does not exist "
               f"(use --build-base to create it)", file=sys.stderr)
         return 1
 
     new = _docs(args.increment)
-    verdicts = incremental_dedup_indexed(new, args.index).materialize()
+    if args.method == "lsh":
+        from automatic_reference_extractor_ray.state.lsh_index import (
+            incremental_minhash_dedup)
+        verdicts = incremental_minhash_dedup(
+            new, args.index).materialize()
+    else:
+        verdicts = incremental_dedup_indexed(
+            new, args.index).materialize()
 
     # publish surviving documents (hash verdicts join back to text by
     # doc_id through the bounded-bucket join — no driver-side id set)
@@ -114,7 +132,12 @@ def main() -> int:
         json.dump(meta, f)
     os.replace(meta_tmp, final + "_META.json")
 
-    if not args.no_append:
+    if not args.no_append and args.method == "lsh":
+        # fold surviving docs' band rows in AFTER the data publish
+        from automatic_reference_extractor_ray.state.lsh_index import (
+            append_to_lsh_index)
+        append_to_lsh_index(survivors, args.index)
+    elif not args.no_append:
         # fold survivors into the index AFTER the data publish
         from automatic_reference_extractor_ray.state.hash_index import (
             _bucket_of_hash, _index_meta)
