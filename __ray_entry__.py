@@ -602,6 +602,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_quantity", "l_extendedprice",
                                          "l_discount"]))
 
+    def decontaminate_fuzzy_q(sf):
+        # near-dup benchmark decontamination: train = ids %10 in 0-7,
+        # eval = ids %10 in 8-9; approximate (banding recall) ->
+        # rows-only oracle, pinned vs exact-Jaccard ground truth in
+        # tests/test_dedup_ops.py
+        from automatic_reference_extractor_ray.ops.dedup import (
+            decontaminate_fuzzy)
+        docs = _read(sf, "documents", ["doc_id", "text"])
+        train = docs.map_batches(lambda b: b[b["doc_id"] % 10 <= 7],
+                                 batch_format="pandas")
+        evald = docs.map_batches(lambda b: b[b["doc_id"] % 10 >= 8],
+                                 batch_format="pandas")
+        return decontaminate_fuzzy(train, evald, tau=0.9)
+
     def dedup_lsh_incremental_q(sf):
         # persistent-LSH-index landing: base = ids %10 in 0-6 indexed
         # on disk, increment = ids %10 in 7-9 landed against it —
@@ -1181,6 +1195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "decontaminate_fuzzy": decontaminate_fuzzy_q,
         "dedup_lsh_incremental": dedup_lsh_incremental_q,
         "q14_promo": q14_promo_q,
         "q5_local_supplier": q5_local_supplier_q,

@@ -118,6 +118,7 @@ _EXPORTS = {
     "domain_cap": "ops.weburl",
     "url_dedup": "ops.weburl",
     "merge_corpora": "ops.dedup",
+    "decontaminate_fuzzy": "ops.dedup",
     # linear quality classifier (bounded-sample fit, corpus scoring)
     "fit_logreg": "ops.classifier",
     "logreg_score": "ops.classifier",

@@ -75,6 +75,52 @@ def exact_dedup(docs):
                          "n_dups": ("n_dups", "sum")})
 
 
+def decontaminate_fuzzy(train, eval_docs, tau: float = 0.8,
+                        num_buckets: int | None = None):
+    """Fuzzy benchmark decontamination: drop TRAIN documents that are
+    NEAR-duplicates of any eval document (``ops/textstats.
+    decontaminate`` catches verbatim n-gram overlap; paraphrased or
+    lightly-edited benchmark leakage needs the near-dup test —
+    Brown et al. 2020 app. C's motivation at the whole-document
+    level).  → (doc_id, keep) per TRAIN doc.
+
+    Contract: train and eval ids must be DISJOINT (the natural state
+    for a corpus vs a benchmark suite).
+
+    Scale shape: one ``minhash_lsh_pairs`` run over the union (band
+    exchange + exact-Jaccard verify, all existing machinery); the
+    eval id set and the resulting contaminated-train set both
+    broadcast via ``ray.put`` — the first is benchmark-sized by
+    definition, the second is bounded by actual leakage (if half the
+    corpus is contaminated, the broadcast is the least of the
+    problems; a salted anti join is the drop-in escape hatch).
+    """
+    import ray
+
+    eval_ids = set()
+    for row in eval_docs.map_batches(
+            lambda b: b[["doc_id"]], batch_format="pandas").take_all():
+        eval_ids.add(row["doc_id"])
+
+    pairs = minhash_lsh_pairs(train.union(eval_docs), tau=tau)
+    contaminated: set = set()
+    for p in pairs.iter_batches(batch_format="pandas"):
+        a_in = p["a"].isin(eval_ids)
+        b_in = p["b"].isin(eval_ids)
+        # cross pairs only: the train member is contaminated
+        contaminated.update(p.loc[~a_in & b_in, "a"].tolist())
+        contaminated.update(p.loc[a_in & ~b_in, "b"].tolist())
+    cref = ray.put(contaminated)
+
+    def verdict(b: pd.DataFrame) -> pd.DataFrame:
+        bad = ray.get(cref)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "keep": (~b["doc_id"].isin(bad)).astype("int64")})
+
+    return train.map_batches(verdict, batch_format="pandas")
+
+
 def merge_corpora(corpora, num_buckets: int | None = None):
     """Priority-ordered corpus union with content dedup — the
     dataset-mixing primitive ("take Wikipedia over CommonCrawl when

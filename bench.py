@@ -161,6 +161,17 @@ def run_bench() -> dict:
                           "l_discount"]))))
     from automatic_reference_extractor_ray.ops.relational import (
         large_volume_customers)
+    from automatic_reference_extractor_ray.ops.dedup import (
+        decontaminate_fuzzy)
+
+    def _decon_fuzzy():
+        docs = read("documents", ["doc_id", "text"])
+        train = docs.map_batches(lambda b: b[b["doc_id"] % 10 <= 7],
+                                 batch_format="pandas")
+        evald = docs.map_batches(lambda b: b[b["doc_id"] % 10 >= 8],
+                                 batch_format="pandas")
+        return decontaminate_fuzzy(train, evald, tau=0.9).count()
+    timed("decontaminate_fuzzy", _decon_fuzzy)
     from automatic_reference_extractor_ray.state.lsh_index import (
         build_lsh_index, incremental_minhash_dedup)
 

@@ -172,6 +172,42 @@ def test_dedup_components_raises_when_unconverged(ray_session):
         dedup_components(docs, chain, max_rounds=2)
 
 
+def test_decontaminate_fuzzy_near_dups(ray_session):
+    """Planted near-dups of eval docs drop from train; exact-Jaccard
+    ground truth agrees; unrelated train docs survive."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.dedup import (
+        decontaminate_fuzzy)
+
+    def words(seed, n=40):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        return [f"w{int(x)}" for x in rng.integers(0, 300, n)]
+
+    eval_rows = [(1000 + i, " ".join(words(i))) for i in range(5)]
+    train_rows = []
+    # 0-4: near-clones of eval docs (drop one word -> J ~ 0.97)
+    for i in range(5):
+        train_rows.append((i, " ".join(words(i)[:-1])))
+    # 5-14: unrelated
+    for i in range(5, 15):
+        train_rows.append((i, " ".join(words(900 + i))))
+    train = pd.DataFrame({"doc_id": np.array([r[0] for r in train_rows],
+                                             dtype="int64"),
+                          "text": [r[1] for r in train_rows]})
+    evald = pd.DataFrame({"doc_id": np.array([r[0] for r in eval_rows],
+                                             dtype="int64"),
+                          "text": [r[1] for r in eval_rows]})
+    v = (decontaminate_fuzzy(rd.from_pandas(train).repartition(3),
+                             rd.from_pandas(evald), tau=0.9)
+         .to_pandas().set_index("doc_id")["keep"])
+    for i in range(5):
+        assert v[i] == 0, i
+    for i in range(5, 15):
+        assert v[i] == 1, i
+    assert len(v) == 15
+
+
 def test_merge_corpora_priority(ray_session):
     """Priority union: the same content in several corpora survives
     from the highest-priority one; within a corpus min doc_id wins;
