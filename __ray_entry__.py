@@ -58,6 +58,12 @@ def _tfidf_sql() -> str:
     return tfidf_sql(k=5)
 
 
+def _token_spectrum_sql() -> str:
+    from automatic_reference_extractor_ray.ops.analytics import (
+        token_spectrum_sql)
+    return token_spectrum_sql("documents")
+
+
 def _postings_sql() -> str:
     from automatic_reference_extractor_ray.ops.postings import (
         build_postings_sql)
@@ -489,6 +495,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fit_bigram_lm, lm_score)
         model = fit_bigram_lm(_docs_table(sf))
         return lm_score(_docs_table(sf), model)
+
+    def bpe_tokens_q(sf):
+        # corpus-fit BPE merge table (bounded word-count cut + driver
+        # merge loop) then per-doc subword token counts; the iterative
+        # fit is not SQL-expressible -> rows-only oracle, pinned by
+        # tests/test_bpe.py against an independent pure-Python BPE
+        from automatic_reference_extractor_ray.ops.bpe import bpe_tokenize
+        return bpe_tokenize(_docs_table(sf), n_merges=1024)
+
+    def token_spectrum_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            token_spectrum)
+        return token_spectrum(_docs_table(sf))
 
     # ---- dedup family ----
     def dedup_exact_q(sf):
@@ -1195,6 +1214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "bpe_tokens": bpe_tokens_q,
+        "token_spectrum": token_spectrum_q,
         "decontaminate_fuzzy": decontaminate_fuzzy_q,
         "dedup_lsh_incremental": dedup_lsh_incremental_q,
         "q14_promo": q14_promo_q,
@@ -1964,6 +1985,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, COUNT(*) AS n
             FROM (SELECT unnest({TOK}) AS token FROM documents)
             GROUP BY token ORDER BY n DESC, token LIMIT 50""",
+        "token_spectrum": _token_spectrum_sql(),
         "events_range_join": """
             SELECT a.event_id, CAST(COUNT(b.event_id) AS BIGINT) AS n_prior
             FROM events a LEFT JOIN events b

@@ -84,6 +84,10 @@ _EXPORTS = {
     "build_postings": "ops.postings",
     "fit_bigram_lm": "ops.lm",
     "lm_score": "ops.lm",
+    # subword tokenizer training
+    "fit_bpe": "ops.bpe",
+    "bpe_tokenize": "ops.bpe",
+    "token_spectrum": "ops.analytics",
     # graph
     "pagerank": "ops.graph",
     "synthetic_link_edges": "ops.graph",

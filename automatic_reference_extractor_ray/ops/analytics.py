@@ -1318,3 +1318,55 @@ def sample_per_group_sql(table: str, key: str, id_col: str, k: int = 10,
                                 {id_col}) AS rn
               FROM {table})
         WHERE rn <= {k}"""
+
+
+def token_spectrum(docs, text_col: str = "text",
+                   num_buckets: int | None = None) -> pd.DataFrame:
+    """Token frequency-of-frequencies spectrum → (freq, n_tokens):
+    how many distinct tokens occur exactly ``freq`` times corpus-wide.
+    The Zipf diagnostic a corpus health report leads with (a bulging
+    low-freq tail = OCR noise / boilerplate churn; a depleted hapax
+    count = aggressive dedup or template text).
+
+    Per-batch token-count partials ride the same token-bucketed
+    exchange as ``topk_tokens``; each bucket folds its exact per-token
+    totals into a (freq, n_tokens) histogram, so the driver merges
+    only per-bucket spectrum rows — bounded by the number of DISTINCT
+    frequency values (Zipf: O(sqrt(total tokens)) in practice), never
+    by vocabulary size.  Ordered by freq ASC.
+    """
+
+    def count_batch(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in b[text_col]:
+            c.update(TOKEN_RE.findall((t or "").lower()))
+        return pd.DataFrame({"token": list(c.keys()),
+                             "n": np.fromiter(c.values(), np.int64, len(c))})
+
+    partials = docs.map_batches(count_batch, batch_format="pandas")
+
+    def bucket_spectrum(pdf: pd.DataFrame) -> pd.DataFrame:
+        totals = pdf.groupby("token", sort=False)["n"].sum()
+        spec = totals.value_counts().sort_index()
+        return pd.DataFrame({"freq": spec.index.to_numpy(np.int64),
+                             "n_tokens": spec.to_numpy(np.int64)})
+
+    spec = bucketed_groupby(partials, "token", bucket_spectrum,
+                            num_buckets).to_pandas()
+    if spec.empty:
+        return pd.DataFrame({"freq": pd.Series([], dtype="int64"),
+                             "n_tokens": pd.Series([], dtype="int64")})
+    out = spec.groupby("freq", sort=True)["n_tokens"].sum().reset_index()
+    return out
+
+
+def token_spectrum_sql(table: str = "documents") -> str:
+    """DuckDB oracle matching ``token_spectrum`` bit-for-bit."""
+    return f"""
+        SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+              FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                  '[a-z0-9]+')) AS token FROM {table})
+              GROUP BY token)
+        GROUP BY freq ORDER BY freq"""
