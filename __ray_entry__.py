@@ -48,6 +48,48 @@ def _mixture_sample_sql() -> str:
     return mixture_sample_sql("documents", "lang", _MIX_RATES, "doc_id")
 
 
+def _contamination_report_sql() -> str:
+    from automatic_reference_extractor_ray.ops.textstats import (
+        contamination_report_sql)
+    return contamination_report_sql(n=4, eval_frac=0.1)
+
+
+def _temperature_sample_sql() -> str:
+    from automatic_reference_extractor_ray.ops.analytics import (
+        temperature_sample_sql)
+    return temperature_sample_sql("documents", "lang", "doc_id", alpha=0.7)
+
+
+def _collapse_lines_sql() -> str:
+    # the corpus has no natural back-to-back duplicate lines, so the
+    # query PLANTS them (odd-length lines double) on both sides — the
+    # collapse itself is then non-degenerate and byte-checked
+    return """
+    WITH base AS (
+      SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS ls0
+      FROM documents),
+    dup AS (
+      SELECT doc_id,
+             flatten(list_transform(ls0,
+               x -> CASE WHEN len(x) % 2 = 1 THEN [x, x] ELSE [x] END))
+               AS ls
+      FROM base),
+    lines AS (
+      SELECT doc_id, unnest(ls) AS line,
+             unnest(range(1, len(ls) + 1)) AS i, len(ls) AS n_lines
+      FROM dup),
+    flagged AS (
+      SELECT doc_id, i, line, n_lines,
+             lag(line) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM lines),
+    kept AS (
+      SELECT doc_id, i, line, n_lines FROM flagged
+      WHERE prev IS NULL OR line <> prev)
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text,
+           CAST(ANY_VALUE(n_lines) - COUNT(*) AS BIGINT) AS n_dropped
+    FROM kept GROUP BY doc_id"""
+
+
 def _curate_sql() -> str:
     from automatic_reference_extractor_ray.pipelines.curate import curate_sql
     return curate_sql(mix_rates=_MIX_RATES)
@@ -1085,6 +1127,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             decontaminate)
         return decontaminate(_docs_table(sf), n=4, eval_frac=0.1)
 
+    def contamination_report_q(sf):
+        from automatic_reference_extractor_ray.ops.textstats import (
+            contamination_report)
+        return contamination_report(_docs_table(sf), n=4, eval_frac=0.1)
+
+    def temperature_sample_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            temperature_sample)
+        return temperature_sample(
+            _read(sf, "documents", ["doc_id", "lang"]),
+            "lang", "doc_id", alpha=0.7)
+
+    def collapse_lines_q(sf):
+        from automatic_reference_extractor_ray.ops.textstats import (
+            collapse_repeated_lines)
+
+        def plant(b):
+            b = b.copy()
+            b["text"] = [
+                "\n".join(x for ln in (t or "").split("\n")
+                          for x in ([ln, ln] if len(ln) % 2 == 1 else [ln]))
+                for t in b["text"]]
+            return b
+
+        return collapse_repeated_lines(
+            _docs_table(sf).map_batches(plant, batch_format="pandas"))
+
     def top_per_lang_q(sf):
         from automatic_reference_extractor_ray.ops.analytics import (
             top_per_group)
@@ -1214,6 +1283,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "collapse_lines": collapse_lines_q,
+        "contamination_report": contamination_report_q,
+        "temperature_sample": temperature_sample_q,
         "bpe_tokens": bpe_tokens_q,
         "token_spectrum": token_spectrum_q,
         "decontaminate_fuzzy": decontaminate_fuzzy_q,
@@ -1993,6 +2065,9 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts >= a.ts - INTERVAL 10 MINUTE AND b.ts < a.ts
             GROUP BY a.event_id""",
         "decontaminate": _decontaminate_sql(),
+        "contamination_report": _contamination_report_sql(),
+        "temperature_sample": _temperature_sample_sql(),
+        "collapse_lines": _collapse_lines_sql(),
         "curate_corpus": _curate_sql(),
         "tfidf_terms": _tfidf_sql(),
         "build_postings": _postings_sql(),

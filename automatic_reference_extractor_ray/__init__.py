@@ -77,6 +77,8 @@ _EXPORTS = {
     "dup_gram_fraction": "ops.textstats",
     "decontaminate": "ops.textstats",
     "decontaminate_bloom": "ops.textstats",
+    "contamination_report": "ops.textstats",
+    "collapse_repeated_lines": "ops.textstats",
     "chunk_documents": "ops.textstats",
     "pack_sequences": "ops.textstats",
     "repetition_metrics": "ops.textstats",
@@ -140,6 +142,7 @@ _EXPORTS = {
     "top_per_group": "ops.analytics",
     "hash_split": "ops.analytics",
     "mixture_sample": "ops.analytics",
+    "temperature_sample": "ops.analytics",
     "weighted_sample": "ops.analytics",
     "sample_per_group": "ops.analytics",
     "exact_sample": "ops.analytics",

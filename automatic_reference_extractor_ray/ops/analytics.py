@@ -1055,6 +1055,84 @@ def mixture_sample_sql(table: str, key_col: str, rates: dict[str, float],
         WHERE CASE {cases} ELSE {_test(default_rate)} END"""
 
 
+def temperature_sample(ds, key_col: str, id_col: str, alpha: float = 0.7,
+                       salt: str = "temp"):
+    """Temperature-scaled mixture sampling (the multilingual
+    rebalancing rule of XLM-R / mT5: target share of group g ∝
+    p_g^alpha, realized by pure DOWN-sampling so the smallest group
+    keeps everything): a row of group g keeps with rate
+    ``(n_g / n_min) ** (alpha - 1)`` — exactly the q_g/p_g ratio
+    normalized by its maximum — decided by the deterministic
+    ``md5(salt:id)`` threshold convention of ``mixture_sample``.
+
+    → the kept (id_col, key_col) rows.  Group counts fold from
+    per-batch partials (bounded by #groups x #blocks — the
+    ``value_histogram`` driver-fold contract); the keep pass is a
+    stateless per-row map, so the corpus streams once and nothing
+    data-proportional reaches the driver.  Rates are IEEE doubles
+    mirrored operation-for-operation in the SQL oracle
+    (divide → pow → truncating 2^32 threshold), the
+    ``weighted_sample_exact`` convention — bit-exact, not approximate.
+    ``alpha=1`` keeps everything; alpha→0 flattens groups toward the
+    smallest.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+
+    parts = ds.map_batches(
+        lambda b: b.groupby(key_col, sort=False).size()
+                   .rename("cnt").reset_index(),
+        batch_format="pandas").to_pandas()
+    if parts.empty:
+        return ds.map_batches(lambda b: b[[id_col, key_col]].iloc[:0],
+                              batch_format="pandas")
+    counts = parts.groupby(key_col)["cnt"].sum()
+    n_min = int(counts.min())
+    # rate < 1 strictly except for argmin groups (kept unconditionally
+    # via the None short-circuit — the mixture_sample 'ffffffff' rule)
+    thr = {}
+    for g, c in counts.items():
+        rate = (int(c) / n_min) ** (alpha - 1.0)
+        thr[g] = None if rate >= 1.0 else format(int(rate * 4294967296),
+                                                 "08x")
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        mask = []
+        for v, g in zip(batch[id_col], batch[key_col]):
+            t = thr.get(g)
+            if t is None:
+                mask.append(True)
+                continue
+            h8 = hashlib.md5(f"{salt}:{v}".encode("utf-8")).hexdigest()[:8]
+            mask.append(h8 < t)
+        return batch.loc[mask, [id_col, key_col]]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def temperature_sample_sql(table: str, key_col: str, id_col: str,
+                           alpha: float = 0.7,
+                           salt: str = "temp") -> str:
+    """DuckDB oracle matching ``temperature_sample`` bit-for-bit —
+    including the rate DERIVATION (counts → divide → pow), not just
+    the threshold test."""
+    return f"""
+        WITH counts AS (
+          SELECT {key_col} AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM {table} GROUP BY 1),
+        rates AS (
+          SELECT k, POW(CAST(cnt AS DOUBLE)
+                        / CAST((SELECT MIN(cnt) FROM counts) AS DOUBLE),
+                        {alpha - 1.0!r}) AS rate
+          FROM counts)
+        SELECT t.{id_col}, t.{key_col}
+        FROM {table} t JOIN rates r ON t.{key_col} = r.k
+        WHERE r.rate >= 1.0
+           OR substr(md5('{salt}:' || CAST(t.{id_col} AS VARCHAR)), 1, 8)
+              < lower(lpad(to_hex(CAST(trunc(r.rate * 4294967296)
+                                       AS BIGINT)), 8, '0'))"""
+
+
 def weighted_sample(ds, id_col: str, weight_col: str, scale: int,
                     min_x1000: int = 100, salt: str = "wgt"):
     """Deterministic value-weighted downsampling (keep long/high-quality

@@ -376,6 +376,127 @@ def decontaminate_sql(n: int = 4, eval_frac: float = 0.1,
         WHERE d.{train_cond}"""
 
 
+def contamination_report(docs, n: int = 4, eval_frac: float = 0.1,
+                         num_buckets: int | None = None,
+                         holdout: str = "low"):
+    """Per-EVAL-document leakage audit — the reporting complement of
+    ``decontaminate``: for every held-out eval document, count the
+    DISTINCT train documents that share at least one word ``n``-gram
+    with it.  A release gate reads this table to decide whether an
+    eval set is still trustworthy (an eval doc with hundreds of train
+    near-copies measures memorization, not generalization) — the
+    Brown et al. 2020 appendix-C overlap statistic, aggregated on the
+    eval side instead of filtering the train side.
+
+    → (doc_id, n_train_docs) for every EVAL document (0 for clean
+    docs, including docs shorter than ``n`` tokens).
+
+    Scale shape: grams cross every exchange as 128-bit hashes; the
+    (train-gram, train-doc) stream — per-doc distinct at the source —
+    meets the per-doc-distinct eval gram rows in a SALTED inner join
+    (train rows shard by doc-salt, the eval side replicates per
+    shard: the EVAL side is the small one by definition, so
+    replication is bounded by the benchmark suite's size, and a
+    boilerplate gram's train postings split across shards instead of
+    concentrating).  The (train_doc, eval_doc) hit pairs pre-dedupe
+    per batch and fold through ONE eval-doc-bucketed exchange where
+    an exact ``nunique`` runs per eval id (every row of an eval id
+    lands whole in its bucket).  Nothing data-proportional reaches
+    the driver."""
+    from .dedup import _doc_key_dtype
+    from .shuffle import bucketed_groupby, salted_lookup_join
+
+    _side = _side_fn(eval_frac, holdout)
+    dt = _doc_key_dtype(docs)
+
+    def train_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        side = np.fromiter((_side(d) for d in batch["doc_id"]),
+                           np.int64, len(batch))
+        tb = batch[side == 1]
+        dv, g1, g2 = _doc_gram_hashes128(tb["text"].tolist(), n)
+        return pd.DataFrame({
+            "g1": g1, "g2": g2,
+            "doc_id": pd.Series(tb["doc_id"].to_numpy()[dv], dtype=dt)})
+
+    def eval_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        side = np.fromiter((_side(d) for d in batch["doc_id"]),
+                           np.int64, len(batch))
+        eb = batch[side == 0]
+        dv, g1, g2 = _doc_gram_hashes128(eb["text"].tolist(), n)
+        return pd.DataFrame({
+            "g1": g1, "g2": g2,
+            "eval_id": pd.Series(eb["doc_id"].to_numpy()[dv], dtype=dt)})
+
+    pairs = salted_lookup_join(
+        docs.map_batches(train_rows, batch_format="pandas"),
+        docs.map_batches(eval_rows, batch_format="pandas"),
+        on=["g1", "g2"], salt_col="doc_id",
+        left_schema={"g1": "int64", "g2": "int64", "doc_id": dt},
+        right_schema={"g1": "int64", "g2": "int64", "eval_id": dt},
+        num_buckets=num_buckets, how="inner",
+        post=lambda d: d[["doc_id", "eval_id"]].drop_duplicates())
+
+    def hit_rows(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["hit"] = np.ones(len(b), dtype=np.int64)
+        return out
+
+    # zero row per eval doc (hit=0, self-filler keeps the dtype) so
+    # clean eval docs appear in the report
+    def zero_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = [d for d in batch["doc_id"] if _side(d) == 0]
+        s = pd.Series(keep, dtype=batch["doc_id"].dtype)
+        return pd.DataFrame({"doc_id": s, "eval_id": s,
+                             "hit": np.zeros(len(keep), dtype=np.int64)})
+
+    merged = pairs.map_batches(hit_rows, batch_format="pandas").union(
+        docs.map_batches(zero_rows, batch_format="pandas"))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        hits = pdf[pdf["hit"] == 1]
+        g = hits.groupby("eval_id")["doc_id"].nunique()
+        ids = pd.unique(pdf["eval_id"])
+        nn = g.reindex(ids, fill_value=0).to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype=pdf["eval_id"].dtype),
+            "n_train_docs": nn})
+
+    return bucketed_groupby(merged, "eval_id", fold, num_buckets)
+
+
+def contamination_report_sql(n: int = 4, eval_frac: float = 0.1,
+                             holdout: str = "low") -> str:
+    """DuckDB oracle mirroring ``contamination_report`` bit-for-bit."""
+    from .analytics import _hex_threshold
+    if holdout == "high":
+        thr = _hex_threshold(1.0 - eval_frac)
+        eval_cond, train_cond = f"h8 >= '{thr}'", f"h8 < '{thr}'"
+    else:
+        thr = _hex_threshold(eval_frac)
+        eval_cond, train_cond = f"h8 < '{thr}'", f"h8 >= '{thr}'"
+    tok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {tok} AS t,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+          FROM documents),
+        grams AS (
+          SELECT doc_id, h8, array_to_string(t[i : i + {n - 1}], ' ') AS gram
+          FROM (SELECT doc_id, h8, t,
+                       unnest(range(1, len(t) - {n} + 2)) AS i
+                FROM toks WHERE len(t) >= {n})),
+        hits AS (
+          SELECT e.doc_id, COUNT(DISTINCT t.doc_id) AS n_train_docs
+          FROM (SELECT DISTINCT doc_id, gram FROM grams WHERE {eval_cond}) e
+          JOIN (SELECT DISTINCT doc_id, gram FROM grams WHERE {train_cond}) t
+            USING (gram)
+          GROUP BY e.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n_train_docs, 0) AS BIGINT) AS n_train_docs
+        FROM toks d LEFT JOIN hits h USING (doc_id)
+        WHERE d.{eval_cond}"""
+
+
 # --------------------------------------------- text normalization
 
 ASCII_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
@@ -1029,6 +1150,68 @@ def scrub_dup_lines_sql(min_docs: int = 2, min_chars: int = 1,
       FROM kept GROUP BY doc_id)
     SELECT d.doc_id, COALESCE(a.text, '') AS text
     FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+def collapse_repeated_lines(docs, delimiter: str = "\n"):
+    """Collapse RUNS of consecutive identical lines within each
+    document to one occurrence (nav menus / pagination footers a bad
+    extractor pasted back-to-back — the IN-document complement of the
+    cross-corpus ``scrub_dup_lines``; RefinedWeb applies exactly this
+    before its repetition filters).
+
+    → (doc_id, text, n_dropped), one row per input document, lines
+    re-joined by ``delimiter``.  Pure per-row streaming map — no
+    shuffle: each batch flattens its line lists once, the keep mask is
+    ONE vectorized adjacent-inequality pass over the flat array (doc
+    starts forced kept), and per-doc slices re-join.
+    """
+
+    def collapse(batch: pd.DataFrame) -> pd.DataFrame:
+        split = [(t or "").split(delimiter) for t in batch["text"]]
+        lens = np.fromiter((len(s) for s in split), np.int64, len(split))
+        total = int(lens.sum())
+        flat = np.array([ln for ls in split for ln in ls], dtype=object)
+        starts = np.zeros(len(split) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        keep = np.ones(total, dtype=bool)
+        if total > 1:
+            keep[1:] = flat[1:] != flat[:-1]
+            keep[starts[:-1]] = True      # first line of each doc
+        out_t = []
+        dropped = np.zeros(len(split), np.int64)
+        for i, (s, e) in enumerate(zip(starts[:-1], starts[1:])):
+            km = keep[s:e]
+            out_t.append(delimiter.join(flat[s:e][km]))
+            dropped[i] = int(e - s) - int(km.sum())
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "text": pd.Series(out_t, dtype=object),
+                             "n_dropped": dropped})
+
+    return docs.map_batches(collapse, batch_format="pandas")
+
+
+def collapse_repeated_lines_sql(delimiter: str = "\n") -> str:
+    """DuckDB oracle mirroring ``collapse_repeated_lines``
+    byte-for-byte (lag-window adjacent-inequality)."""
+    delim_sql = " || ".join(f"chr({ord(c)})" for c in delimiter)
+    return f"""
+    WITH l AS (
+      SELECT doc_id, string_split(COALESCE(text, ''), {delim_sql}) AS ls
+      FROM documents),
+    lines AS (
+      SELECT doc_id, unnest(ls) AS line,
+             unnest(range(1, len(ls) + 1)) AS i, len(ls) AS n_lines
+      FROM l),
+    flagged AS (
+      SELECT doc_id, i, line, n_lines,
+             lag(line) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM lines),
+    kept AS (
+      SELECT doc_id, i, line, n_lines FROM flagged
+      WHERE prev IS NULL OR line <> prev)
+    SELECT doc_id, string_agg(line, {delim_sql} ORDER BY i) AS text,
+           CAST(ANY_VALUE(n_lines) - COUNT(*) AS BIGINT) AS n_dropped
+    FROM kept GROUP BY doc_id"""
 
 
 # ------------------------------------- corpus-wide window scrub

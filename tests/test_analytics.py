@@ -1211,3 +1211,136 @@ def test_shuffle_rank_is_deterministic_permutation(ray_session):
         outs.append(got["pos"].tolist())
     assert outs[0] == outs[1]                       # layout-invariant
     assert outs[0] != sorted(outs[0])               # actually permuted
+
+
+def test_collapse_repeated_lines_hand_case(ray_session):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.textstats import (
+        collapse_repeated_lines)
+    df = pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d"],
+        "text": ["x\nx\nx\ny\nx",      # run of 3 collapses, later x kept
+                 "menu\nmenu\nbody\nmenu\nmenu\nmenu",
+                 "",                    # empty doc survives as ''
+                 "solo"]})
+    got = (collapse_repeated_lines(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d"],
+        "text": ["x\ny\nx", "menu\nbody\nmenu", "", "solo"],
+        "n_dropped": np.array([2, 3, 0, 0], dtype="int64")})
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_collapse_repeated_lines_matches_local_reference(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.textstats import (
+        collapse_repeated_lines)
+    df = pq.read_table(f"{SF}/documents.parquet",
+                       columns=["doc_id", "text"]).to_pandas()
+    # plant consecutive duplicates so the op has real work
+    df["text"] = df["text"].map(
+        lambda t: "\n".join(ln for ln in (t or "").split("\n")
+                            for _ in range(2)))
+    got = (collapse_repeated_lines(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    rows = []
+    for _, r in df.iterrows():
+        lines = (r["text"] or "").split("\n")
+        kept = [ln for i, ln in enumerate(lines)
+                if i == 0 or ln != lines[i - 1]]
+        rows.append((r["doc_id"], "\n".join(kept), len(lines) - len(kept)))
+    exp = (pd.DataFrame(rows, columns=["doc_id", "text", "n_dropped"])
+           .astype({"n_dropped": "int64"})
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+    assert (exp["n_dropped"] > 0).any()
+
+
+def test_contamination_report_matches_local_reference(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.analytics import _hex_threshold
+    from automatic_reference_extractor_ray.ops.textstats import (
+        _tokens, contamination_report)
+    df = pq.read_table(f"{SF}/documents.parquet",
+                       columns=["doc_id", "text"]).to_pandas()
+    n, frac = 3, 0.2
+    got = (contamination_report(rd.from_pandas(df), n=n, eval_frac=frac)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    thr = _hex_threshold(frac)
+
+    def h8(d):
+        return hashlib.md5(str(d).encode()).hexdigest()[:8]
+
+    def grams(t):
+        toks = _tokens(t)
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    train = {r["doc_id"]: grams(r["text"]) for _, r in df.iterrows()
+             if h8(r["doc_id"]) >= thr}
+    rows = []
+    for _, r in df.iterrows():
+        if h8(r["doc_id"]) < thr:
+            eg = grams(r["text"])
+            rows.append((r["doc_id"],
+                         sum(1 for tg in train.values() if eg & tg)))
+    exp = (pd.DataFrame(rows, columns=["doc_id", "n_train_docs"])
+           .astype({"n_train_docs": "int64"})
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+    # non-degenerate: every eval doc present, some leaked, some clean
+    assert len(exp) == sum(1 for d in df["doc_id"] if h8(d) < thr)
+    assert (exp["n_train_docs"] > 0).any()
+
+
+def test_contamination_report_bucket_invariant(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.textstats import (
+        contamination_report)
+    df = pq.read_table(f"{SF}/documents.parquet",
+                       columns=["doc_id", "text"]).to_pandas().head(200)
+    outs = []
+    for nb in (8, 64):
+        outs.append(contamination_report(rd.from_pandas(df), n=3,
+                                         eval_frac=0.2, num_buckets=nb)
+                    .to_pandas().sort_values("doc_id")
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_temperature_sample_rates_and_determinism(ray_session):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.analytics import (
+        temperature_sample)
+    n_big, n_small = 4000, 250
+    df = pd.DataFrame({
+        "doc_id": [f"d{i:05d}" for i in range(n_big + n_small)],
+        "lang": ["en"] * n_big + ["zz"] * n_small})
+    alpha = 0.6
+    got = temperature_sample(rd.from_pandas(df), "lang", "doc_id",
+                             alpha=alpha).to_pandas()
+    # smallest group keeps EVERYTHING (its rate is exactly 1.0)
+    assert (got["lang"] == "zz").sum() == n_small
+    # big group downsampled near its analytic rate (n_big/n_min)^(a-1)
+    rate = (n_big / n_small) ** (alpha - 1.0)
+    kept_big = (got["lang"] == "en").sum()
+    assert abs(kept_big / n_big - rate) < 0.05
+    # deterministic: identical rerun, and row-level md5 rule holds
+    again = temperature_sample(rd.from_pandas(df), "lang", "doc_id",
+                               alpha=alpha).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True))
+    thr = format(int(rate * 4294967296), "08x")
+    for d in df.loc[df["lang"] == "en", "doc_id"].head(200):
+        h8 = hashlib.md5(f"temp:{d}".encode()).hexdigest()[:8]
+        assert (h8 < thr) == (d in set(got["doc_id"]))
+    # alpha=1 keeps everything; bad alpha raises
+    all_kept = temperature_sample(rd.from_pandas(df), "lang", "doc_id",
+                                  alpha=1.0).to_pandas()
+    assert len(all_kept) == len(df)
+    with pytest.raises(ValueError):
+        temperature_sample(rd.from_pandas(df), "lang", "doc_id", alpha=0.0)
