@@ -48,6 +48,19 @@ def _mixture_sample_sql() -> str:
     return mixture_sample_sql("documents", "lang", _MIX_RATES, "doc_id")
 
 
+def _q10_sql() -> str:
+    from automatic_reference_extractor_ray.ops.relational import (
+        returned_item_report_sql)
+    return returned_item_report_sql(date_from="1996-01-01",
+                                    date_to="1996-04-01", k=20)
+
+
+def _q16_sql() -> str:
+    from automatic_reference_extractor_ray.ops.relational import (
+        parts_supplier_counts_sql)
+    return parts_supplier_counts_sql()
+
+
 def _contamination_report_sql() -> str:
     from automatic_reference_extractor_ray.ops.textstats import (
         contamination_report_sql)
@@ -719,6 +732,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  "n_regionkey"]),
             _read(sf, "region", ["r_regionkey", "r_name"]))
 
+    def q10_returned_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import (
+            returned_item_report)
+        return returned_item_report(
+            _read(sf, "lineitem", ["l_orderkey", "l_returnflag",
+                                   "l_extendedprice", "l_discount"]),
+            _read(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+            _read(sf, "customer", ["c_custkey", "c_name", "c_acctbal",
+                                   "c_nationkey"]),
+            _read(sf, "nation", ["n_nationkey", "n_name"]),
+            date_from="1996-01-01", date_to="1996-04-01", k=20)
+
+    def q16_parts_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import (
+            parts_supplier_counts)
+        return parts_supplier_counts(
+            _read(sf, "lineitem", ["l_partkey", "l_suppkey"]),
+            _read(sf, "part", ["p_partkey", "p_brand", "p_type", "p_size"]),
+            _read(sf, "supplier", ["s_suppkey", "s_acctbal"]))
+
+    def ann_rerank_q(sf):
+        # two-stage retrieval: IVF-PQ shortlist + exact cosine rerank —
+        # approximate only through list pruning; rows-only + recall
+        # tests (incl. the probe-all == brute-force exactness pin)
+        from automatic_reference_extractor_ray.ops.ann import rerank_topk
+        return rerank_topk(_read(sf, "embeddings", ["vec_id", "embedding"]),
+                           ANN_QUERY_IDS, k=10, overfetch=4, n_probe=8)
+
     def q18_volume_q(sf):
         from automatic_reference_extractor_ray.ops.relational import (
             large_volume_customers)
@@ -1286,6 +1327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_lines": collapse_lines_q,
         "contamination_report": contamination_report_q,
         "temperature_sample": temperature_sample_q,
+        "q10_returned": q10_returned_q,
+        "q16_parts": q16_parts_q,
+        "ann_rerank": ann_rerank_q,
         "bpe_tokens": bpe_tokens_q,
         "token_spectrum": token_spectrum_q,
         "decontaminate_fuzzy": decontaminate_fuzzy_q,
@@ -1800,6 +1844,8 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "q3_shipping": _q3_sql(),
+        "q10_returned": _q10_sql(),
+        "q16_parts": _q16_sql(),
         # construction-time golden (sources/webgen.py) — written by the
         # generator's page plan, never by the extractor under test
         "main_content": """

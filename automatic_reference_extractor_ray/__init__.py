@@ -63,6 +63,7 @@ _EXPORTS = {
     "ivfpq_encode": "ops.ann",
     "ivfpq_search": "ops.ann",
     "ivfpq_topk": "ops.ann",
+    "rerank_topk": "ops.ann",
     # text analysis / curation
     "token_counts": "ops.textstats",
     "quality_metrics": "ops.textstats",
@@ -107,6 +108,8 @@ _EXPORTS = {
     "curate_web_corpus": "pipelines.webcurate",
     "confusion_matrix": "ops.analytics",
     "large_volume_customers": "ops.relational",
+    "returned_item_report": "ops.relational",
+    "parts_supplier_counts": "ops.relational",
     "local_supplier_volume": "ops.relational",
     "promo_revenue_share": "ops.relational",
     "build_lsh_index": "state.lsh_index",

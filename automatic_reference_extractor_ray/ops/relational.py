@@ -262,6 +262,264 @@ def shipping_priority_sql(segment: str = "BUILDING",
     """
 
 
+def returned_item_report(lineitem, orders, customer, nation,
+                         date_from: str = "1996-01-01",
+                         date_to: str = "1996-04-01", k: int = 20,
+                         num_buckets: int | None = None):
+    """TPC-H Q10 shape — top-k customers by revenue lost to RETURNED
+    items in one quarter (the "who should support call first" report):
+    lineitems with returnflag 'R' joined through their orders (date
+    window) to the customer, grouped per customer, nation attached,
+    top-k by revenue.
+
+    Plan (no distributed sort, no dimension broadcast except nation):
+    the LINEITEM fact collapses to per-(orderkey) returned-revenue
+    partials inside each batch (integer cents×100, the q1/q3
+    convention); partials meet the date-filtered orders in ONE
+    orderkey-bucketed exchange that re-emits per-CUSTKEY partials;
+    those meet the customer attributes in a second custkey-bucketed
+    exchange whose buckets cut a local top-``k`` (≤ buckets×k candidate
+    rows to the driver — the ``top_customers`` argument); the ≤25-row
+    nation dim attaches driver-side.
+
+    → pandas (rank, c_custkey, c_name, n_name, acctbal_c, revenue_c),
+    revenue desc, custkey asc ties.
+    """
+    from .shuffle import bucketed_groupby
+
+    lo, hi = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"] == "R"]
+        if not len(df):
+            return pd.DataFrame({
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "rev_c": pd.Series([], dtype="int64")})
+        price_c = np.round(df["l_extendedprice"] * 100).astype("int64")
+        disc_pct = np.round(df["l_discount"] * 100).astype("int64")
+        return (pd.DataFrame({"o_orderkey": df["l_orderkey"].astype("int64"),
+                              "rev_c": price_c * (100 - disc_pct)})
+                .groupby("o_orderkey", sort=False)["rev_c"].sum()
+                .reset_index())
+
+    rev = lineitem.select_columns(
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_partial, batch_format="pandas")
+
+    def ord_filter(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)
+        out = df.loc[m, ["o_orderkey", "o_custkey"]].copy()
+        return out.astype({"o_orderkey": "int64", "o_custkey": "int64"})
+
+    ords = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ord_filter, batch_format="pandas")
+
+    # exchange 1 (orderkey): revenue partials ⋈ qualifying orders →
+    # per-custkey partials (each bucket pre-sums before re-emitting)
+    def tag_li(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"], "rev_c": df["rev_c"],
+            "o_custkey": np.zeros(len(df), dtype=np.int64),
+            "side": np.zeros(len(df), dtype=np.int8)})
+
+    def tag_ord(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"],
+            "rev_c": np.zeros(len(df), dtype=np.int64),
+            "o_custkey": df["o_custkey"],
+            "side": np.ones(len(df), dtype=np.int8)})
+
+    EMPTY_CP = pd.DataFrame({"o_custkey": pd.Series([], dtype="int64"),
+                             "rev_c": pd.Series([], dtype="int64")})
+
+    def fold_orders(pdf: pd.DataFrame) -> pd.DataFrame:
+        sides = pdf["side"].to_numpy()
+        r = (pdf[sides == 0].groupby("o_orderkey", sort=False)["rev_c"]
+             .sum().reset_index())
+        o = pdf[sides == 1][["o_orderkey", "o_custkey"]]
+        if r.empty or o.empty:
+            return EMPTY_CP
+        m = o.merge(r, on="o_orderkey", how="inner")
+        return (m.groupby("o_custkey", sort=False)["rev_c"].sum()
+                .reset_index())
+
+    tagged1 = (rev.map_batches(tag_li, batch_format="pandas")
+               .union(ords.map_batches(tag_ord, batch_format="pandas")))
+    cust_partials = bucketed_groupby(tagged1, "o_orderkey", fold_orders,
+                                     num_buckets)
+
+    # exchange 2 (custkey): per-cust partials ⋈ customer attrs → local
+    # top-k candidates per bucket
+    def tag_cp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": df["o_custkey"].astype("int64"),
+            "rev_c": df["rev_c"],
+            "c_name": [""] * len(df),
+            "acctbal_c": np.zeros(len(df), dtype=np.int64),
+            "c_nationkey": np.zeros(len(df), dtype=np.int64),
+            "side": np.zeros(len(df), dtype=np.int8)})
+
+    def cust_attrs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].astype("int64"),
+            "rev_c": np.zeros(len(df), dtype=np.int64),
+            "c_name": df["c_name"].astype(object),
+            "acctbal_c": np.round(df["c_acctbal"] * 100).astype("int64"),
+            "c_nationkey": df["c_nationkey"].astype("int64"),
+            "side": np.ones(len(df), dtype=np.int8)})
+
+    EMPTY = pd.DataFrame({
+        "c_custkey": pd.Series([], dtype="int64"),
+        "c_name": pd.Series([], dtype=object),
+        "acctbal_c": pd.Series([], dtype="int64"),
+        "c_nationkey": pd.Series([], dtype="int64"),
+        "revenue_c": pd.Series([], dtype="int64")})
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        sides = pdf["side"].to_numpy()
+        r = (pdf[sides == 0].groupby("c_custkey", sort=False)["rev_c"]
+             .sum().rename("revenue_c").reset_index())
+        c = pdf[sides == 1][["c_custkey", "c_name", "acctbal_c",
+                             "c_nationkey"]]
+        if r.empty or c.empty:
+            return EMPTY
+        m = c.merge(r, on="c_custkey", how="inner")
+        m = m.sort_values(["revenue_c", "c_custkey"],
+                          ascending=[False, True], kind="mergesort").head(k)
+        return m[["c_custkey", "c_name", "acctbal_c", "c_nationkey",
+                  "revenue_c"]].reset_index(drop=True)
+
+    tagged2 = (cust_partials.map_batches(tag_cp, batch_format="pandas")
+               .union(customer.select_columns(
+                   ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+                   .map_batches(cust_attrs, batch_format="pandas")))
+    cand = bucketed_groupby(tagged2, "c_custkey", bucket_topk,
+                            num_buckets).to_pandas()    # ≤ nb×k rows
+    if cand.empty:
+        out = EMPTY.copy()
+    else:
+        out = (cand.sort_values(["revenue_c", "c_custkey"],
+                                ascending=[False, True], kind="mergesort")
+               .head(k).reset_index(drop=True))
+    nmap = (nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+            .set_index("n_nationkey")["n_name"])        # ≤25 rows
+    out["n_name"] = out["c_nationkey"].map(nmap).astype(object)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype="int64"))
+    return out[["rank", "c_custkey", "c_name", "n_name", "acctbal_c",
+                "revenue_c"]]
+
+
+def returned_item_report_sql(date_from: str = "1996-01-01",
+                             date_to: str = "1996-04-01",
+                             k: int = 20) -> str:
+    """DuckDB oracle for ``returned_item_report`` (same integer-cents
+    revenue, same tie-break)."""
+    return f"""
+        WITH agg AS (
+          SELECT c.c_custkey, c.c_name, n.n_name,
+                 CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS acctbal_c,
+                 CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                      AS BIGINT) AS revenue_c
+          FROM customer c
+          JOIN orders o ON c.c_custkey = o.o_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          WHERE o.o_orderdate >= TIMESTAMP '{date_from}'
+            AND o.o_orderdate < TIMESTAMP '{date_to}'
+            AND l.l_returnflag = 'R'
+          GROUP BY 1, 2, 3, 4)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY revenue_c DESC, c_custkey)
+                    AS BIGINT) AS rank,
+               c_custkey, c_name, n_name, acctbal_c, revenue_c
+        FROM agg
+        ORDER BY revenue_c DESC, c_custkey
+        LIMIT {k}
+    """
+
+
+def parts_supplier_counts(lineitem, part, supplier,
+                          num_buckets: int | None = None):
+    """TPC-H Q16 shape — how many distinct suppliers can deliver each
+    part profile (brand, type, size), excluding suppliers with
+    complaints (negative account balance stands in for Q16's comment
+    scan; the testdata has no partsupp table, so the part-supplier
+    relation is lineitem's observed (l_partkey, l_suppkey) pairs).
+
+    Plan: lineitem collapses to per-batch DISTINCT (partkey, suppkey)
+    pairs at the source; a bucketed ANTI join removes complained
+    suppliers (the supplier dim is never broadcast); a bucketed inner
+    join attaches the part profile; the final profile-bucketed fold
+    runs an exact ``nunique`` per (brand, type, size) — every row of a
+    profile lands whole in its bucket, so the count is exact with no
+    global pair-distinct exchange.
+
+    → (p_brand, p_type, p_size, supplier_cnt), all integers/strings.
+    """
+    from .shuffle import bucketed_groupby, bucketed_join
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return (df[["l_partkey", "l_suppkey"]]
+                .astype({"l_partkey": "int64", "l_suppkey": "int64"})
+                .drop_duplicates())
+
+    li_pairs = lineitem.select_columns(["l_partkey", "l_suppkey"]) \
+        .map_batches(pairs, batch_format="pandas")
+
+    def bad(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["s_acctbal"] < 0
+        return pd.DataFrame(
+            {"l_suppkey": df.loc[m, "s_suppkey"].astype("int64")})
+
+    ok_pairs = bucketed_join(
+        li_pairs,
+        supplier.select_columns(["s_suppkey", "s_acctbal"])
+                .map_batches(bad, batch_format="pandas"),
+        on="l_suppkey",
+        left_schema={"l_partkey": "int64", "l_suppkey": "int64"},
+        right_schema={"l_suppkey": "int64"},
+        num_buckets=num_buckets, how="anti")
+
+    def part_attrs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_partkey": df["p_partkey"].astype("int64"),
+            "p_brand": df["p_brand"].astype(object),
+            "p_type": df["p_type"].astype(object),
+            "p_size": df["p_size"].astype("int64")})
+
+    profiled = bucketed_join(
+        ok_pairs,
+        part.select_columns(["p_partkey", "p_brand", "p_type", "p_size"])
+            .map_batches(part_attrs, batch_format="pandas"),
+        on="l_partkey",
+        left_schema={"l_partkey": "int64", "l_suppkey": "int64"},
+        right_schema={"l_partkey": "int64", "p_brand": "object",
+                      "p_type": "object", "p_size": "int64"},
+        num_buckets=num_buckets)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = (pdf.groupby(["p_brand", "p_type", "p_size"], sort=False)
+             ["l_suppkey"].nunique().rename("supplier_cnt").reset_index())
+        g["supplier_cnt"] = g["supplier_cnt"].astype("int64")
+        return g
+
+    return bucketed_groupby(profiled, ["p_brand", "p_type", "p_size"],
+                            fold, num_buckets)
+
+
+def parts_supplier_counts_sql() -> str:
+    """DuckDB oracle for ``parts_supplier_counts``."""
+    return """
+        SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3"""
+
+
 def events_hourly(events):
     """Tumbling-window aggregate: (event_type, hour) → count + value
     cents.  Pre-aggregated per batch before the shuffle."""

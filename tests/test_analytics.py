@@ -1344,3 +1344,71 @@ def test_temperature_sample_rates_and_determinism(ray_session):
     assert len(all_kept) == len(df)
     with pytest.raises(ValueError):
         temperature_sample(rd.from_pandas(df), "lang", "doc_id", alpha=0.0)
+
+
+def test_returned_item_report_q10(ray_session):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.relational import (
+        returned_item_report)
+    import pyarrow.parquet as pq
+    sf = "/root/testdata/sf0.001"
+    t = {n: pq.read_table(f"{sf}/{n}.parquet").to_pandas()
+         for n in ("lineitem", "orders", "customer", "nation")}
+    got = returned_item_report(
+        rd.from_pandas(t["lineitem"]), rd.from_pandas(t["orders"]),
+        rd.from_pandas(t["customer"]), rd.from_pandas(t["nation"]),
+        date_from="1996-01-01", date_to="1997-01-01", k=15)
+    # local pandas reference with the same integer-cents math
+    li = t["lineitem"][t["lineitem"]["l_returnflag"] == "R"].copy()
+    li["rev_c"] = (np.round(li["l_extendedprice"] * 100).astype("int64")
+                   * (100 - np.round(li["l_discount"] * 100).astype("int64")))
+    o = t["orders"]
+    o = o[(o["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+          & (o["o_orderdate"] < pd.Timestamp("1997-01-01"))]
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    per_cust = m.groupby("o_custkey")["rev_c"].sum().rename("revenue_c")
+    c = t["customer"].set_index("c_custkey")
+    exp = per_cust.to_frame().join(c, how="inner")
+    exp["acctbal_c"] = np.round(exp["c_acctbal"] * 100).astype("int64")
+    nmap = t["nation"].set_index("n_nationkey")["n_name"]
+    exp["n_name"] = exp["c_nationkey"].map(nmap)
+    exp = (exp.reset_index(names="c_custkey")
+           .sort_values(["revenue_c", "c_custkey"],
+                        ascending=[False, True], kind="mergesort").head(15)
+           .reset_index(drop=True))
+    exp.insert(0, "rank", np.arange(1, len(exp) + 1, dtype="int64"))
+    exp = exp[["rank", "c_custkey", "c_name", "n_name", "acctbal_c",
+               "revenue_c"]]
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+    assert len(got) == 15
+
+
+def test_parts_supplier_counts_q16(ray_session):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.relational import (
+        parts_supplier_counts)
+    import pyarrow.parquet as pq
+    sf = "/root/testdata/sf0.001"
+    t = {n: pq.read_table(f"{sf}/{n}.parquet").to_pandas()
+         for n in ("lineitem", "part", "supplier")}
+    # sf0.001 has no negative balances — plant complaints so the anti
+    # join is non-degenerate (the sf0.01 gate corpus has 6 naturally)
+    t["supplier"] = t["supplier"].copy()
+    t["supplier"].loc[t["supplier"].index[::7], "s_acctbal"] = -10.0
+    got = (parts_supplier_counts(
+        rd.from_pandas(t["lineitem"]), rd.from_pandas(t["part"]),
+        rd.from_pandas(t["supplier"])).to_pandas()
+        .sort_values(["p_brand", "p_type", "p_size"])
+        .reset_index(drop=True))
+    bad = set(t["supplier"].loc[t["supplier"]["s_acctbal"] < 0,
+                                "s_suppkey"])
+    pairs = (t["lineitem"][["l_partkey", "l_suppkey"]].drop_duplicates())
+    pairs = pairs[~pairs["l_suppkey"].isin(bad)]
+    m = pairs.merge(t["part"], left_on="l_partkey", right_on="p_partkey")
+    exp = (m.groupby(["p_brand", "p_type", "p_size"])["l_suppkey"]
+           .nunique().rename("supplier_cnt").reset_index()
+           .astype({"p_size": "int64", "supplier_cnt": "int64"})
+           .sort_values(["p_brand", "p_type", "p_size"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(bad) > 0 and len(exp) > 100

@@ -151,3 +151,34 @@ def test_ivfpq_recall_and_encode_once(emb_ds, brute):
          .reset_index(drop=True))
     b = approx.sort_values(["query_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_rerank_improves_ivfpq_recall(emb_ds, brute):
+    from automatic_reference_extractor_ray.ops.ann import (
+        ivfpq_topk, rerank_topk)
+    kw = dict(n_lists=16, n_probe=8, m_sub=16, n_codes=64)
+    raw = ivfpq_topk(emb_ds, QIDS, k=10, **kw).to_pandas()
+    rr = rerank_topk(emb_ds, QIDS, k=10, overfetch=4, **kw).to_pandas()
+    r_raw, r_rr = _recall(raw, brute), _recall(rr, brute)
+    # exact rerank removes quantization error: never worse, and clears
+    # a floor the raw codes don't reach on this corpus (measured
+    # deterministic: raw 0.6125, rerank 0.775)
+    assert r_rr >= r_raw
+    assert r_rr >= 0.7
+    # dense ranks per query
+    for qid in QIDS:
+        g = rr[rr["query_id"] == qid].sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_rerank_probe_all_overfetch_all_is_exact(emb_ds, brute):
+    # with every list probed and the shortlist >= corpus size the
+    # two-stage op degenerates to brute force EXACTLY
+    from automatic_reference_extractor_ray.ops.ann import rerank_topk
+    n = emb_ds.count()
+    got = (rerank_topk(emb_ds, QIDS, k=10, overfetch=(n // 10) + 1,
+                       n_lists=8, n_probe=8).to_pandas()
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    exp = (brute.sort_values(["query_id", "rank"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
