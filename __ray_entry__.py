@@ -48,6 +48,24 @@ def _mixture_sample_sql() -> str:
     return mixture_sample_sql("documents", "lang", _MIX_RATES, "doc_id")
 
 
+def _domain_blocklist_sql() -> str:
+    from automatic_reference_extractor_ray.ops.weburl import (
+        _TLDS, synthetic_urls_sql)
+    blocked = sorted(f"site{m}.{t}" for m in range(5) for t in _TLDS)
+    lits = ", ".join(f"'{d}'" for d in blocked)
+    return f"""
+        SELECT doc_id, domain
+        FROM ({synthetic_urls_sql("documents", "doc_id")})
+        WHERE domain NOT IN ({lits})"""
+
+
+def _length_outliers_sql() -> str:
+    from automatic_reference_extractor_ray.ops.analytics import (
+        grouped_outliers_sql)
+    return grouped_outliers_sql("documents", "lang", "n_chars",
+                                "doc_id", k_sigma=2)
+
+
 def _q10_sql() -> str:
     from automatic_reference_extractor_ray.ops.relational import (
         returned_item_report_sql)
@@ -929,6 +947,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return domain_counts(
             synthetic_urls(_read(sf, "documents", ["doc_id"])))
 
+    def domain_blocklist_q(sf):
+        from automatic_reference_extractor_ray.ops.weburl import (
+            _TLDS, blocklist_filter, synthetic_urls)
+        blocked = {f"site{m}.{t}" for m in range(5) for t in _TLDS}
+        return blocklist_filter(
+            synthetic_urls(_read(sf, "documents", ["doc_id"])), blocked)
+
+    def length_outliers_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            grouped_outliers)
+        return grouped_outliers(
+            _read(sf, "documents", ["doc_id", "lang", "n_chars"]),
+            # k=2: the synthetic length distribution has no 3-sigma
+            # tail at sf0.01, and a flagged row must exist to make
+            # the check non-degenerate
+            "lang", "n_chars", "doc_id", k_sigma=2)
+
     def domain_cap_q(sf):
         from automatic_reference_extractor_ray.ops.weburl import (
             domain_cap, synthetic_urls)
@@ -1330,6 +1365,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned": q10_returned_q,
         "q16_parts": q16_parts_q,
         "ann_rerank": ann_rerank_q,
+        "domain_blocklist": domain_blocklist_q,
+        "length_outliers": length_outliers_q,
         "bpe_tokens": bpe_tokens_q,
         "token_spectrum": token_spectrum_q,
         "decontaminate_fuzzy": decontaminate_fuzzy_q,
@@ -1949,6 +1986,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff": _corpus_diff_sql(),
         "url_normalize": _url_norm_sql(),
         "domain_counts": _domain_counts_sql(),
+        "domain_blocklist": _domain_blocklist_sql(),
+        "length_outliers": _length_outliers_sql(),
         "domain_cap": _domain_cap_sql(),
         "doc_percentile": """
             WITH r AS (

@@ -116,6 +116,7 @@ _EXPORTS = {
     "incremental_minhash_dedup": "state.lsh_index",
     "read_docs_jsonl": "sources.readers",
     "read_docs_csv": "sources.readers",
+    "write_docs_jsonl": "sources.readers",
     "node_degrees": "ops.graph",
     "events_pivot": "ops.relational",
     "user_journeys": "ops.relational",
@@ -126,6 +127,7 @@ _EXPORTS = {
     "domain_counts": "ops.weburl",
     "domain_cap": "ops.weburl",
     "url_dedup": "ops.weburl",
+    "blocklist_filter": "ops.weburl",
     "merge_corpora": "ops.dedup",
     "decontaminate_fuzzy": "ops.dedup",
     # linear quality classifier (bounded-sample fit, corpus scoring)
@@ -150,6 +152,7 @@ _EXPORTS = {
     "sample_per_group": "ops.analytics",
     "exact_sample": "ops.analytics",
     "quantile_clip": "ops.analytics",
+    "grouped_outliers": "ops.analytics",
     "global_rank": "ops.analytics",
     "shuffle_rank": "ops.analytics",
     "kmeans": "ops.analytics",

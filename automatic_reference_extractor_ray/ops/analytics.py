@@ -1133,6 +1133,72 @@ def temperature_sample_sql(table: str, key_col: str, id_col: str,
                                        AS BIGINT)), 8, '0'))"""
 
 
+def grouped_outliers(ds, key_col: str, val_col: str, id_col: str,
+                     k_sigma: int = 3):
+    """Per-group z-score outlier flags over an INTEGER value column
+    (doc-length anomaly detection per language/source — the "trim the
+    tails before training" signal next to ``quantile_clip``'s
+    rank-based cut): a row is an outlier iff |x − μ_g| > k·σ_g
+    (population σ), evaluated in EXACT integer arithmetic —
+    ``(n·x − S)² > k²·(n·SS − S²)`` — so there is no float boundary
+    and the SQL oracle matches bit-for-bit.
+
+    → (id_col, key_col, val_col, is_outlier 0/1) for every row.
+    Group stats fold from per-batch (n, Σx, Σx²) partials (bounded by
+    #groups × #blocks, the ``value_histogram`` driver-fold contract);
+    the flag pass is a stateless map, so the corpus streams once.
+    Int64 range: safe while n_g · max(x)² < 2^63 (≈ 10^9 rows of
+    10^4-char docs per group); past that, promote to the int128 path
+    the oracle's HUGEINT would take.
+    """
+    k2 = int(k_sigma) * int(k_sigma)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[val_col].to_numpy(np.int64)
+        return (pd.DataFrame({key_col: b[key_col], "n": 1, "s": v,
+                              "ss": v * v})
+                .groupby(key_col, sort=False).sum().reset_index())
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    stats = (parts.groupby(key_col)[["n", "s", "ss"]].sum()
+             if len(parts) else pd.DataFrame(columns=["n", "s", "ss"]))
+    st = {g: (int(r["n"]), int(r["s"]), int(r["ss"]))
+          for g, r in stats.iterrows()}
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[val_col].to_numpy(np.int64)
+        out = np.zeros(len(b), dtype=np.int64)
+        for g, idx in b.groupby(key_col, sort=False).indices.items():
+            n, s, ss = st[g]
+            d = n * x[idx] - s
+            out[idx] = (d * d > k2 * (n * ss - s * s)).astype(np.int64)
+        return pd.DataFrame({id_col: b[id_col], key_col: b[key_col],
+                             val_col: x, "is_outlier": out})
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
+def grouped_outliers_sql(table: str, key_col: str, val_col: str,
+                         id_col: str, k_sigma: int = 3) -> str:
+    """DuckDB oracle matching ``grouped_outliers`` bit-for-bit (same
+    integer inequality, no float σ)."""
+    k2 = int(k_sigma) * int(k_sigma)
+    return f"""
+        WITH s AS (
+          SELECT {key_col} AS kk, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST({val_col} AS BIGINT)) AS BIGINT) AS sm,
+                 CAST(SUM(CAST({val_col} AS BIGINT)
+                          * CAST({val_col} AS BIGINT)) AS BIGINT) AS ss
+          FROM {table} GROUP BY 1)
+        SELECT t.{id_col}, t.{key_col},
+               CAST(t.{val_col} AS BIGINT) AS {val_col},
+               CAST(CASE WHEN (s.n * CAST(t.{val_col} AS BIGINT) - s.sm)
+                              * (s.n * CAST(t.{val_col} AS BIGINT) - s.sm)
+                              > {k2} * (s.n * s.ss - s.sm * s.sm)
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        FROM {table} t JOIN s ON t.{key_col} = s.kk"""
+
+
 def weighted_sample(ds, id_col: str, weight_col: str, scale: int,
                     min_x1000: int = 100, salt: str = "wgt"):
     """Deterministic value-weighted downsampling (keep long/high-quality

@@ -182,6 +182,31 @@ def url_dedup(ds, url_col: str = "url", id_col: str = "doc_id",
 _TLDS = ("com", "org", "net", "co.uk", "io")
 
 
+def blocklist_filter(ds, blocked, url_col: str = "url",
+                     id_col: str = "doc_id"):
+    """Registered-domain blocklist filter (spam / adult / pirated-
+    content domain lists every crawl pipeline applies before anything
+    else): drop rows whose URL's REGISTERED domain (subdomains
+    collapse: ``blog.site7.com`` matches a ``site7.com`` entry) is on
+    the list.  → the kept (id_col, domain) rows.
+
+    The blocklist broadcasts into the map as a frozenset — blocklists
+    are curated artifacts bounded by human review, not data-scaling
+    sets; a data-proportional removal set belongs on the anti-join
+    path (``bucketed_join(how='anti')`` / ``salted_lookup_join``)
+    instead.  Pure streaming map, corpus passes once."""
+    bset = frozenset(blocked)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        doms = [registered_domain(url_host(u)) for u in b[url_col]]
+        mask = np.fromiter((d not in bset for d in doms), bool, len(doms))
+        out = b.loc[mask, [id_col]].copy()
+        out["domain"] = [d for d, m in zip(doms, mask) if m]
+        return out
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def synthetic_urls(docs, id_col: str = "doc_id"):
     """Deterministic messy URL per int64 doc id — SQL-twinned:
     ``synthetic_urls_sql`` derives the CLEAN canonical form from the

@@ -80,3 +80,13 @@ def read_docs_csv(paths, *, columns: list[str] | None = None,
         return b
 
     return ds.map_batches(project, batch_format="pandas")
+
+
+def write_docs_jsonl(ds, path: str, **kw):
+    """JSONL sink — the interchange complement of ``read_docs_jsonl``:
+    one JSON object per line, one file per block (so a re-read splits
+    the same way and a failed writer re-runs only its block).  Thin
+    over ``Dataset.write_json``; kept as a named seam so pipelines
+    import read/write from one module and the format contract
+    (roundtrip equality, pytest-pinned) has a single home."""
+    return ds.write_json(path, **kw)

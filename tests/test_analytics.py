@@ -1412,3 +1412,39 @@ def test_parts_supplier_counts_q16(ray_session):
            .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp)
     assert len(bad) > 0 and len(exp) > 100
+
+
+def test_grouped_outliers_matches_numpy_and_boundary(ray_session):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.analytics import (
+        grouped_outliers)
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(3000)],
+        "lang": rng.choice(["en", "de", "fr"], size=3000),
+        "n_chars": rng.integers(100, 2000, size=3000).astype("int64")})
+    # plant extreme values so flags exist
+    df.loc[df.index[:5], "n_chars"] = 90000
+    got = (grouped_outliers(rd.from_pandas(df), "lang", "n_chars",
+                            "doc_id", k_sigma=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp_flags = {}
+    for g, sub in df.groupby("lang"):
+        x = sub["n_chars"].to_numpy("int64")
+        n, s, ss = len(x), int(x.sum()), int((x * x).sum())
+        for d, v in zip(sub["doc_id"], x):
+            dlt = n * int(v) - s
+            exp_flags[d] = int(dlt * dlt > 9 * (n * ss - s * s))
+    assert (got["is_outlier"].to_numpy()
+            == np.array([exp_flags[d] for d in got["doc_id"]])).all()
+    assert got["is_outlier"].sum() == 5
+    # boundary is STRICT: |x - mu| == k*sigma exactly must not flag
+    # (group [0,0,18,18] with k=3: mu=9, sigma=9, 18-9 == 1*9... use
+    # k=1: n*x-s = 4*18-36 = 36; k2*(n*ss-s2) = 1*(4*648-1296) = 1296
+    # = 36*36 -> strict > fails -> not an outlier)
+    b = pd.DataFrame({"doc_id": ["a", "b", "c", "d"],
+                      "lang": ["x"] * 4,
+                      "n_chars": np.array([0, 0, 18, 18], dtype="int64")})
+    gb = grouped_outliers(rd.from_pandas(b), "lang", "n_chars",
+                          "doc_id", k_sigma=1).to_pandas()
+    assert gb["is_outlier"].sum() == 0

@@ -89,3 +89,19 @@ def test_read_docs_csv_roundtrip(ray_session, tmp_path):
                          dtypes={"doc_id": "int64"})
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, df)
+
+
+def test_write_docs_jsonl_roundtrip(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from automatic_reference_extractor_ray.sources.readers import (
+        read_docs_jsonl, write_docs_jsonl)
+    df = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                       columns=["doc_id", "text", "lang"]).to_pandas()
+    out = str(tmp_path / "dump")
+    write_docs_jsonl(rd.from_pandas(df), out)
+    back = (read_docs_jsonl(out, columns=["doc_id", "text", "lang"],
+                            dtypes={"doc_id": df["doc_id"].dtype.name})
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    exp = df.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, exp)

@@ -105,3 +105,27 @@ def test_domain_counts_hot_domain(ray_session):
            .to_pandas().set_index("domain")["n_docs"])
     assert out["hot.com"] == 30
     assert out["cold.org"] == 3
+
+
+def test_blocklist_filter_registered_domain_collapse(ray_session):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.weburl import (
+        _TLDS, blocklist_filter, registered_domain, synthetic_urls,
+        url_host)
+    ids = pd.DataFrame({"doc_id": np.arange(400, dtype="int64")})
+    urls = synthetic_urls(rd.from_pandas(ids)).to_pandas()
+    blocked = {f"site{m}.{t}" for m in range(5) for t in _TLDS}
+    got = (blocklist_filter(rd.from_pandas(urls), blocked).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    doms = urls["url"].map(lambda u: registered_domain(url_host(u)))
+    keep = ~doms.isin(blocked)
+    exp = (pd.DataFrame({"doc_id": urls.loc[keep, "doc_id"],
+                         "domain": doms[keep]})
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+    # non-degenerate: something dropped, and a subdomain host of a
+    # blocked domain (id%13==0 -> blog. prefix) was dropped too
+    assert keep.sum() < len(urls)
+    sub = urls["doc_id"] % 13 == 0
+    sub &= urls["doc_id"] % 97 < 5
+    assert sub.any() and not set(urls.loc[sub, "doc_id"]) & set(got["doc_id"])
