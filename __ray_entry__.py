@@ -59,6 +59,13 @@ def _domain_blocklist_sql() -> str:
         WHERE domain NOT IN ({lits})"""
 
 
+def _distribution_match_sql() -> str:
+    from automatic_reference_extractor_ray.ops.analytics import (
+        distribution_match_sql)
+    return distribution_match_sql("documents", "n_chars", "doc_id",
+                                  lo=40, hi=560, n_bins=8)
+
+
 def _length_outliers_sql() -> str:
     from automatic_reference_extractor_ray.ops.analytics import (
         grouped_outliers_sql)
@@ -954,6 +961,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return blocklist_filter(
             synthetic_urls(_read(sf, "documents", ["doc_id"])), blocked)
 
+    def distribution_match_q(sf):
+        from automatic_reference_extractor_ray.ops.analytics import (
+            distribution_match)
+        # [40, 560) x 8 bins keeps ~2/3 of sf0.01 (uniform target over
+        # a peaked length distribution — the realistic matching load)
+        return distribution_match(
+            _read(sf, "documents", ["doc_id", "n_chars"]),
+            "n_chars", "doc_id", lo=40, hi=560, n_bins=8)
+
     def length_outliers_q(sf):
         from automatic_reference_extractor_ray.ops.analytics import (
             grouped_outliers)
@@ -1367,6 +1383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_rerank": ann_rerank_q,
         "domain_blocklist": domain_blocklist_q,
         "length_outliers": length_outliers_q,
+        "distribution_match": distribution_match_q,
         "bpe_tokens": bpe_tokens_q,
         "token_spectrum": token_spectrum_q,
         "decontaminate_fuzzy": decontaminate_fuzzy_q,
@@ -1988,6 +2005,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_counts": _domain_counts_sql(),
         "domain_blocklist": _domain_blocklist_sql(),
         "length_outliers": _length_outliers_sql(),
+        "distribution_match": _distribution_match_sql(),
         "domain_cap": _domain_cap_sql(),
         "doc_percentile": """
             WITH r AS (

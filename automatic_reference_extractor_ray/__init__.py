@@ -153,6 +153,7 @@ _EXPORTS = {
     "exact_sample": "ops.analytics",
     "quantile_clip": "ops.analytics",
     "grouped_outliers": "ops.analytics",
+    "distribution_match": "ops.analytics",
     "global_rank": "ops.analytics",
     "shuffle_rank": "ops.analytics",
     "kmeans": "ops.analytics",

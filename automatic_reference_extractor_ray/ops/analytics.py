@@ -1133,6 +1133,119 @@ def temperature_sample_sql(table: str, key_col: str, id_col: str,
                                        AS BIGINT)), 8, '0'))"""
 
 
+def distribution_match(ds, val_col: str, id_col: str, lo: float,
+                       hi: float, n_bins: int = 16,
+                       target: list[float] | None = None,
+                       salt: str = "dmatch"):
+    """Rejection-sample the corpus so a VALUE column's histogram
+    matches a target shape (the distribution-matching step of a
+    data-mixing recipe: make web-scrape doc lengths look like a
+    reference corpus before training) — pure down-sampling, the bin
+    closest to its target share keeps everything.
+
+    Bin b (``value_histogram``'s floor/clamp rule over [lo, hi)) keeps
+    rows at rate ``(t_b / p_b) / max_c(t_c / p_c)`` where ``t`` is the
+    target share and ``p`` the observed share, decided by the
+    deterministic ``md5(salt:id)`` threshold convention.  ``target``
+    is ``n_bins`` weights (default uniform).
+
+    → the kept (id_col, bin) rows.  Bin counts fold from bounded
+    per-batch ``np.bincount`` partials (the ``value_histogram``
+    contract); the keep pass is a stateless map — the corpus streams
+    once, nothing data-proportional reaches the driver.  All rate math
+    is IEEE doubles mirrored operation-for-operation in the SQL oracle
+    (share-divide → ratio-divide → truncating 2^32 threshold) —
+    bit-exact, not approximate.
+    """
+    lo = float(lo)
+    hi = float(hi)
+    w = (hi - lo) / n_bins
+    if target is None:
+        target = [1.0 / n_bins] * n_bins
+    if len(target) != n_bins:
+        raise ValueError(f"target needs {n_bins} weights, got {len(target)}")
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[val_col].to_numpy(dtype=np.float64)
+        b = np.clip(np.floor((v - lo) / w), 0, n_bins - 1).astype(np.int64)
+        counts = np.bincount(b, minlength=n_bins)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame({"bin": nz.astype("int64"),
+                             "n": counts[nz].astype("int64")})
+
+    total = np.zeros(n_bins, dtype=np.int64)
+    for pdf in (ds.map_batches(part, batch_format="pandas")
+                .iter_batches(batch_format="pandas")):
+        np.add.at(total, pdf["bin"].to_numpy(), pdf["n"].to_numpy())
+    n_total = int(total.sum())
+    if n_total == 0:
+        return ds.map_batches(
+            lambda b: pd.DataFrame({id_col: b[id_col].iloc[:0],
+                                    "bin": pd.Series([], dtype="int64")}),
+            batch_format="pandas")
+    ratios = [float(t) / (int(c) / n_total) if c > 0 else 0.0
+              for t, c in zip(target, total)]
+    mx = max(ratios)
+    thr = []
+    for r in ratios:
+        rate = r / mx
+        thr.append(None if rate >= 1.0
+                   else format(int(rate * 4294967296), "08x"))
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[val_col].to_numpy(dtype=np.float64)
+        bins = np.clip(np.floor((v - lo) / w), 0, n_bins - 1).astype(np.int64)
+        mask = np.zeros(len(b), dtype=bool)
+        for i, (d, bb) in enumerate(zip(b[id_col], bins)):
+            t = thr[bb]
+            mask[i] = (True if t is None else
+                       hashlib.md5(f"{salt}:{d}".encode("utf-8"))
+                       .hexdigest()[:8] < t)
+        out = b.loc[mask, [id_col]].copy()
+        out["bin"] = bins[mask]
+        return out
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def distribution_match_sql(table: str, val_col: str, id_col: str,
+                           lo: float, hi: float, n_bins: int = 16,
+                           target: list[float] | None = None,
+                           salt: str = "dmatch") -> str:
+    """DuckDB oracle matching ``distribution_match`` bit-for-bit —
+    including the bin counts and rate derivation, not just the
+    threshold test."""
+    lo_r = repr(float(lo))
+    w_r = repr((float(hi) - float(lo)) / n_bins)
+    if target is None:
+        target = [1.0 / n_bins] * n_bins
+    whens = " ".join(f"WHEN {b} THEN {repr(float(t))}"
+                     for b, t in enumerate(target))
+    return f"""
+        WITH binned AS (
+          SELECT {id_col},
+                 LEAST(GREATEST(CAST(FLOOR(({val_col} - {lo_r}) / {w_r})
+                                     AS BIGINT), 0), {n_bins - 1}) AS bin
+          FROM {table}),
+        counts AS (
+          SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY 1),
+        ratios AS (
+          SELECT bin,
+                 (CASE bin {whens} END)
+                   / (CAST(c AS DOUBLE)
+                      / CAST((SELECT SUM(c) FROM counts) AS DOUBLE)) AS ratio
+          FROM counts),
+        rates AS (
+          SELECT bin, ratio / (SELECT MAX(ratio) FROM ratios) AS rate
+          FROM ratios)
+        SELECT b.{id_col}, b.bin
+        FROM binned b JOIN rates r USING (bin)
+        WHERE r.rate >= 1.0
+           OR substr(md5('{salt}:' || CAST(b.{id_col} AS VARCHAR)), 1, 8)
+              < lower(lpad(to_hex(CAST(trunc(r.rate * 4294967296)
+                                       AS BIGINT)), 8, '0'))"""
+
+
 def grouped_outliers(ds, key_col: str, val_col: str, id_col: str,
                      k_sigma: int = 3):
     """Per-group z-score outlier flags over an INTEGER value column

@@ -1448,3 +1448,41 @@ def test_grouped_outliers_matches_numpy_and_boundary(ray_session):
     gb = grouped_outliers(rd.from_pandas(b), "lang", "n_chars",
                           "doc_id", k_sigma=1).to_pandas()
     assert gb["is_outlier"].sum() == 0
+
+
+def test_distribution_match_flattens_and_is_deterministic(ray_session):
+    import ray.data as rd
+    from automatic_reference_extractor_ray.ops.analytics import (
+        distribution_match)
+    rng = np.random.default_rng(11)
+    # skewed lengths: bin shares ~ (0.7, 0.2, 0.1) over [0, 300)
+    vals = np.concatenate([
+        rng.integers(0, 100, 7000), rng.integers(100, 200, 2000),
+        rng.integers(200, 300, 1000)]).astype("int64")
+    df = pd.DataFrame({"doc_id": [f"d{i:05d}" for i in range(len(vals))],
+                       "n_chars": vals})
+    got = distribution_match(rd.from_pandas(df), "n_chars", "doc_id",
+                             0, 300, 3).to_pandas()
+    # the rarest bin keeps everything; kept shares flatten toward
+    # uniform (each bin ends up near the rare bin's count)
+    kept = got.groupby("bin").size()
+    assert kept[2] == 1000
+    assert abs(kept[0] - 1000) < 100 and abs(kept[1] - 1000) < 100
+    # deterministic rerun + row-level md5 rule on a sample
+    again = distribution_match(rd.from_pandas(df), "n_chars", "doc_id",
+                               0, 300, 3).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True))
+    rate0 = (1 / 3) / (7000 / 10000)
+    rate0 /= (1 / 3) / (1000 / 10000)
+    thr0 = format(int(rate0 * 4294967296), "08x")
+    in_got = set(got["doc_id"])
+    for d, v in list(zip(df["doc_id"], df["n_chars"]))[:300]:
+        if v < 100:
+            h8 = hashlib.md5(f"dmatch:{d}".encode()).hexdigest()[:8]
+            assert (h8 < thr0) == (d in in_got)
+    # bad target length raises
+    with pytest.raises(ValueError):
+        distribution_match(rd.from_pandas(df), "n_chars", "doc_id",
+                           0, 300, 3, target=[0.5, 0.5])
