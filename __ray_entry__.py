@@ -80,6 +80,12 @@ def _q10_sql() -> str:
                                     date_to="1996-04-01", k=20)
 
 
+def _q22_sql() -> str:
+    from automatic_reference_extractor_ray.ops.relational import (
+        global_prospects_sql)
+    return global_prospects_sql(dormant_since="2000-01-01")
+
+
 def _q16_sql() -> str:
     from automatic_reference_extractor_ray.ops.relational import (
         parts_supplier_counts_sql)
@@ -785,6 +791,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rerank_topk(_read(sf, "embeddings", ["vec_id", "embedding"]),
                            ANN_QUERY_IDS, k=10, overfetch=4, n_probe=8)
 
+    def q22_prospects_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import (
+            global_prospects)
+        return global_prospects(
+            _read(sf, "customer", ["c_custkey", "c_nationkey",
+                                   "c_acctbal"]),
+            _read(sf, "orders", ["o_custkey", "o_orderdate"]),
+            _read(sf, "nation", ["n_nationkey", "n_name"]),
+            dormant_since="2000-01-01")
+
     def q18_volume_q(sf):
         from automatic_reference_extractor_ray.ops.relational import (
             large_volume_customers)
@@ -1384,6 +1400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_blocklist": domain_blocklist_q,
         "length_outliers": length_outliers_q,
         "distribution_match": distribution_match_q,
+        "q22_prospects": q22_prospects_q,
         "bpe_tokens": bpe_tokens_q,
         "token_spectrum": token_spectrum_q,
         "decontaminate_fuzzy": decontaminate_fuzzy_q,
@@ -1899,6 +1916,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping": _q3_sql(),
         "q10_returned": _q10_sql(),
         "q16_parts": _q16_sql(),
+        "q22_prospects": _q22_sql(),
         # construction-time golden (sources/webgen.py) — written by the
         # generator's page plan, never by the extractor under test
         "main_content": """

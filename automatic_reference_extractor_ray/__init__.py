@@ -110,6 +110,7 @@ _EXPORTS = {
     "large_volume_customers": "ops.relational",
     "returned_item_report": "ops.relational",
     "parts_supplier_counts": "ops.relational",
+    "global_prospects": "ops.relational",
     "local_supplier_volume": "ops.relational",
     "promo_revenue_share": "ops.relational",
     "build_lsh_index": "state.lsh_index",

@@ -872,6 +872,116 @@ USER_WINDOW_SQL = """
 """
 
 
+def global_prospects(customer, orders, nation,
+                     dormant_since: str = "2000-01-01",
+                     num_buckets: int | None = None):
+    """TPC-H Q22 shape — untapped prospects per nation: customers whose
+    account balance is above the average POSITIVE balance and who have
+    placed no order since ``dormant_since``, counted and summed per
+    nation.  The three relational moves every "find the dormant
+    high-value accounts" report composes: a scalar-subquery threshold,
+    a NOT EXISTS anti join, and a grouped aggregate.
+
+    Exactness: the threshold test ``acctbal > avg(positive acctbal)``
+    runs as an INTEGER cross-multiplication — ``acctbal_c · n > S``
+    where (n, S) fold from per-batch (count, Σcents) partials — so
+    there is no float average on either side and the SQL oracle
+    matches bit-for-bit.  The order side pre-shrinks to per-batch
+    distinct custkeys before the bucketed anti join (never broadcast);
+    the per-nation fold is a bounded driver fold (≤ 25 keys), nation
+    names attach from the tiny dim.
+
+    → pandas (n_name, n_prospects, total_acctbal_c) sorted by n_name.
+    """
+    from .shuffle import bucketed_join
+
+    def bal_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(b["c_acctbal"] * 100).astype("int64")
+        pos = c[c > 0]
+        return pd.DataFrame({"n": [np.int64(len(pos))],
+                             "s": [np.int64(pos.sum())]})
+
+    parts = (customer.select_columns(["c_acctbal"])
+             .map_batches(bal_partial, batch_format="pandas").to_pandas())
+    n_pos, s_pos = int(parts["n"].sum()), int(parts["s"].sum())
+
+    def rich(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(b["c_acctbal"] * 100).astype("int64")
+        m = c * n_pos > s_pos           # acctbal > S/n without the float
+        out = b.loc[m, ["c_custkey", "c_nationkey"]].copy()
+        out["acctbal_c"] = c[m]
+        return out.astype({"c_custkey": "int64", "c_nationkey": "int64"})
+
+    rich_ds = customer.select_columns(
+        ["c_custkey", "c_nationkey", "c_acctbal"]) \
+        .map_batches(rich, batch_format="pandas")
+
+    cut = pd.Timestamp(dormant_since)
+
+    def recent_keys(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["o_orderdate"] >= cut
+        return pd.DataFrame(
+            {"c_custkey": b.loc[m, "o_custkey"].drop_duplicates()
+             .astype("int64")})
+
+    okeys = orders.select_columns(["o_custkey", "o_orderdate"]) \
+        .map_batches(recent_keys, batch_format="pandas")
+
+    dormant = bucketed_join(
+        rich_ds, okeys, on="c_custkey",
+        left_schema={"c_custkey": "int64", "c_nationkey": "int64",
+                     "acctbal_c": "int64"},
+        right_schema={"c_custkey": "int64"},
+        num_buckets=num_buckets, how="anti")
+
+    def nat_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("c_nationkey", sort=False)["acctbal_c"] \
+             .agg(["size", "sum"]).reset_index()
+        return pd.DataFrame({"c_nationkey": g["c_nationkey"],
+                             "n_prospects": g["size"].astype("int64"),
+                             "total_acctbal_c": g["sum"].astype("int64")})
+
+    folded = (dormant.map_batches(nat_partial, batch_format="pandas")
+              .to_pandas())                       # ≤ 25 keys × blocks
+    agg = (folded.groupby("c_nationkey")[["n_prospects",
+                                          "total_acctbal_c"]]
+           .sum().reset_index()) if len(folded) else pd.DataFrame(
+        {"c_nationkey": pd.Series([], dtype="int64"),
+         "n_prospects": pd.Series([], dtype="int64"),
+         "total_acctbal_c": pd.Series([], dtype="int64")})
+    nmap = (nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+            .set_index("n_nationkey")["n_name"])
+    agg["n_name"] = agg["c_nationkey"].map(nmap).astype(object)
+    out = (agg[["n_name", "n_prospects", "total_acctbal_c"]]
+           .astype({"n_prospects": "int64", "total_acctbal_c": "int64"})
+           .sort_values("n_name", kind="mergesort").reset_index(drop=True))
+    return out
+
+
+def global_prospects_sql(dormant_since: str = "2000-01-01") -> str:
+    """DuckDB oracle for ``global_prospects`` (same integer
+    cross-multiplied threshold, no float average)."""
+    return f"""
+        WITH bal AS (
+          SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c, c_custkey,
+                 c_nationkey
+          FROM customer),
+        thr AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+          FROM bal WHERE c > 0)
+        SELECT n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_prospects,
+               CAST(SUM(b.c) AS BIGINT) AS total_acctbal_c
+        FROM bal b JOIN nation n ON b.c_nationkey = n.n_nationkey, thr
+        WHERE b.c * thr.n > thr.s
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = b.c_custkey
+                            AND o.o_orderdate >=
+                                TIMESTAMP '{dormant_since}')
+        GROUP BY n.n_name
+        ORDER BY n.n_name"""
+
+
 def customers_without_events(customer, events, num_buckets: int | None = None):
     """Distributed NOT EXISTS → (c_custkey, c_name) for customers with
     no event activity.  Both sides ride the bucketed shuffle (a key's

@@ -1486,3 +1486,34 @@ def test_distribution_match_flattens_and_is_deterministic(ray_session):
     with pytest.raises(ValueError):
         distribution_match(rd.from_pandas(df), "n_chars", "doc_id",
                            0, 300, 3, target=[0.5, 0.5])
+
+
+def test_global_prospects_q22(ray_session):
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from automatic_reference_extractor_ray.ops.relational import (
+        global_prospects)
+    sf = "/root/testdata/sf0.001"
+    t = {n: pq.read_table(f"{sf}/{n}.parquet").to_pandas()
+         for n in ("customer", "orders", "nation")}
+    got = global_prospects(rd.from_pandas(t["customer"]),
+                           rd.from_pandas(t["orders"]),
+                           rd.from_pandas(t["nation"]))
+    c = t["customer"].copy()
+    c["c"] = np.round(c["c_acctbal"] * 100).astype("int64")
+    pos = c.loc[c["c"] > 0, "c"]
+    n_pos, s_pos = len(pos), int(pos.sum())
+    o = t["orders"]
+    with_recent = set(
+        o.loc[o["o_orderdate"] >= pd.Timestamp("2000-01-01"), "o_custkey"])
+    sel = c[(c["c"] * n_pos > s_pos)
+            & ~c["c_custkey"].isin(with_recent)]
+    nmap = t["nation"].set_index("n_nationkey")["n_name"]
+    exp = (sel.assign(n_name=sel["c_nationkey"].map(nmap))
+           .groupby("n_name")["c"].agg(["size", "sum"]).reset_index()
+           .rename(columns={"size": "n_prospects",
+                            "sum": "total_acctbal_c"})
+           .astype({"n_prospects": "int64", "total_acctbal_c": "int64"})
+           .sort_values("n_name", kind="mergesort").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(exp) > 1 and exp["n_prospects"].sum() > 0
