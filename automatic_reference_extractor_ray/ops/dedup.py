@@ -88,10 +88,14 @@ def decontaminate_fuzzy(train, eval_docs, tau: float = 0.8,
     for a corpus vs a benchmark suite).
 
     Scale shape: one ``minhash_lsh_pairs`` run over the union (band
-    exchange + exact-Jaccard verify, all existing machinery); the
-    eval id set and the resulting contaminated-train set both
-    broadcast via ``ray.put`` — the first is benchmark-sized by
-    definition, the second is bounded by actual leakage (if half the
+    exchange + exact-Jaccard verify, all existing machinery), with the
+    benchmark-sized eval CODE set broadcast into the candidate stage
+    as a cross-pair prefilter — train–train candidates (the vast
+    majority in a self-similar corpus) never reach the verify
+    exchange, so verify cost is bounded by actual eval adjacency, not
+    corpus self-similarity.  The final train-id classification runs in
+    workers against the broadcast eval id set; only the contaminated
+    ids (bounded by actual leakage) stream to the driver (if half the
     corpus is contaminated, the broadcast is the least of the
     problems; a salted anti join is the drop-in escape hatch).
     """
@@ -102,14 +106,45 @@ def decontaminate_fuzzy(train, eval_docs, tau: float = 0.8,
             lambda b: b[["doc_id"]], batch_format="pandas").take_all():
         eval_ids.add(row["doc_id"])
 
-    pairs = minhash_lsh_pairs(train.union(eval_docs), tau=tau)
+    # candidate-stage prune: codes are raw ids for int corpora, else
+    # _doc_code hashes.  A code collision can only ADD a candidate
+    # (harmless — the id-level classification below decides); a true
+    # cross pair always survives by construction.
+    if _doc_key_dtype(train) == "int64":
+        ecodes = np.fromiter(eval_ids, np.int64, len(eval_ids))
+    else:
+        ecodes = np.fromiter((_doc_code(d) for d in eval_ids),
+                             np.int64, len(eval_ids))
+    ecodes.sort()
+    ecref = ray.put(ecodes)
+
+    def cross_only(p: pd.DataFrame) -> pd.DataFrame:
+        ev = ray.get(ecref)
+        a_in = np.isin(p["a"].to_numpy(), ev)
+        b_in = np.isin(p["b"].to_numpy(), ev)
+        return p[a_in != b_in]
+
+    pairs = minhash_lsh_pairs(train.union(eval_docs), tau=tau,
+                              cand_filter=cross_only)
+
+    # classify in workers: ship only contaminated train ids driver-ward
+    eref = ray.put(eval_ids)
+    dt = _doc_key_dtype(train)
+
+    def cross_train_ids(p: pd.DataFrame) -> pd.DataFrame:
+        ev = ray.get(eref)
+        a_in = p["a"].isin(ev)
+        b_in = p["b"].isin(ev)
+        bad = pd.concat([p.loc[~a_in & b_in, "a"],
+                         p.loc[a_in & ~b_in, "b"]]).drop_duplicates()
+        return pd.DataFrame({"doc_id": pd.Series(
+            bad.to_numpy(), dtype=object if dt == "object" else dt)})
+
     contaminated: set = set()
-    for p in pairs.iter_batches(batch_format="pandas"):
-        a_in = p["a"].isin(eval_ids)
-        b_in = p["b"].isin(eval_ids)
-        # cross pairs only: the train member is contaminated
-        contaminated.update(p.loc[~a_in & b_in, "a"].tolist())
-        contaminated.update(p.loc[a_in & ~b_in, "b"].tolist())
+    for b in pairs.map_batches(
+            cross_train_ids, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        contaminated.update(b["doc_id"].tolist())
     cref = ray.put(contaminated)
 
     def verdict(b: pd.DataFrame) -> pd.DataFrame:
@@ -862,7 +897,7 @@ def _int_pairs_of_groups(pdf: pd.DataFrame, group_keys: list[str],
                          "b": np.concatenate(outs_b)}).drop_duplicates()
 
 
-def minhash_lsh_pairs(docs, tau: float = 0.9):
+def minhash_lsh_pairs(docs, tau: float = 0.9, cand_filter=None):
     """MinHash+LSH near-dup pairs, verified with exact Jaccard:
 
       signature per doc (map_batches) → (band, band_hash, doc-code)
@@ -883,6 +918,13 @@ def minhash_lsh_pairs(docs, tau: float = 0.9):
     the 63-bit band hash making oversized groups near-clone sets, and
     immaterial for the components/removal consumers, which only need
     connectivity.
+
+    ``cand_filter`` (optional, ``pd.DataFrame -> pd.DataFrame`` over
+    int64 candidate columns (a, b) — doc CODES for string corpora, raw
+    ids for int ones) prunes candidates BEFORE the verify exchange;
+    callers who only care about a subset of pairs (e.g. cross-corpus
+    contamination) use it to keep in-corpus candidate volume off the
+    all-to-all entirely.
     """
     raw_int_ids = _doc_key_dtype(docs) == "int64"
 
@@ -917,6 +959,8 @@ def minhash_lsh_pairs(docs, tau: float = 0.9):
         lambda p: _int_pairs_of_groups(p, ["band", "band_hash"],
                                        band_col="band",
                                        allband_col="bhs"))
+    if cand_filter is not None:
+        cands = cands.map_batches(cand_filter, batch_format="pandas")
     # raw int ids: keys ARE doc ids → the non-coded verifier (token
     # payload only, pairs emitted as-is); else verify + decode via the
     # doc payload riding the coded join
