@@ -60,7 +60,15 @@ def _sig_rows(pdf: pd.DataFrame, num_parts: int) -> pd.DataFrame:
 
 def build_lsh_index(docs, index_dir: str, num_parts: int = 32) -> None:
     """One pass over the base corpus → band-bucket rows on disk,
-    hive-partitioned (band, part); atomic publish (tmp + rename)."""
+    hive-partitioned (band, part); atomic publish (tmp + rename).
+
+    Every write block intersects every hive partition (a block's docs
+    hash into all bands/parts), so the raw write leaves ~n_blocks
+    files per partition — thousands of KB-sized files whose per-file
+    open/metadata cost then dominates the landing's pruned read.  A
+    partition-LOCAL compaction pass (one task per (band, part) dir, no
+    exchange) merges them into ~``_COMPACT_TARGET_BYTES`` files before
+    the atomic publish."""
     import shutil
 
     tmp = index_dir + ".tmp"
@@ -69,10 +77,83 @@ def build_lsh_index(docs, index_dir: str, num_parts: int = 32) -> None:
     (docs.map_batches(lambda b: _sig_rows(b, num_parts),
                       batch_format="pandas")
      .write_parquet(tmp, partition_cols=["band", "part"]))
+    compact_lsh_index(tmp)
     with open(os.path.join(tmp, META), "w") as f:
         json.dump({"num_parts": num_parts}, f)
     shutil.rmtree(index_dir, ignore_errors=True)
     os.rename(tmp, index_dir)
+
+
+# merged index files aim at this size — small enough that a pruned
+# partition read stays parallel, large enough that per-file overhead
+# is noise (row-group scale)
+_COMPACT_TARGET_BYTES = 64 << 20
+
+
+def _partition_dirs(index_dir: str) -> list[str]:
+    out = []
+    for band in sorted(os.listdir(index_dir)):
+        bd = os.path.join(index_dir, band)
+        if not (band.startswith("band=") and os.path.isdir(bd)):
+            continue
+        out.extend(os.path.join(bd, p) for p in sorted(os.listdir(bd))
+                   if p.startswith("part="))
+    return out
+
+
+def _compact_dir(d: str, target_bytes: int) -> int:
+    """Merge one partition dir's parquet files into ~target-sized
+    files.  Idempotent; safe to re-run.  Crash mid-compaction (only
+    possible on a LIVE index via append-path compaction — the build
+    compacts inside its unpublished tmp dir) can leave a merged file
+    alongside not-yet-deleted originals: duplicate index rows, which
+    the landing verify tolerates (a base row can only re-set the same
+    match flag)."""
+    import pyarrow.parquet as pq
+
+    files = [os.path.join(d, f) for f in sorted(os.listdir(d))
+             if f.endswith(".parquet") and not f.startswith("compact-")]
+    if len(files) <= 1:
+        return 0
+    # greedy runs of small files up to the target size
+    runs, run, run_bytes = [], [], 0
+    for f in files:
+        sz = os.path.getsize(f)
+        if run and run_bytes + sz > target_bytes:
+            runs.append(run)
+            run, run_bytes = [], 0
+        run.append(f)
+        run_bytes += sz
+    if run:
+        runs.append(run)
+    merged = 0
+    for i, r in enumerate(runs):
+        if len(r) <= 1:
+            continue
+        import pyarrow as pa
+        tbl = pa.concat_tables([pq.read_table(f) for f in r])
+        out = os.path.join(d, f"compact-{i}.parquet")
+        pq.write_table(tbl, out + ".tmp")
+        os.replace(out + ".tmp", out)
+        for f in r:
+            os.remove(f)
+        merged += len(r)
+    return merged
+
+
+def compact_lsh_index(index_dir: str,
+                      target_bytes: int = _COMPACT_TARGET_BYTES) -> int:
+    """Merge every (band, part) partition's small parquet files —
+    build writes and repeated append-path landings both fragment the
+    index.  Partition-local (one Ray task per dir, no exchange);
+    returns the number of files merged away."""
+    import ray
+
+    dirs = _partition_dirs(index_dir)
+    if not dirs:
+        return 0
+    fn = ray.remote(num_cpus=1)(_compact_dir)
+    return sum(ray.get([fn.remote(d, target_bytes) for d in dirs]))
 
 
 def _read_index_partitions(index_dir: str, needed: set[tuple[int, int]]):
@@ -127,10 +208,18 @@ def incremental_minhash_dedup(new, index_dir: str, tau: float = 0.9,
         lambda b: _sig_rows(b, num_parts).assign(side="n"),
         batch_format="pandas").materialize()
 
+    # pyarrow batches here: a pandas batch would convert each block's
+    # 512 B-per-row ``sig`` object column just to throw it away
+    # (measured 4× the whole pass); Arrow's select + group_by touch
+    # only the two int columns
+    def _distinct_parts(t):
+        import pyarrow as pa  # noqa: F401
+        return (t.select(["band", "part"])
+                .group_by(["band", "part"]).aggregate([]))
+
     needed: set[tuple[int, int]] = set()
     for row in new_rows.map_batches(
-            lambda d: d[["band", "part"]].drop_duplicates(),
-            batch_format="pandas").take_all():
+            _distinct_parts, batch_format="pyarrow").take_all():
         needed.add((int(row["band"]), int(row["part"])))
 
     base = _read_index_partitions(index_dir, needed)
@@ -168,21 +257,32 @@ def incremental_minhash_dedup(new, index_dir: str, tau: float = 0.9,
                 b_sig = np.frombuffer(
                     b"".join(bb["sig"]), dtype=np.uint64).reshape(
                     len(bb), MINHASH_K)
-                # each new doc vs every base doc in the bucket
-                for j in range(len(bb)):
-                    matched |= _est_match(
-                        n_sig, b_sig[j][None, :], tau)
-            # within-increment: earlier (smaller id) new doc wins
+                # full matrix compare, chunked over base rows so the
+                # (n, c, K) equality temp stays ~32 MiB
+                step = max(1, (1 << 25) // max(1, len(nn) * MINHASH_K))
+                for lo in range(0, len(b_sig), step):
+                    agree = (n_sig[:, None, :] ==
+                             b_sig[None, lo:lo + step, :]).mean(axis=2)
+                    matched |= (agree >= tau).any(axis=1)
+            # within-increment: a new doc matching any SMALLER-id new
+            # doc of the same bucket is a dup (vectorized pairwise
+            # compare + strict lower triangle over the id sort)
             ids = nn["doc_id"].to_numpy()
-            order = np.argsort(ids, kind="stable")
-            for pos, i in enumerate(order):
-                if matched[i]:
-                    continue
-                for jj in order[:pos]:
-                    if _est_match(n_sig[i][None, :],
-                                  n_sig[jj][None, :], tau)[0]:
-                        matched[i] = True
-                        break
+            if len(ids) > 1:
+                order = np.argsort(ids, kind="stable")
+                s = n_sig[order]
+                n = len(ids)
+                step = max(1, (1 << 25) // max(1, n * MINHASH_K))
+                dup = np.zeros(n, dtype=bool)
+                cols = np.arange(n)
+                for lo in range(0, n, step):
+                    rows = np.arange(lo, min(lo + step, n))
+                    agree = (s[rows, None, :] ==
+                             s[None, :, :]).mean(axis=2)
+                    earlier = cols[None, :] < rows[:, None]
+                    dup[rows] = np.logical_and(
+                        agree >= tau, earlier).any(axis=1)
+                matched[order] |= dup
             outs.append(pd.DataFrame({"doc_id": ids,
                                       "m": matched.astype("int64")}))
         if not outs:
