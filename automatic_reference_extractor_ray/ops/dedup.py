@@ -107,9 +107,16 @@ def decontaminate_fuzzy(train, eval_docs, tau: float = 0.8,
         eval_ids.add(row["doc_id"])
 
     # candidate-stage prune: codes are raw ids for int corpora, else
-    # _doc_code hashes.  A code collision can only ADD a candidate
-    # (harmless — the id-level classification below decides); a true
-    # cross pair always survives by construction.
+    # _doc_code hashes.  Keep any pair with AT LEAST one eval-code
+    # member (not exactly-one: a train doc whose code collides with an
+    # eval code would make a true cross pair read eval-eval and be
+    # dropped — with "either side" a collision can only ADD a
+    # candidate, and the id-level classification below discards the
+    # extras).  Known recall bound, inherited from the band star cap
+    # and documented on minhash_lsh_pairs: inside a >_STAR_CAP clone
+    # cluster only hub edges exist, so a train clone whose hub is
+    # another TRAIN doc is not flagged unless some band pairs it with
+    # an eval doc directly.
     if _doc_key_dtype(train) == "int64":
         ecodes = np.fromiter(eval_ids, np.int64, len(eval_ids))
     else:
@@ -122,7 +129,7 @@ def decontaminate_fuzzy(train, eval_docs, tau: float = 0.8,
         ev = ray.get(ecref)
         a_in = np.isin(p["a"].to_numpy(), ev)
         b_in = np.isin(p["b"].to_numpy(), ev)
-        return p[a_in != b_in]
+        return p[a_in | b_in]
 
     pairs = minhash_lsh_pairs(train.union(eval_docs), tau=tau,
                               cand_filter=cross_only)

@@ -103,16 +103,22 @@ def _partition_dirs(index_dir: str) -> list[str]:
 
 def _compact_dir(d: str, target_bytes: int) -> int:
     """Merge one partition dir's parquet files into ~target-sized
-    files.  Idempotent; safe to re-run.  Crash mid-compaction (only
-    possible on a LIVE index via append-path compaction — the build
-    compacts inside its unpublished tmp dir) can leave a merged file
-    alongside not-yet-deleted originals: duplicate index rows, which
-    the landing verify tolerates (a base row can only re-set the same
-    match flag)."""
+    files.  Safe to re-run: previous ``compact-*`` outputs join the
+    merge set as ordinary inputs and every output gets a UNIQUE name
+    (never ``os.replace`` over an earlier compact file, which would
+    silently delete its rows — found by review).  Crash
+    mid-compaction (only possible on a LIVE index via append-path
+    compaction — the build compacts inside its unpublished tmp dir)
+    can leave a merged file alongside not-yet-deleted originals:
+    duplicate index rows, which the landing verify tolerates (a base
+    row can only re-set the same match flag)."""
+    import uuid
+
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     files = [os.path.join(d, f) for f in sorted(os.listdir(d))
-             if f.endswith(".parquet") and not f.startswith("compact-")]
+             if f.endswith(".parquet")]
     if len(files) <= 1:
         return 0
     # greedy runs of small files up to the target size
@@ -127,12 +133,11 @@ def _compact_dir(d: str, target_bytes: int) -> int:
     if run:
         runs.append(run)
     merged = 0
-    for i, r in enumerate(runs):
+    for r in runs:
         if len(r) <= 1:
             continue
-        import pyarrow as pa
         tbl = pa.concat_tables([pq.read_table(f) for f in r])
-        out = os.path.join(d, f"compact-{i}.parquet")
+        out = os.path.join(d, f"compact-{uuid.uuid4().hex}.parquet")
         pq.write_table(tbl, out + ".tmp")
         os.replace(out + ".tmp", out)
         for f in r:
@@ -176,12 +181,23 @@ def _read_index_partitions(index_dir: str, needed: set[tuple[int, int]]):
     return rd.read_parquet(paths, columns=["bh", "doc_id", "sig"])
 
 
-def _est_match(sig_a: np.ndarray, sig_b: np.ndarray,
-               tau: float) -> np.ndarray:
-    """Row-wise signature-estimated match for stacked (n, K) uint64
-    signature matrices."""
-    agree = (sig_a == sig_b).mean(axis=1)
-    return agree >= tau
+def _match_any(qs: np.ndarray, cs: np.ndarray, tau: float,
+               mask: np.ndarray | None = None) -> np.ndarray:
+    """Per row of (nq, K) ``qs``: True when ANY row of (nc, K) ``cs``
+    agrees on ≥ ``tau`` of the K signature components — the
+    signature-estimated Jaccard of the module docstring, in one
+    place.  ``mask`` (nq, nc) limits which pairs count.  The
+    candidate axis is chunked so the (nq, c, K) equality temp stays
+    ~32 MiB."""
+    out = np.zeros(len(qs), dtype=bool)
+    step = max(1, (1 << 25) // max(1, len(qs) * MINHASH_K))
+    for lo in range(0, len(cs), step):
+        agree = ((qs[:, None, :] == cs[None, lo:lo + step, :])
+                 .mean(axis=2) >= tau)
+        if mask is not None:
+            agree &= mask[:, lo:lo + step]
+        out |= agree.any(axis=1)
+    return out
 
 
 def incremental_minhash_dedup(new, index_dir: str, tau: float = 0.9,
@@ -257,32 +273,17 @@ def incremental_minhash_dedup(new, index_dir: str, tau: float = 0.9,
                 b_sig = np.frombuffer(
                     b"".join(bb["sig"]), dtype=np.uint64).reshape(
                     len(bb), MINHASH_K)
-                # full matrix compare, chunked over base rows so the
-                # (n, c, K) equality temp stays ~32 MiB
-                step = max(1, (1 << 25) // max(1, len(nn) * MINHASH_K))
-                for lo in range(0, len(b_sig), step):
-                    agree = (n_sig[:, None, :] ==
-                             b_sig[None, lo:lo + step, :]).mean(axis=2)
-                    matched |= (agree >= tau).any(axis=1)
+                matched |= _match_any(n_sig, b_sig, tau)
             # within-increment: a new doc matching any SMALLER-id new
-            # doc of the same bucket is a dup (vectorized pairwise
-            # compare + strict lower triangle over the id sort)
+            # doc of the same bucket is a dup (strict-lower-triangle
+            # mask over the id sort)
             ids = nn["doc_id"].to_numpy()
             if len(ids) > 1:
                 order = np.argsort(ids, kind="stable")
                 s = n_sig[order]
                 n = len(ids)
-                step = max(1, (1 << 25) // max(1, n * MINHASH_K))
-                dup = np.zeros(n, dtype=bool)
-                cols = np.arange(n)
-                for lo in range(0, n, step):
-                    rows = np.arange(lo, min(lo + step, n))
-                    agree = (s[rows, None, :] ==
-                             s[None, :, :]).mean(axis=2)
-                    earlier = cols[None, :] < rows[:, None]
-                    dup[rows] = np.logical_and(
-                        agree >= tau, earlier).any(axis=1)
-                matched[order] |= dup
+                earlier = np.tri(n, k=-1, dtype=bool)
+                matched[order] |= _match_any(s, s, tau, mask=earlier)
             outs.append(pd.DataFrame({"doc_id": ids,
                                       "m": matched.astype("int64")}))
         if not outs:

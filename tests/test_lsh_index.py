@@ -110,3 +110,36 @@ def test_band_count_constant():
     assert len(rows) == 3 * LSH_BANDS
     assert set(rows.columns) == {"band", "bh", "doc_id", "sig", "part"}
     assert all(len(s) == 64 * 8 for s in rows["sig"])
+
+
+def test_recompaction_keeps_prior_compact_rows(ray_session, tmp_path):
+    """Re-running compaction after an append must MERGE earlier
+    compact-* outputs, not overwrite them (the fixed-name os.replace
+    bug silently deleted the first compaction's rows)."""
+    import glob
+
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.state.lsh_index import (
+        append_to_lsh_index, compact_lsh_index)
+
+    idx = str(tmp_path / "idx")
+    build_lsh_index(rd.from_pandas(_base()).repartition(4), idx,
+                    num_parts=4)  # build already compacts
+
+    def rows() -> int:
+        import pyarrow.parquet as pq
+        return sum(pq.read_metadata(f).num_rows for f in
+                   glob.glob(idx + "/band=*/part=*/*.parquet"))
+
+    n0 = rows()
+    extra = pd.DataFrame({
+        "doc_id": np.arange(500, 520, dtype="int64"),
+        "text": [_text(9000 + i) for i in range(20)]})
+    append_to_lsh_index(rd.from_pandas(extra).repartition(3), idx)
+    n1 = rows()
+    assert n1 == n0 + 20 * LSH_BANDS
+    compact_lsh_index(idx)
+    assert rows() == n1          # nothing lost
+    compact_lsh_index(idx)       # idempotent re-run
+    assert rows() == n1
