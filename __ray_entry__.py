@@ -595,6 +595,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             token_spectrum)
         return token_spectrum(_docs_table(sf))
 
+    def ref_line_classifier_q(sf):
+        # trained reference-line classifier (north-star stage):
+        # content-feature logistic model, heading-rule truth, fit on
+        # ~half the text docs, actor-pool scoring of the held-out
+        # half.  Model-based -> rows-only oracle; accuracy floor +
+        # determinism pinned in tests/test_lineclf.py
+        from automatic_reference_extractor_ray.ops.lineclf import (
+            ref_line_classifier)
+        out = ref_line_classifier(_units(sf)).to_pandas()
+        return out.sort_values(["doc_id", "line_no"]).reset_index(
+            drop=True)
+
     # ---- dedup family ----
     def dedup_exact_q(sf):
         from automatic_reference_extractor_ray.ops.dedup import exact_dedup
@@ -1403,6 +1415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_prospects": q22_prospects_q,
         "bpe_tokens": bpe_tokens_q,
         "token_spectrum": token_spectrum_q,
+        "ref_line_classifier": ref_line_classifier_q,
         "decontaminate_fuzzy": decontaminate_fuzzy_q,
         "dedup_lsh_incremental": dedup_lsh_incremental_q,
         "q14_promo": q14_promo_q,

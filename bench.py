@@ -422,6 +422,18 @@ def run_bench() -> dict:
             batch_format="pandas")
         return _qc(labeled, "label", fit_sample=2048).count()
     timed("quality_classifier", _quality_classifier)
+
+    def _ref_line_classifier():
+        from automatic_reference_extractor_ray.config import DEFAULT_CONFIG
+        from automatic_reference_extractor_ray.ops.lineclf import (
+            ref_line_classifier)
+        from automatic_reference_extractor_ray.stages.explode import (
+            explode_to_units)
+        units = read_interleaved_docs_cached(SF_DIR).map_batches(
+            lambda b: explode_to_units(b, DEFAULT_CONFIG),
+            batch_format="pyarrow")
+        return ref_line_classifier(units, fit_sample=2048).count()
+    timed("ref_line_classifier", _ref_line_classifier)
     from automatic_reference_extractor_ray.ops.relational import (
         revenue_rollup)
     from automatic_reference_extractor_ray.ops.analytics import (
