@@ -61,7 +61,12 @@ def curate_web_corpus(pages, url_slots: int = 250,
         ln = b["main_text"].str.len()
         return b[(ln >= min_chars) & (b["n_blocks"] >= min_blocks)]
 
-    q = kept.map_batches(quality, batch_format="pandas")
+    # q feeds TWO consumers (the content-hash agg and the final semi
+    # join); Ray re-executes lazy upstreams per consumer, so without
+    # this pin the extract + URL join would run twice (the
+    # grouped_pair_join lesson).  Rows are (doc_id, main_text,
+    # n_blocks) — the curated-candidate set, spills cleanly.
+    q = kept.map_batches(quality, batch_format="pandas").materialize()
 
     def hash_partial(b: pd.DataFrame) -> pd.DataFrame:
         h = [hashlib.md5(t.encode("utf-8")).hexdigest()
