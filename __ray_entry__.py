@@ -1609,7 +1609,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(length(text)) AS BIGINT) AS sum_chars
             FROM {C} GROUP BY kind""",
         "media_features": f"""
-            SELECT media_ref, CAST(length(payload) AS BIGINT) AS n_bytes,
+            SELECT media_ref,
+                   -- byte semantics: the op measures the UTF-8 payload
+                   -- BYTES; length(varchar) is characters and diverges
+                   -- on non-ASCII (the T42 diacritics found this)
+                   CAST(octet_length(encode(payload)) AS BIGINT)
+                     AS n_bytes,
                    md5(payload) AS payload_md5
             FROM {P}""",
         "ocr_line_counts": f"SELECT media_ref, n_lines FROM {M}",
@@ -1697,19 +1702,21 @@ def oracle_sql() -> dict[str, str]:
                        || '</svg>') AS svg_md5
             FROM r GROUP BY media_ref""",
         "media_resize": f"""
+            -- octet_length(encode(..)) = UTF-8 BYTES, the op's unit
+            -- (length(varchar) is characters; T42 diacritics diverge)
             SELECT media_ref,
-                   CAST(LEAST(length(payload), 1048576) AS BIGINT) AS n_bytes_out,
-                   length(payload) > 1048576 AS resized
+                   CAST(LEAST(octet_length(encode(payload)), 1048576)
+                        AS BIGINT) AS n_bytes_out,
+                   octet_length(encode(payload)) > 1048576 AS resized
             FROM {P}""",
         "frame_sample": f"""
-            WITH f AS (SELECT unnest([0, 1, 2, 3]) AS frame_no),
-            s AS (SELECT media_ref, payload,
-                         GREATEST(1, length(payload) // 4) AS step
-                  FROM {P})
-            SELECT s.media_ref, CAST(f.frame_no AS INT) AS frame_no,
-                   md5(substring(s.payload, f.frame_no * s.step + 1, s.step))
-                     AS frame_md5
-            FROM s CROSS JOIN f""",
+            -- byte-stride frames can split UTF-8 codepoints, which no
+            -- SQL over the string payload can slice (and DuckDB md5()
+            -- takes no BLOB) -> truth precomputed from the raw bytes
+            -- by the generator, like media_lines
+            SELECT media_ref, CAST(frame_no AS INT) AS frame_no,
+                   frame_md5
+            FROM read_parquet('{ORACLE_DIR}/media_frames.parquet')""",
         "embed_texts": f"""
             SELECT doc_id,
                    CASE WHEN len({TOK}) > 0 THEN 1000 ELSE 0 END

@@ -2,7 +2,7 @@
 fields (FIXTURES.md: "templated citations … so the field tokenizer has
 deterministic ground truth").
 
-Forty-one template shapes (T1-T41 below), matching the shapes
+Forty-three template shapes (T1-T43 below), matching the shapes
 ``functions.fields.parse_fields`` recognizes exactly; the generator
 returns both the raw string and the expected BibStructured field dict,
 so field extraction has an analytic oracle that never calls the parser.
@@ -43,6 +43,11 @@ ORGS = ["World Health Organization", "National Archives Council",
 # (T26/T27): "Miller, Anne" — dotless, must stay ONE author
 FORENAMES = ["Anne", "Ben", "Chika", "Dana", "Emil", "Farah",
              "Grete", "Hiro"]
+# diacritic / apostrophe surnames (T42) — the Unicode hardening
+# proof: every name regex in functions/fields.py must treat these
+# exactly like the ASCII pool (\w-class patterns, not [A-Z])
+SURNAMES_INTL = ["Müller", "Señor", "O'Brien", "Çelik", "Dvořák",
+                 "François", "Søndergaard", "Ångström"]
 BODY_WORDS = ["the", "proposed", "approach", "combines", "structural",
               "features", "and", "lexical", "cues", "to", "identify",
               "reference", "regions", "within", "noisy", "page", "text",
@@ -199,8 +204,18 @@ def gen_citation(rng: np.random.Generator) -> Citation:
            1999. Title. In Proceedings of the 5th Conference on X.
            Publisher, City, 45-67.") — full dotless names, year
            after the head, proceedings name (level m) drops
+      42   T42 international names ("Müller, A. and O'Brien, B.
+           (1999). ...") — T1's journal shape over diacritic /
+           apostrophe surnames: the Unicode-cleanliness proof for
+           the whole author chain (no [A-Z]-anchored regex survives
+           this pool)
+      43   T43 APA 7 ("Miller, A., Schmidt, B., & Weber, C. (1999).
+           Title. Journal, 12(3), 45-67. https://doi.org/10.N/x.")
+           — the ampersand list COMBINED with the bare doi.org tail
+           (no "doi:" prefix, no "Retrieved from"); identifier
+           strips, mapped fields are T15's
     """
-    t = int(rng.integers(0, 42))
+    t = int(rng.integers(0, 44))
     year = str(int(rng.integers(1970, 2024)))
     title = _title(rng)
     f = dict(EMPTY_FIELDS)
@@ -597,6 +612,32 @@ def gen_citation(rng: np.random.Generator) -> Citation:
                f"pages = {{{p1}--{p2}}}}}.")
         f.update(authors=authors, journal=journal, volume=vol,
                  issue=iss if num else "", pages=f"{p1}-{p2}")
+    elif t == 42:  # T42 international names — T1's journal shape with
+        # diacritic / apostrophe surnames ("Müller, A. and O'Brien,
+        # B. ..."): proves the whole author chain (split, inversion,
+        # near-dup keys, XML/HTML roundtrip) is Unicode-clean, not
+        # [A-Z]-anchored
+        authors = [f"{_pick(rng, SURNAMES_INTL)}, {_pick(rng, INITIALS)}."
+                   for _ in range(int(rng.integers(1, 3)))]
+        journal, vol, iss, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        raw = (f"{' and '.join(authors)} ({year}). {title}. {journal}, "
+               f"{vol}({iss}), {p1}-{p2}.")
+        f.update(authors=authors, journal=journal, volume=vol, issue=iss,
+                 pages=f"{p1}-{p2}")
+    elif t == 43:  # T43 APA 7 — T15's ampersand author list with the
+        # bare "https://doi.org/10.N/..." tail (no "doi:" prefix, no
+        # "Retrieved from"): the modern APA DOI form; the identifier
+        # strips (Grobid <idno> never read), mapped fields are T15's
+        authors = [_author(rng) for _ in range(3)]
+        journal, vol, iss, p1 = journal_bits()
+        p2 = p1 + int(rng.integers(2, 40))
+        doi = (f"https://doi.org/10.{int(rng.integers(1000, 9999))}/"
+               f"j{int(rng.integers(100, 999))}")
+        raw = (f"{authors[0]}, {authors[1]}, & {authors[2]} ({year}). "
+               f"{title}. {journal}, {vol}({iss}), {p1}-{p2}. {doi}.")
+        f.update(authors=authors, journal=journal, volume=vol, issue=iss,
+                 pages=f"{p1}-{p2}")
     else:  # T39 ACM reference format — full dotless names, year after
         # the head, proceedings name (level m) drops, publisher/place/
         # pages map

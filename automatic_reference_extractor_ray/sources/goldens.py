@@ -100,6 +100,7 @@ def media_tables(doc_keys: list[str]) -> tuple[pa.Table, pa.Table,
     from .pagegen import page_plan
     store = SynthMediaStore()
     refs, payloads, n_lines = [], [], []
+    frefs, fnos, fmd5s = [], [], []
     lrefs, lnos, ltexts, lboxes = [], [], [], []
     brefs, bkinds, bords, bboxes = [], [], [], []
     seen = set()
@@ -112,7 +113,19 @@ def media_tables(doc_keys: list[str]) -> tuple[pa.Table, pa.Table,
                     continue
                 seen.add(r)
                 refs.append(r)
-                payloads.append(store.fetch(r).decode("utf-8"))
+                raw = store.fetch(r)
+                payloads.append(raw.decode("utf-8"))
+                # frame truth over the raw BYTES (FrameSample's
+                # byte-stride rule) — frames can split UTF-8
+                # codepoints, so no SQL over the string payload can
+                # reproduce these; precomputed like media_lines
+                import hashlib as _hl
+                step = max(1, len(raw) // 4)
+                for fno in range(4):
+                    frefs.append(r)
+                    fnos.append(fno)
+                    fmd5s.append(_hl.md5(
+                        raw[fno * step:(fno + 1) * step]).hexdigest())
                 cls, seed, page, nr = parse_media_ref(r)
                 plan = page_plan(seed, page, cls, nr if nr > 0 else None)
                 n_lines.append(len(plan.lines))
@@ -147,7 +160,12 @@ def media_tables(doc_keys: list[str]) -> tuple[pa.Table, pa.Table,
         "x2": pa.array([int(b[2]) for b in bboxes], pa.int32()),
         "y2": pa.array([int(b[3]) for b in bboxes], pa.int32()),
     })
-    return payload_t, meta_t, lines_t, boxes_t
+    frames_t = pa.table({
+        "media_ref": pa.array(frefs, pa.string()),
+        "frame_no": pa.array(fnos, pa.int32()),
+        "frame_md5": pa.array(fmd5s, pa.string()),
+    })
+    return payload_t, meta_t, lines_t, boxes_t, frames_t
 
 
 def sf_doc_keys(sf_dir: str, repeat: int = 1) -> list[str]:
@@ -171,11 +189,12 @@ def write_oracle_tables(sf_dir: str, out_root: str = ORACLE_ROOT) -> str:
     keys = sf_doc_keys(sf_dir)
     pq.write_table(golden_table(keys), os.path.join(out_dir, "golden_refs.parquet"))
     pq.write_table(corpus_spans_table(keys), os.path.join(out_dir, "corpus_spans.parquet"))
-    payload_t, meta_t, lines_t, boxes_t = media_tables(keys)
+    payload_t, meta_t, lines_t, boxes_t, frames_t = media_tables(keys)
     pq.write_table(payload_t, os.path.join(out_dir, "media_payloads.parquet"))
     pq.write_table(meta_t, os.path.join(out_dir, "media_meta.parquet"))
     pq.write_table(lines_t, os.path.join(out_dir, "media_lines.parquet"))
     pq.write_table(boxes_t, os.path.join(out_dir, "media_boxes.parquet"))
+    pq.write_table(frames_t, os.path.join(out_dir, "media_frames.parquet"))
     with open(done, "w") as f:
         f.write(GOLDEN_VERSION)
     return out_dir
