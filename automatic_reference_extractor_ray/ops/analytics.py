@@ -1627,3 +1627,158 @@ def token_spectrum_sql(table: str = "documents") -> str:
                                   '[a-z0-9]+')) AS token FROM {table})
               GROUP BY token)
         GROUP BY freq ORDER BY freq"""
+
+
+def collocations(docs, k: int = 50, min_count: int = 5,
+                 text_col: str = "text",
+                 num_buckets: int | None = None) -> pd.DataFrame:
+    """Top-``k`` collocations: adjacent token bigrams ranked by PMI
+    (the classic corpus-analysis signal for multi-word expressions —
+    "new york" scores high because its joint count dwarfs what its
+    parts' frequencies predict).  → pandas (a, b, c_ab, score_e4),
+    ordered (score_e4 DESC, a, b) with a deterministic cut at k.
+
+    Exactness: ranking by PMI = log(c_ab·N / (c_a·c_b)) equals
+    ranking by the RATIO (log is monotone), so the score is the exact
+    integer ``c_ab·N·10⁴ // (c_a·c_b)`` — no float log on either
+    side, bit-identical to the SQL oracle.  int64 range bound:
+    c_ab·N·10⁴ < 2⁶³ holds through ~10⁹-token corpora; past that,
+    switch the score to HUGEINT/object (documented tradeoff).
+
+    Scale shape: per-batch unigram + bigram Counter partials (a doc's
+    adjacency never crosses batches, so partials sum exactly), two
+    bounded-bucket aggregates, bigrams below ``min_count`` drop
+    BEFORE the two count-attach joins (token-keyed bucketed joins —
+    unigram counts are corpus-vocabulary-sized, never broadcast), and
+    the final top-k is the per-block k-candidate cut.  N folds from
+    per-batch scalars on the driver (one row per block)."""
+    from collections import Counter
+
+    from .shuffle import bucketed_groupby, bucketed_join
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        total = 0
+        for t in b[text_col]:
+            toks = TOKEN_RE.findall((t or "").lower())
+            total += len(toks)
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+        rows_a, rows_b, rows_n, rows_kind = [], [], [], []
+        for tok, c in uni.items():
+            rows_a.append(tok); rows_b.append(""); rows_n.append(c)
+            rows_kind.append(0)
+        for (a, bb), c in bi.items():
+            rows_a.append(a); rows_b.append(bb); rows_n.append(c)
+            rows_kind.append(1)
+        # one total-scalar row per batch (kind 2) — N folds driver-side
+        rows_a.append(""); rows_b.append(""); rows_n.append(total)
+        rows_kind.append(2)
+        return pd.DataFrame({
+            "a": pd.Series(rows_a, dtype=object),
+            "b": pd.Series(rows_b, dtype=object),
+            "n": pd.Series(rows_n, dtype="int64"),
+            "kind": pd.Series(rows_kind, dtype="int64")})
+
+    parts = docs.map_batches(partials, batch_format="pandas") \
+        .materialize()          # feeds three consumers (N, uni, bi)
+
+    n_total = 0
+    for p in parts.map_batches(
+            lambda d: d.loc[d["kind"] == 2, ["n"]],
+            batch_format="pandas").iter_batches(batch_format="pandas"):
+        n_total += int(p["n"].sum())
+    if n_total == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype=object),
+                             "b": pd.Series([], dtype=object),
+                             "c_ab": pd.Series([], dtype="int64"),
+                             "score_e4": pd.Series([], dtype="int64")})
+
+    def side(kind: int, rename: dict):
+        return parts.map_batches(
+            lambda d, _k=kind, _r=rename: d[d["kind"] == _k]
+            .groupby(["a", "b"], sort=False)["n"].sum().reset_index()
+            .rename(columns=_r),
+            batch_format="pandas")
+
+    uni_counts = bucketed_groupby(
+        side(0, {"a": "tok"}), "tok",
+        lambda p: p.groupby("tok", sort=False)["n"].sum()
+        .reset_index().rename(columns={"n": "c"})[["tok", "c"]],
+        num_buckets)
+
+    def bi_cut(p: pd.DataFrame) -> pd.DataFrame:
+        g = (p.groupby(["a", "b"], sort=False)["n"].sum()
+             .reset_index().rename(columns={"n": "c_ab"}))
+        return g[g["c_ab"] >= min_count]
+
+    bi_counts = bucketed_groupby(side(1, {}), ["a", "b"], bi_cut,
+                                 num_buckets)
+
+    ua = uni_counts.map_batches(
+        lambda d: d.rename(columns={"tok": "a", "c": "c_a"}),
+        batch_format="pandas")
+    with_a = bucketed_join(
+        bi_counts, ua, on="a",
+        left_schema={"a": "object", "b": "object", "c_ab": "int64"},
+        right_schema={"a": "object", "c_a": "int64"},
+        num_buckets=num_buckets, how="inner")
+    ub = uni_counts.map_batches(
+        lambda d: d.rename(columns={"tok": "b", "c": "c_b"}),
+        batch_format="pandas")
+    scored = bucketed_join(
+        with_a, ub, on="b",
+        left_schema={"a": "object", "b": "object", "c_ab": "int64",
+                     "c_a": "int64"},
+        right_schema={"b": "object", "c_b": "int64"},
+        num_buckets=num_buckets, how="inner")
+
+    def block_topk(d: pd.DataFrame) -> pd.DataFrame:
+        if not len(d):
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object),
+                                 "c_ab": pd.Series([], dtype="int64"),
+                                 "score_e4": pd.Series([], dtype="int64")})
+        score = (d["c_ab"].to_numpy(np.int64) * np.int64(n_total)
+                 * np.int64(10_000)
+                 // (d["c_a"].to_numpy(np.int64)
+                     * d["c_b"].to_numpy(np.int64)))
+        out = pd.DataFrame({"a": d["a"].to_numpy(),
+                            "b": d["b"].to_numpy(),
+                            "c_ab": d["c_ab"].to_numpy(np.int64),
+                            "score_e4": score})
+        return (out.sort_values(["score_e4", "a", "b"],
+                                ascending=[False, True, True],
+                                kind="mergesort").head(k))
+
+    cand = scored.map_batches(block_topk,
+                              batch_format="pandas").to_pandas()
+    return (cand.sort_values(["score_e4", "a", "b"],
+                             ascending=[False, True, True],
+                             kind="mergesort")
+            .head(k).reset_index(drop=True))
+
+
+def collocations_sql(table: str = "documents", k: int = 50,
+                     min_count: int = 5) -> str:
+    """DuckDB oracle matching ``collocations`` bit-for-bit (same
+    integer ratio score, same deterministic tie order)."""
+    tok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    return f"""
+        WITH d AS (SELECT {tok} AS toks FROM {table}),
+        tot AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n FROM d),
+        uni AS (SELECT t AS tok, CAST(COUNT(*) AS BIGINT) AS c
+                FROM d, LATERAL unnest(toks) AS u(t) GROUP BY t),
+        bi AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+               FROM (SELECT unnest(toks[:len(toks) - 1]) AS a,
+                            unnest(toks[2:]) AS b
+                     FROM d WHERE len(toks) > 1)
+               GROUP BY 1, 2 HAVING COUNT(*) >= {min_count})
+        SELECT bi.a, bi.b, bi.c_ab,
+               CAST(bi.c_ab * tot.n * 10000
+                    // (ua.c * ub.c) AS BIGINT) AS score_e4
+        FROM bi, tot
+        JOIN uni ua ON ua.tok = bi.a
+        JOIN uni ub ON ub.tok = bi.b
+        ORDER BY score_e4 DESC, bi.a, bi.b LIMIT {k}"""

@@ -423,6 +423,13 @@ def run_bench() -> dict:
         return _qc(labeled, "label", fit_sample=2048).count()
     timed("quality_classifier", _quality_classifier)
 
+    def _collocations():
+        from automatic_reference_extractor_ray.ops.analytics import (
+            collocations)
+        return len(collocations(read("documents", ["doc_id", "text"]),
+                                k=50, min_count=5))
+    timed("collocations", _collocations)
+
     def _ref_line_classifier():
         from automatic_reference_extractor_ray.config import DEFAULT_CONFIG
         from automatic_reference_extractor_ray.ops.lineclf import (

@@ -1517,3 +1517,32 @@ def test_global_prospects_q22(ray_session):
            .sort_values("n_name", kind="mergesort").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp)
     assert len(exp) > 1 and exp["n_prospects"].sum() > 0
+
+
+def test_collocations_pmi_rank(ray_session):
+    """Planted 'zig zag' collocation: rare tokens that always co-occur
+    outrank frequent-token bigrams; score is the exact integer ratio
+    and the output is deterministic across runs."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.analytics import (
+        collocations)
+
+    rows = []
+    for i in range(40):
+        # common filler: 'the data' everywhere, 'zig zag' in 10 docs
+        txt = "the data flows the data rests"
+        if i % 4 == 0:
+            txt += " zig zag"
+        rows.append({"doc_id": i, "text": txt})
+    docs = rd.from_pandas(pd.DataFrame(rows)).repartition(5)
+    out = collocations(docs, k=10, min_count=5)
+    out2 = collocations(docs, k=10, min_count=5)
+    pd.testing.assert_frame_equal(out, out2)
+    assert out.iloc[0]["a"] == "zig" and out.iloc[0]["b"] == "zag"
+    # exact integer score: c_ab * N * 1e4 // (c_a * c_b)
+    n_total = 40 * 6 + 10 * 2
+    assert out.iloc[0]["score_e4"] == 10 * n_total * 10000 // (10 * 10)
+    # 'the data' appears 80 times but its parts are frequent -> lower
+    td = out[(out["a"] == "the") & (out["b"] == "data")]
+    assert len(td) == 1 and td.iloc[0]["score_e4"] < out.iloc[0]["score_e4"]
