@@ -664,6 +664,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dedup_corpus_keep_best)
         return dedup_corpus_keep_best(_docs_table(sf), tau=JACCARD_TAU)
 
+    def dup_cluster_sizes_q(sf):
+        from automatic_reference_extractor_ray.ops.dedup import (
+            dup_cluster_sizes)
+        return dup_cluster_sizes(_docs_table(sf), tau=JACCARD_TAU)
+
     def scrub_dup_lines_q(sf):
         from automatic_reference_extractor_ray.ops.textstats import (
             scrub_dup_lines)
@@ -1427,6 +1432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": bpe_tokens_q,
         "token_spectrum": token_spectrum_q,
         "collocations": collocations_q,
+        "dup_cluster_sizes": dup_cluster_sizes_q,
         "ref_line_classifier": ref_line_classifier_q,
         "decontaminate_fuzzy": decontaminate_fuzzy_q,
         "dedup_lsh_incremental": dedup_lsh_incremental_q,
@@ -1859,6 +1865,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, component_id,
                    doc_id = component_id AS is_keeper
             FROM comp""",
+        "dup_cluster_sizes": f"""
+            WITH RECURSIVE tok AS (
+              SELECT doc_id, unnest(list_distinct({TOK})) AS token FROM documents),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+              SELECT t1.doc_id AS a, t2.doc_id AS b, COUNT(*) AS i
+              FROM tok t1 JOIN tok t2
+                ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_TAU}),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+            walk(node, label) AS (
+                SELECT doc_id, doc_id FROM documents
+              UNION
+                SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node),
+            comp AS (
+              SELECT node AS doc_id, MIN(label) AS component_id
+              FROM walk GROUP BY node),
+            per_comp AS (
+              SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM comp GROUP BY component_id)
+            SELECT n AS cluster_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters
+            FROM per_comp GROUP BY n ORDER BY n""",
         "dedup_corpus": f"""
             WITH RECURSIVE tok AS (
               SELECT doc_id, unnest(list_distinct({TOK})) AS token FROM documents),

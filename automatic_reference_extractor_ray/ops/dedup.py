@@ -1575,6 +1575,48 @@ def dedup_corpus(docs, pairs=None, tau: float = 0.9,
         num_buckets=num_buckets, how="semi")
 
 
+def dup_cluster_sizes(docs, pairs=None, tau: float = 0.9,
+                      num_buckets: int | None = None) -> pd.DataFrame:
+    """Cluster-size histogram of the near-dup graph — the dedup AUDIT
+    view ("how much of the corpus is clones, and in what shapes"):
+    → pandas (cluster_size, n_clusters), ascending by size.
+    cluster_size 1 counts the singletons; the tail is the clone
+    clusters a removal job will collapse.
+
+    ``pairs`` defaults to exact Jaccard at ``tau`` (the SQL-checkable
+    path); pass any (a, b) pair Dataset to audit a different
+    similarity stage.
+
+    Scale shape: components (two flat bucketed shuffles per round) →
+    per-component sizes via per-batch partials + ONE bounded-bucket
+    sum → size histogram via a second partial+bucketed sum; only the
+    (distinct-size, count) rows — at most O(√pairs) of them — reach
+    the driver."""
+    from .shuffle import bucketed_agg
+
+    if pairs is None:
+        pairs = jaccard_pairs(docs, tau=tau)
+    comp = dedup_components(docs, pairs)
+    size_partials = comp.map_batches(
+        lambda d: d.groupby("component_id", sort=False)
+        .size().reset_index(name="n"),
+        batch_format="pandas")
+    per_comp = bucketed_agg(size_partials, "component_id",
+                            {"n": ("n", "sum")}, num_buckets)
+    hist_partials = per_comp.map_batches(
+        lambda d: d.groupby("n", sort=False)
+        .size().reset_index(name="n_clusters")
+        .rename(columns={"n": "cluster_size"}),
+        batch_format="pandas")
+    hist = bucketed_agg(hist_partials, "cluster_size",
+                        {"n_clusters": ("n_clusters", "sum")},
+                        num_buckets).to_pandas()
+    hist["cluster_size"] = hist["cluster_size"].astype("int64")
+    hist["n_clusters"] = hist["n_clusters"].astype("int64")
+    return (hist.sort_values("cluster_size")
+            .reset_index(drop=True))
+
+
 def dedup_corpus_keep_best(docs, pairs=None, tau: float = 0.9,
                            num_buckets: int | None = None):
     """Near-duplicate removal keeping the BEST copy per cluster, not

@@ -559,3 +559,28 @@ def test_minhash_band_vector_dedup_pairs_distinct():
     out3 = _int_pairs_of_groups(rows(3), ["band", "band_hash"],
                                 band_col="band", allband_col="bhs")
     assert len(out3) == 0
+
+
+def test_dup_cluster_sizes_planted(ray_session):
+    """Planted shapes: 30 singletons + one 4-clone cluster + one
+    3-clone cluster -> histogram {1: 30, 3: 1, 4: 1}."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.dedup import (
+        dup_cluster_sizes)
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    vocab = [f"w{j}" for j in range(500)]
+    rows = []
+    for i in range(30):
+        rows.append({"doc_id": i, "text": " ".join(rng.choice(vocab, 40))})
+    clone_a = " ".join(rng.choice(vocab, 40))
+    for i in range(4):
+        rows.append({"doc_id": 100 + i, "text": clone_a})
+    clone_b = " ".join(rng.choice(vocab, 40))
+    for i in range(3):
+        rows.append({"doc_id": 200 + i, "text": clone_b})
+    docs = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+    hist = dup_cluster_sizes(docs, tau=0.9)
+    got = dict(zip(hist["cluster_size"], hist["n_clusters"]))
+    assert got == {1: 30, 3: 1, 4: 1}
