@@ -485,6 +485,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from automatic_reference_extractor_ray.ops.multimodal import media_features
         return media_features(_media_refs(sf))
 
+    def audio_features_q(sf):
+        # REAL (non-stubbed) multimodal decode: WAV parses with the
+        # stdlib, so this path decodes genuine audio bytes inside the
+        # actor pool (payloads never enter blocks).  Refs derive
+        # deterministically from doc ids; model-free but decode-based
+        # -> rows-only oracle, independent struct-walk re-decode
+        # pinned in tests/test_audio.py
+        from automatic_reference_extractor_ray.ops.audio import (
+            audio_features)
+        refs = _read(sf, "documents", ["doc_id"]).map_batches(
+            lambda b: pd.DataFrame({
+                "audio_ref": [f"synthwav://{int(d)}/4000/8000"
+                              for d in b["doc_id"]]}),
+            batch_format="pandas")
+        return (audio_features(refs).to_pandas()
+                .sort_values("audio_ref").reset_index(drop=True))
+
     def ocr_line_counts_q(sf):
         from automatic_reference_extractor_ray.ops.multimodal import ocr_line_counts
         return ocr_line_counts(_media_refs(sf))
@@ -1434,6 +1451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": collocations_q,
         "dup_cluster_sizes": dup_cluster_sizes_q,
         "ref_line_classifier": ref_line_classifier_q,
+        "audio_features": audio_features_q,
         "decontaminate_fuzzy": decontaminate_fuzzy_q,
         "dedup_lsh_incremental": dedup_lsh_incremental_q,
         "q14_promo": q14_promo_q,

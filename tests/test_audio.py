@@ -1,0 +1,83 @@
+"""Real WAV decode path: stdlib-only independent re-decode pin,
+closed-form feature cases, and the actor-pool contract."""
+
+import struct
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from automatic_reference_extractor_ray.ops.audio import (
+    AudioFeatures, audio_features, synth_wav_bytes, wav_features)
+
+
+def _decode_wav_struct(payload: bytes):
+    """Independent WAV parse: struct-only RIFF walk, no wave/numpy
+    decode (the test's second opinion)."""
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, sz = payload[pos:pos + 4], struct.unpack(
+            "<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            rate = struct.unpack("<I", body[4:8])[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    samples = [struct.unpack("<h", data[i:i + 2])[0]
+               for i in range(0, len(data), 2)]
+    return samples, rate
+
+
+def test_features_match_independent_decode():
+    payload = synth_wav_bytes(seed=11, n_samples=512, sample_rate=8000)
+    got = wav_features(payload)
+    samples, rate = _decode_wav_struct(payload)
+    assert got["sample_rate"] == rate == 8000
+    assert got["n_samples"] == len(samples) == 512
+    rms = (sum(s * s for s in samples) / len(samples)) ** 0.5 / 32768.0
+    assert got["rms_micro"] == int(rms * 1_000_000 + 0.5)
+    zc = sum((samples[i] >= 0) != (samples[i + 1] >= 0)
+             for i in range(len(samples) - 1))
+    assert got["zcr_micro"] == zc * 1_000_000 // (len(samples) - 1)
+    assert got["peak"] == max(abs(s) for s in samples)
+
+
+def test_closed_form_cases():
+    import io
+    import wave
+
+    def wav_of(pcm: np.ndarray) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(1000)
+            w.writeframes(pcm.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    silence = wav_features(wav_of(np.zeros(100)))
+    assert silence["rms_micro"] == 0 and silence["peak"] == 0
+    assert silence["duration_ms"] == 100
+    square = wav_features(wav_of(
+        np.tile([32767, 32767, -32767, -32767], 25)))
+    assert square["peak"] == 32767
+    assert abs(square["rms_micro"] - 1_000_000) <= 31  # 32767/32768
+    # sign flips at every odd adjacent pair: i = 1, 3, ..., 97 -> 49
+    assert square["zcr_micro"] == (49 * 1_000_000) // 99
+
+
+def test_actor_pool_features(ray_session):
+    refs = pd.DataFrame({"audio_ref": [
+        f"synthwav://{s}/4000/8000" for s in range(24)]})
+    out = (audio_features(rd.from_pandas(refs).repartition(3))
+           .to_pandas().sort_values("audio_ref").reset_index(drop=True))
+    assert len(out) == 24
+    assert (out["n_samples"] == 4000).all()
+    assert (out["duration_ms"] == 500).all()
+    assert (out["rms_micro"] > 0).all()
+    # pool result == driver-local compute for one ref
+    one = AudioFeatures()(refs.iloc[:1])
+    row = out[out["audio_ref"] == refs.iloc[0, 0]].iloc[0]
+    assert int(one.iloc[0]["rms_micro"]) == int(row["rms_micro"])
