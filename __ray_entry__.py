@@ -1089,6 +1089,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             read_parquet_clean)
         return extract_main_dataset(read_parquet_clean(f"{d}/pages.parquet"))
 
+    def events_trend_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import (
+            events_trend)
+        return events_trend(_read(sf, "events", ["event_type", "ts"]))
+
     def events_histogram_q(sf):
         from automatic_reference_extractor_ray.ops.analytics import value_histogram
         return value_histogram(_read(sf, "events", ["value"]),
@@ -1474,6 +1479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "main_content": main_content_q,
         "pagerank": pagerank_q,
         "events_histogram": events_histogram_q,
+        "events_trend": events_trend_q,
         "bm25_search": bm25_search_q,
         "q3_shipping": q3_shipping_q,
         "events_window": events_window_q,
@@ -2140,6 +2146,7 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY ROLLUP(n_name, order_year)""",
         "pagerank": _pagerank_sql(),
         "events_histogram": _events_histogram_sql(),
+        "events_trend": __import__("automatic_reference_extractor_ray.ops.relational", fromlist=["events_trend_sql"]).events_trend_sql("events"),
         "events_window": _events_window_sql(),
         "events_high_balance": """
             SELECT event_id, user_id FROM events e

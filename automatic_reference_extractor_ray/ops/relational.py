@@ -543,6 +543,103 @@ def events_hourly(events):
         {"n": ("n", "sum"), "sum_value_c": ("sum_value_c", "sum")})
 
 
+def events_trend(events, num_buckets: int | None = None) -> pd.DataFrame:
+    """Per-type activity trend: exact integer least-squares slope of
+    DAILY event counts over the day index → pandas (event_type,
+    n_days, slope_num, slope_den, slope_micro), event_type ascending.
+
+    The regression points are (epoch_day, count) for days WITH events;
+    slope = (n·Σdc − Σd·Σc) / (n·Σd² − (Σd)²) is carried as the exact
+    int64 numerator/denominator pair plus a floor-divided micro-unit
+    quotient — identical arithmetic in the SQL oracle, no float
+    normal-equation solve on either side.  Types with < 2 distinct
+    days report slope 0/0/0 (deterministic, not NULL).
+
+    Scale shape: per-batch (type, day) count partials → ONE
+    bounded-bucket (type, day) sum (the key set grows with types ×
+    time range, never with event volume) → per-batch moment partials
+    (all moments are linear in the completed day counts) → a ≤ #types
+    driver fold."""
+    from .shuffle import bucketed_agg
+
+    US_PER_DAY = 86_400_000_000
+
+    def day_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        # explicit µs view — pandas may surface the parquet ts as
+        # datetime64[ns] or [us] depending on version
+        us = (df["ts"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        df["day"] = us // US_PER_DAY
+        return (df.groupby(["event_type", "day"], sort=False)
+                .size().reset_index(name="c"))
+
+    per_day = bucketed_agg(
+        events.map_batches(day_partial, batch_format="pyarrow",
+                           batch_size=65536),
+        ["event_type", "day"], {"c": ("c", "sum")}, num_buckets)
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["day"].astype("int64")
+        c = b["c"].astype("int64")
+        g = pd.DataFrame({
+            "event_type": b["event_type"],
+            "n": 1, "sd": d, "sc": c, "sdc": d * c, "sdd": d * d})
+        return (g.groupby("event_type", sort=False)
+                .sum().reset_index())
+
+    acc: dict[str, np.ndarray] = {}
+    for p in per_day.map_batches(
+            moments, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        for row in p.itertuples(index=False):
+            cur = acc.setdefault(
+                row.event_type, np.zeros(5, dtype=np.int64))
+            cur += np.array([row.n, row.sd, row.sc, row.sdc, row.sdd],
+                            dtype=np.int64)
+    rows = []
+    for et in sorted(acc):
+        n, sd, sc, sdc, sdd = (int(v) for v in acc[et])
+        num = n * sdc - sd * sc
+        den = n * sdd - sd * sd
+        # TRUNCATING division (toward zero) — DuckDB's integer `//`
+        # truncates where Python's floors; they differ on negative
+        # slopes by one micro-unit
+        micro = (abs(1_000_000 * num) // den) * \
+            (1 if num >= 0 else -1) if den else 0
+        rows.append((et, n, num if den else 0, den, micro))
+    return pd.DataFrame(rows, columns=[
+        "event_type", "n_days", "slope_num", "slope_den",
+        "slope_micro"]).astype({"n_days": "int64", "slope_num": "int64",
+                                "slope_den": "int64",
+                                "slope_micro": "int64"})
+
+
+def events_trend_sql(table: str = "events") -> str:
+    """DuckDB oracle matching ``events_trend`` bit-for-bit (same
+    integer normal-equation arithmetic, same floor division)."""
+    return f"""
+        WITH pd AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM {table} GROUP BY 1, 2),
+        m AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(day) AS BIGINT) AS sd,
+                 CAST(SUM(c) AS BIGINT) AS sc,
+                 CAST(SUM(day * c) AS BIGINT) AS sdc,
+                 CAST(SUM(day * day) AS BIGINT) AS sdd
+          FROM pd GROUP BY event_type)
+        SELECT event_type, n AS n_days,
+               CASE WHEN n * sdd - sd * sd = 0 THEN 0
+                    ELSE n * sdc - sd * sc END AS slope_num,
+               n * sdd - sd * sd AS slope_den,
+               CASE WHEN n * sdd - sd * sd = 0 THEN 0
+                    ELSE (1000000 * (n * sdc - sd * sc))
+                         // (n * sdd - sd * sd) END AS slope_micro
+        FROM m ORDER BY event_type"""
+
+
 def events_sessions(events, gap_minutes: int = 30):
     """Sessionization: per user, events sorted by ts; a gap > 30 min
     starts a new session → (user_id, n_sessions, n_events).  The
