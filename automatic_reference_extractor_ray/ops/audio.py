@@ -15,6 +15,7 @@ order- and partition-independent:
     rms_micro   — sqrt(mean(x²)) / 32768 in micro-units
     zcr_micro   — zero-crossing fraction in micro-units
     peak        — max |sample| (int)
+    centroid_hz — spectral centroid Σf·|X(f)| / Σ|X(f)| (rfft), int Hz
 
 ``SynthAudioStore`` regenerates deterministic PCM procedurally from
 the ref (seeded sine mix + uniform noise — PCG64, no wall-clock), so
@@ -102,11 +103,16 @@ def wav_features(payload: bytes) -> dict:
     n = len(x)
     if n == 0:
         return {"n_samples": 0, "sample_rate": rate, "duration_ms": 0,
-                "rms_micro": 0, "zcr_micro": 0, "peak": 0}
+                "rms_micro": 0, "zcr_micro": 0, "peak": 0,
+                "centroid_hz": 0}
     xf = x.astype(np.float64)
     rms = float(np.sqrt(np.mean(xf * xf))) / 32768.0
     signs = x >= 0
     zc = int(np.count_nonzero(signs[1:] != signs[:-1]))
+    mag = np.abs(np.fft.rfft(xf))
+    msum = float(mag.sum())
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    centroid = float((freqs * mag).sum() / msum) if msum > 0 else 0.0
     return {
         "n_samples": n,
         "sample_rate": rate,
@@ -114,6 +120,7 @@ def wav_features(payload: bytes) -> dict:
         "rms_micro": int(np.floor(rms * 1_000_000.0 + 0.5)),
         "zcr_micro": zc * 1_000_000 // max(1, n - 1),
         "peak": int(np.max(np.abs(xf))),
+        "centroid_hz": int(np.floor(centroid + 0.5)),
     }
 
 
@@ -130,7 +137,8 @@ class AudioFeatures:
                 for r in batch["audio_ref"]]
         out = pd.DataFrame(rows, columns=["n_samples", "sample_rate",
                                           "duration_ms", "rms_micro",
-                                          "zcr_micro", "peak"])
+                                          "zcr_micro", "peak",
+                                          "centroid_hz"])
         out.insert(0, "audio_ref", batch["audio_ref"].to_numpy())
         for c in out.columns[1:]:
             out[c] = out[c].astype("int64")

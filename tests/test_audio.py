@@ -81,3 +81,21 @@ def test_actor_pool_features(ray_session):
     one = AudioFeatures()(refs.iloc[:1])
     row = out[out["audio_ref"] == refs.iloc[0, 0]].iloc[0]
     assert int(one.iloc[0]["rms_micro"]) == int(row["rms_micro"])
+
+
+def test_spectral_centroid_pure_tone():
+    import io
+    import wave
+
+    rate, n, f0 = 8000, 4096, 1000
+    t = np.arange(n) / rate
+    pcm = (0.8 * 32767 * np.sin(2 * np.pi * f0 * t)).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    got = wav_features(buf.getvalue())
+    # a pure tone's centroid sits at its frequency (leakage ~ a few Hz)
+    assert abs(got["centroid_hz"] - f0) < 25
