@@ -91,6 +91,15 @@ _EXPORTS = {
     "fit_bpe": "ops.bpe",
     "bpe_tokenize": "ops.bpe",
     "token_spectrum": "ops.analytics",
+    "collocations": "ops.analytics",
+    # session-6 additions
+    "dup_cluster_sizes": "ops.dedup",
+    "events_trend": "ops.relational",
+    "ref_line_classifier": "ops.lineclf",
+    "fit_ref_line_model": "ops.lineclf",
+    "score_ref_lines": "ops.lineclf",
+    "audio_features": "ops.audio",
+    "wav_features": "ops.audio",
     # graph
     "pagerank": "ops.graph",
     "synthetic_link_edges": "ops.graph",
