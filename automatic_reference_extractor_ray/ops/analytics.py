@@ -1652,34 +1652,55 @@ def collocations(docs, k: int = 50, min_count: int = 5,
     unigram counts are corpus-vocabulary-sized, never broadcast), and
     the final top-k is the per-block k-candidate cut.  N folds from
     per-batch scalars on the driver (one row per block)."""
-    from collections import Counter
-
     from .shuffle import bucketed_groupby, bucketed_join
 
     def partials(b: pd.DataFrame) -> pd.DataFrame:
-        uni: Counter = Counter()
-        bi: Counter = Counter()
-        total = 0
-        for t in b[text_col]:
-            toks = TOKEN_RE.findall((t or "").lower())
-            total += len(toks)
-            uni.update(toks)
-            bi.update(zip(toks, toks[1:]))
-        rows_a, rows_b, rows_n, rows_kind = [], [], [], []
-        for tok, c in uni.items():
-            rows_a.append(tok); rows_b.append(""); rows_n.append(c)
-            rows_kind.append(0)
-        for (a, bb), c in bi.items():
-            rows_a.append(a); rows_b.append(bb); rows_n.append(c)
-            rows_kind.append(1)
-        # one total-scalar row per batch (kind 2) — N folds driver-side
-        rows_a.append(""); rows_b.append(""); rows_n.append(total)
-        rows_kind.append(2)
+        # vectorized: one C findall per doc, then factorize + bincount
+        # for unigrams and a packed (code_a << 32 | code_b) bincount
+        # for bigrams — no Python loop over tokens
+        tok_lists = [TOKEN_RE.findall((t or "").lower())
+                     for t in b[text_col]]
+        lens = np.fromiter((len(t) for t in tok_lists), np.int64,
+                           len(tok_lists))
+        total = int(lens.sum())
+        flat = np.asarray([t for tl in tok_lists for t in tl],
+                          dtype=object)
+        if not total:
+            return pd.DataFrame({
+                "a": pd.Series([""], dtype=object),
+                "b": pd.Series([""], dtype=object),
+                "n": pd.Series([0], dtype="int64"),
+                "kind": pd.Series([2], dtype="int64")})
+        codes, uniq = pd.factorize(flat, sort=False)
+        uni_n = np.bincount(codes, minlength=len(uniq))
+        # adjacent pairs, masked at document boundaries (empty docs
+        # make boundary indices degenerate — clamp to the pair range)
+        ends = np.cumsum(lens)
+        if total > 1:
+            valid = np.ones(total - 1, dtype=bool)
+            bidx = ends[:-1] - 1
+            bidx = bidx[(bidx >= 0) & (bidx < total - 1)]
+            valid[bidx] = False
+        else:
+            valid = np.zeros(0, dtype=bool)
+        left = codes[:-1][valid]
+        right = codes[1:][valid]
+        packed = (left.astype(np.int64) << 32) | right.astype(np.int64)
+        pu, pc_ = np.unique(packed, return_counts=True)
+        ua = uniq[(pu >> 32).astype(np.int64)]
+        ub = uniq[(pu & 0xFFFFFFFF).astype(np.int64)]
+        n_u, n_b = len(uniq), len(pu)
         return pd.DataFrame({
-            "a": pd.Series(rows_a, dtype=object),
-            "b": pd.Series(rows_b, dtype=object),
-            "n": pd.Series(rows_n, dtype="int64"),
-            "kind": pd.Series(rows_kind, dtype="int64")})
+            "a": pd.Series(np.concatenate([uniq, ua, [""]]),
+                           dtype=object),
+            "b": pd.Series(
+                np.concatenate([np.full(n_u, "", dtype=object), ub,
+                                [""]]), dtype=object),
+            "n": pd.Series(np.concatenate(
+                [uni_n, pc_, [total]]).astype("int64"), dtype="int64"),
+            "kind": pd.Series(np.concatenate(
+                [np.zeros(n_u), np.ones(n_b), [2]]).astype("int64"),
+                dtype="int64")})
 
     parts = docs.map_batches(partials, batch_format="pandas") \
         .materialize()          # feeds three consumers (N, uni, bi)
