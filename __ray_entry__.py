@@ -1454,9 +1454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": bpe_tokens_q,
         "token_spectrum": token_spectrum_q,
         "collocations": collocations_q,
-        "dup_cluster_sizes": dup_cluster_sizes_q,
         "ref_line_classifier": ref_line_classifier_q,
-        "audio_features": audio_features_q,
         "decontaminate_fuzzy": decontaminate_fuzzy_q,
         "dedup_lsh_incremental": dedup_lsh_incremental_q,
         "q14_promo": q14_promo_q,
@@ -1479,7 +1477,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "main_content": main_content_q,
         "pagerank": pagerank_q,
         "events_histogram": events_histogram_q,
-        "events_trend": events_trend_q,
         "bm25_search": bm25_search_q,
         "q3_shipping": q3_shipping_q,
         "events_window": events_window_q,
@@ -1506,9 +1503,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_bloom": decontaminate_bloom_q,
         "extract_fields": extract_fields_q,
         "extract_refs": extract_refs_q,
+        # -- boundary: entries below ride the local + judge gates --
         "top_customers": top_customers_q,
         "dedup_embedding_lsh": dedup_embedding_lsh_q,
-        # -- boundary: entries below ride the local + judge gates --
+        "events_trend": events_trend_q,
+        "dup_cluster_sizes": dup_cluster_sizes_q,
+        "audio_features": audio_features_q,
         "url_normalize": url_normalize_q,
         "domain_counts": domain_counts_q,
         "events_pivot": events_pivot_q,
