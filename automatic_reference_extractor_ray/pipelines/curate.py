@@ -20,12 +20,13 @@ the individually-oracled ops in ``ops/``.
   (``ops.analytics.mixture_sample``);
 - ``keep`` is the conjunction — the rows a training run would read.
 
-Scale shape: three verdict streams (a pure per-row map for
-quality+mix, the gram-postings shuffle inside ``decontaminate``, and
-a content-hash-bucketed survivor pass) union into one
-doc_id-bucketed fold.  Every exchange rides the bounded-bucket
-shuffle; no verdict map, gram set, or id list ever materializes on
-the driver.
+Scale shape: TWO verdict streams (the gram-postings shuffle inside
+``decontaminate``, and a content-hash-bucketed survivor pass whose
+pre-exchange map also computes the per-row quality + mixture
+verdicts — fused so the corpus is read once fewer and the final fold
+moves a third fewer rows) union into one doc_id-bucketed fold.
+Every exchange rides the bounded-bucket shuffle; no verdict map,
+gram set, or id list ever materializes on the driver.
 """
 
 from __future__ import annotations
@@ -67,23 +68,6 @@ def curate_corpus(docs, *, decontam_n: int = 4, train_frac: float = 0.8,
     mix_thr = {k: _hex_threshold(v) for k, v in rates.items()}
     mix_dflt = _hex_threshold(default_rate)
 
-    # stream A: per-row verdicts (quality rules + mixture decision) —
-    # a pure map, no shuffle
-    def row_verdicts(batch: pd.DataFrame) -> pd.DataFrame:
-        train = np.array([_h8(d) < thr_train for d in batch["doc_id"]])
-        qf = quality_filter(batch)
-        mix = np.array([
-            _mix_h8(d, mix_salt) < mix_thr.get(g, mix_dflt)
-            for d, g in zip(batch["doc_id"], batch["lang"])])
-        out = pd.DataFrame({
-            "doc_id": batch["doc_id"].to_numpy(),
-            "keep_quality": qf["keep"].to_numpy().astype(np.int64),
-            "keep_mix": mix.astype(np.int64),
-        })
-        return pad_frame(out[train].reset_index(drop=True), schema)
-
-    stream_a = docs.map_batches(row_verdicts, batch_format="pandas")
-
     # stream B: decontamination verdicts (train vs held-out val+test)
     def tag_decontam(batch: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({
@@ -100,22 +84,39 @@ def curate_corpus(docs, *, decontam_n: int = 4, train_frac: float = 0.8,
 
     # stream C: exact-dedup survivor verdicts — content hash over ALL
     # docs (a train dupe of a held-out doc must lose), verdict rows
-    # emitted for train docs only
+    # emitted for train docs only.  The former stream A (per-row
+    # quality + mixture verdicts, a pure map) is FUSED into this
+    # stream's pre-exchange map: the same pass computes them, they
+    # ride the content-hash exchange as two int columns, and the fold
+    # sees one fewer full read pass and a third fewer rows
+    def hash_and_row_verdicts(batch: pd.DataFrame) -> pd.DataFrame:
+        hashed = add_content_hash(batch)
+        qf = quality_filter(batch)
+        mix = np.array([
+            _mix_h8(d, mix_salt) < mix_thr.get(g, mix_dflt)
+            for d, g in zip(batch["doc_id"], batch["lang"])])
+        hashed["keep_quality"] = qf["keep"].to_numpy().astype(np.int64)
+        hashed["keep_mix"] = mix.astype(np.int64)
+        return hashed
+
     def survivors(pdf: pd.DataFrame) -> pd.DataFrame:
         keeper = pdf.groupby("content_hash")["doc_id"].transform("min")
         out = pd.DataFrame({
             "doc_id": pdf["doc_id"].to_numpy(),
             "keep_dedup": (pdf["doc_id"] == keeper)
             .to_numpy().astype(np.int64),
+            "keep_quality": pdf["keep_quality"].to_numpy(),
+            "keep_mix": pdf["keep_mix"].to_numpy(),
         })
         train = np.array([_h8(d) < thr_train for d in out["doc_id"]])
         return pad_frame(out[train].reset_index(drop=True), schema)
 
     stream_c = bucketed_groupby(
-        docs.map_batches(add_content_hash, batch_format="pandas"),
+        docs.map_batches(hash_and_row_verdicts, batch_format="pandas"),
         "content_hash", survivors, num_buckets)
 
-    # fold: every train doc has exactly one row per stream; padded
+    # fold: every train doc has exactly one B row (decontam) and one
+    # C row (quality+mix+dedup); padded
     # zeros make a plain sum reconstruct each column
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         g = pdf.groupby("doc_id", sort=False)[VERDICT_COLS].sum()
@@ -127,7 +128,7 @@ def curate_corpus(docs, *, decontam_n: int = 4, train_frac: float = 0.8,
                        ).astype(np.int64)
         return out
 
-    return bucketed_groupby(stream_a.union(stream_b, stream_c),
+    return bucketed_groupby(stream_b.union(stream_c),
                             "doc_id", fold, num_buckets)
 
 
