@@ -148,7 +148,8 @@ class AudioFeatures:
 def audio_features(audio_refs_ds, store_spec: str = "synthwav",
                    concurrency=(2, 8), batch_size: int = 64):
     """audio_ref Dataset → (audio_ref, n_samples, sample_rate,
-    duration_ms, rms_micro, zcr_micro, peak) via the actor pool.
+    duration_ms, rms_micro, zcr_micro, peak, centroid_hz) via the
+    actor pool.
     Small batches: each row fans into an in-actor decode whose
     payload is ~100× the ref string — the media batch-size rule."""
     return audio_refs_ds.map_batches(

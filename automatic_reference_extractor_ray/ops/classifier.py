@@ -88,6 +88,43 @@ def _digest(salt: str, v) -> str:
     return hashlib.md5(f"{salt}|{v}".encode("utf-8")).hexdigest()
 
 
+def digest_sample(ds, fit_sample: int, salt: str, key_of, cols,
+                  key_cols=None):
+    """Bounded deterministic sample shared by every model fit: the
+    ``fit_sample`` rows with the smallest ``md5("{salt}|{key}")``
+    digests, pulled to the driver (the ``exact_sample`` rule —
+    uniform, order-independent, corpus-size-independent).
+
+    Two-pass: pass 1 maps over ``key_cols`` (or all of ``cols``) and
+    ships ONLY digests (the exact_sample candidate-prune lesson);
+    pass 2 filters the ≤ fit_sample winners and pulls just those.
+    ``key_of(batch) -> sequence`` yields one digest key per row."""
+
+    def cand(b: pd.DataFrame) -> pd.DataFrame:
+        hs = sorted(_digest(salt, k) for k in key_of(b))[:fit_sample]
+        return pd.DataFrame({"__h": pd.Series(hs, dtype="object")})
+
+    acc: list[str] = []
+    for part in (ds.select_columns(list(key_cols or cols))
+                 .map_batches(cand, batch_format="pandas")
+                 .iter_batches(batch_format="pandas",
+                               batch_size=4096)):
+        acc.extend(part["__h"].tolist())
+        if len(acc) > 4 * fit_sample:
+            acc = sorted(acc)[:fit_sample]
+    if not acc:
+        raise ValueError("digest_sample: empty input dataset")
+    thr = sorted(acc)[:fit_sample][-1]
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[cols].copy()
+        b["__h"] = [_digest(salt, k) for k in key_of(b)]
+        return b[b["__h"] <= thr]
+
+    return (ds.map_batches(keep, batch_format="pandas").to_pandas()
+            .sort_values("__h", kind="mergesort").head(fit_sample))
+
+
 def fit_logreg(ds, label_col: str, text_col: str = "text",
                id_col: str = "doc_id", n_buckets: int = 4096,
                fit_sample: int = 8192, n_iter: int = 500,
@@ -100,37 +137,10 @@ def fit_logreg(ds, label_col: str, text_col: str = "text",
     ``label_col`` must be 0/1 int.  Driver memory: fit_sample texts +
     one dense (fit_sample, n_buckets+1) matrix — bounded at any corpus
     size."""
-    cols = [id_col, text_col, label_col]
-
-    # pass 1 sees ONLY id digests (the exact_sample candidate-prune
-    # lesson: shipping text with every block's candidates would move
-    # blocks × fit_sample documents to the driver); pass 2 filters
-    # the ≤ fit_sample winning rows and pulls just those
-    def cand(b: pd.DataFrame) -> pd.DataFrame:
-        hs = sorted(_digest(salt, v)
-                    for v in b[id_col].tolist())[:fit_sample]
-        return pd.DataFrame({"__h": pd.Series(hs, dtype="object")})
-
-    acc: list[str] = []
-    for part in (ds.select_columns([id_col])
-                 .map_batches(cand, batch_format="pandas")
-                 .iter_batches(batch_format="pandas",
-                               batch_size=4096)):
-        acc.extend(part["__h"].tolist())
-        if len(acc) > 4 * fit_sample:
-            acc = sorted(acc)[:fit_sample]
-    if not acc:
-        raise ValueError("fit_logreg: empty input dataset")
-    acc = sorted(acc)[:fit_sample]
-    thr = acc[-1]
-
-    def keep(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[cols].copy()
-        b["__h"] = [_digest(salt, v) for v in b[id_col].tolist()]
-        return b[b["__h"] <= thr]
-
-    sample = (ds.map_batches(keep, batch_format="pandas").to_pandas()
-              .sort_values("__h", kind="mergesort").head(fit_sample))
+    sample = digest_sample(
+        ds, fit_sample, salt,
+        key_of=lambda b: b[id_col].tolist(),
+        cols=[id_col, text_col, label_col], key_cols=[id_col])
     X = _features(sample[text_col].tolist(), n_buckets)
     y = sample[label_col].to_numpy(dtype=np.float64)
     return LogRegModel(w=_gd_fit(X, y, n_iter, lr, l2),

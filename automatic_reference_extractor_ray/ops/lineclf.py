@@ -130,46 +130,22 @@ def text_doc_lines(units, drop_empty: bool = True):
     return units.map_batches(fn, batch_format="pandas")
 
 
-def _digest(salt: str, v) -> str:
-    return hashlib.md5(f"{salt}|{v}".encode("utf-8")).hexdigest()
-
-
 def fit_ref_line_model(lines, fit_sample: int = 8192,
                        n_iter: int = 400, lr: float = 0.5,
                        l2: float = 1e-6,
                        salt: str = "lineclf") -> RefLineModel:
     """Fit on the ``fit_sample`` lines with the smallest
-    ``md5("{salt}|{doc_id}:{line_no}")`` digests (the bounded
-    deterministic two-pass of ``classifier.fit_logreg``: pass 1 ships
-    only digests, pass 2 pulls just the winners).  Driver memory is
-    ``fit_sample`` rows at any corpus size."""
+    ``md5("{salt}|{doc_id}:{line_no}")`` digests — the shared
+    ``classifier.digest_sample`` bounded two-pass, keyed per LINE.
+    Driver memory is ``fit_sample`` rows at any corpus size."""
+    from .classifier import digest_sample
 
-    def cand(b: pd.DataFrame) -> pd.DataFrame:
-        hs = sorted(_digest(salt, f"{d}:{n}") for d, n in
-                    zip(b["doc_id"], b["line_no"]))[:fit_sample]
-        return pd.DataFrame({"__h": pd.Series(hs, dtype="object")})
-
-    acc: list[str] = []
-    for part in (lines.select_columns(["doc_id", "line_no"])
-                 .map_batches(cand, batch_format="pandas")
-                 .iter_batches(batch_format="pandas",
-                               batch_size=4096)):
-        acc.extend(part["__h"].tolist())
-        if len(acc) > 4 * fit_sample:
-            acc = sorted(acc)[:fit_sample]
-    if not acc:
-        raise ValueError("fit_ref_line_model: empty line dataset")
-    thr = sorted(acc)[:fit_sample][-1]
-
-    def keep(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["__h"] = [_digest(salt, f"{d}:{n}") for d, n in
-                    zip(b["doc_id"], b["line_no"])]
-        return b[b["__h"] <= thr]
-
-    sample = (lines.map_batches(keep, batch_format="pandas")
-              .to_pandas().sort_values("__h", kind="mergesort")
-              .head(fit_sample))
+    sample = digest_sample(
+        lines, fit_sample, salt,
+        key_of=lambda b: [f"{d}:{n}" for d, n in
+                          zip(b["doc_id"], b["line_no"])],
+        cols=["doc_id", "line_no", "text", "label"],
+        key_cols=["doc_id", "line_no"])
     X = line_features(sample["text"])
     y = sample["label"].to_numpy(dtype=np.float64)
     return RefLineModel(w=_gd_fit(X, y, n_iter, lr, l2))
@@ -220,8 +196,12 @@ def ref_line_classifier(units, train_frac_hex: str = "8",
     sees an eval doc or any position/heading signal."""
 
     def side(b: pd.DataFrame, want_fit: bool) -> pd.DataFrame:
-        h = np.array([hashlib.md5(str(d).encode()).hexdigest()[0]
-                      < train_frac_hex for d in b["doc_id"]])
+        # hash each DISTINCT doc once, then broadcast the flag to its
+        # lines (per-line md5 was pure waste — review finding)
+        uniq = pd.unique(b["doc_id"])
+        flag = {d: hashlib.md5(str(d).encode()).hexdigest()[0]
+                < train_frac_hex for d in uniq}
+        h = b["doc_id"].map(flag).to_numpy(dtype=bool)
         return b[h if want_fit else ~h]
 
     lines = text_doc_lines(units).materialize()

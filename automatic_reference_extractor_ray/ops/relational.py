@@ -567,10 +567,13 @@ def events_trend(events, num_buckets: int | None = None) -> pd.DataFrame:
     def day_partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
         # explicit µs view — pandas may surface the parquet ts as
-        # datetime64[ns] or [us] depending on version
+        # datetime64[ns] or [us] depending on version.  TRUNCATING
+        # day quotient (toward zero) to match DuckDB's integer `//`
+        # for pre-1970 timestamps — numpy's floors (review finding)
         us = (df["ts"].to_numpy().astype("datetime64[us]")
               .astype(np.int64))
-        df["day"] = us // US_PER_DAY
+        df["day"] = np.where(us >= 0, us // US_PER_DAY,
+                             -((-us) // US_PER_DAY))
         return (df.groupby(["event_type", "day"], sort=False)
                 .size().reset_index(name="c"))
 
