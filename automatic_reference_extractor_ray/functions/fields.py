@@ -88,8 +88,11 @@ _AUTH = r"(?P<auth>.+?)"
 _MONTHS = ("January", "February", "March", "April", "May", "June", "July",
            "August", "September", "October", "November", "December")
 _MONTH_NUM = {m: i + 1 for i, m in enumerate(_MONTHS)}
-_YEAR = (r"\((?P<year>(?:19|20)\d{2})(?:, (?P<month>" + "|".join(_MONTHS)
-         + r"))?\)\. ")
+# "(n.d.)" — APA's no-date marker — is accepted wherever the
+# APA-family year parenthetical appears; Grobid emits NO date for it,
+# so the mapped date is EMPTY (see _date_of)
+_YEAR = (r"\((?P<year>(?:19|20)\d{2}|n\.d\.)(?:, (?P<month>"
+         + "|".join(_MONTHS) + r"))?\)\. ")
 _TITLE = r"(?P<title>[^.]+)\. "
 
 # T1 journal article: "Last, A. and Last2, B. (1999). Title. Journal, 12(3), 45-67."
@@ -374,9 +377,50 @@ _T27 = re.compile(
     r"^(?P<auth>.+?)\. (?P<title>[^.]+)\. (?P<loc>[^:,.\d]+): "
     r"(?P<publisher>[^,]+), (?P<year>(?:19|20)\d{2})\.$")
 
+# T45 newspaper article: 'Miller, Anne. "Archive floods downtown."
+# City Herald, 12 Mar. 1999, p. 4.' — MLA-ish day-month-year date
+# (the full when value maps: "1999-03-12"), quoted title (in-quote
+# period drops, the T26 rule), the paper is the level-j journal, a
+# from-only page.
+_MON3 = ("Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug",
+         "Sep", "Oct", "Nov", "Dec")
+_MON3_NUM = {m: i + 1 for i, m in enumerate(_MON3)}
+_T45 = re.compile(
+    r"^(?P<auth>.+?)\. \"(?P<title>[^\"]+)\.\" (?P<journal>[^,]+), "
+    r"(?P<day>\d{1,2}) (?P<mon3>" + "|".join(_MON3) + r")\. "
+    r"(?P<year>(?:19|20)\d{2}), p\. (?P<p1>\d+)\.$")
+
+# T46 software citation: "Python Software Foundation. (2020). Python
+# (Version 3.8) [Computer software]. https://python.org" — the org
+# author renders as ONE EMPTY author string (the T25 orgName
+# convention), the version parenthetical and [Computer software]
+# marker are TEI <note>/<edition> material the mapper never reads,
+# and the trailing URL is a <ptr> (drops).
+_T46 = re.compile(
+    rf"^(?P<org>[^.]+?)\. {_YEAR}(?P<title>[^.(]+?) "
+    r"\(Version [^)]+\) \[Computer software\]\."
+    r"(?: https?://\S+)?$")
+
+# T47 patent: "Miller, A. (1999). Document scanner assembly. U.S.
+# Patent No. 5,123,456." — the patent number is an <idno>, never read
+# by the mapper (the T19 DOI rule); mapped fields are T13's.
+_T47 = re.compile(
+    rf"^{_AUTH} {_YEAR}{_TITLE}U\.S\. Patent No\. [\d,]+\.$")
+
+# T48 numbered report: "Miller, A. (1999). Survey results (Report
+# No. 42). Data Press." — the report-number parenthetical is
+# TEI <note> material (the T32 edition rule) and drops; the
+# city-less imprint maps publisher only.
+_T48 = re.compile(
+    rf"^{_AUTH} {_YEAR}(?P<title>[^.(]+?) \(Report No\. \d+\)\. "
+    r"(?P<publisher>[^,.]+)\.$")
+
 _YEAR_RE = re.compile(r"\b(19|20)\d{2}\b")
 # full when-style year-month value (a T10 date piece in a <cite> twin)
-_YM_RE = re.compile(r"\b(?:19|20)\d{2}-(?:0[1-9]|1[0-2])\b")
+# full when-style date in free-form text: prefer day precision over
+# month over bare year (the T45 newspaper dates added day precision)
+_YM_RE = re.compile(
+    r"\b(?:19|20)\d{2}-(?:0[1-9]|1[0-2])(?:-(?:0[1-9]|[12]\d|3[01]))?\b")
 # a bare surname: one capitalized word, >= 2 letters (an initial like
 # "A" must NOT count — "Miller, A" is an inverted name, not a list)
 _SURNAME_RE = re.compile(r"[A-Z][A-Za-z]+")
@@ -484,7 +528,10 @@ def _split_authors(auth: str) -> list[str]:
 def _date_of(m: re.Match) -> str:
     """Mapped date for a template match: the full when-style value —
     "1999-03" when the citation carries a month (the reference stores
-    date@when verbatim, imgProcessing.py:889-894), else the year."""
+    date@when verbatim, imgProcessing.py:889-894), else the year;
+    APA "(n.d.)" maps to the EMPTY date (Grobid emits no <date>)."""
+    if m["year"] == "n.d.":
+        return ""
     month = m.groupdict().get("month")
     if month:
         return f"{m['year']}-{_MONTH_NUM[month]:02d}"
@@ -737,6 +784,34 @@ def _match_templates(s: str) -> tuple[dict[str, object], str]:
                  date=m["year"], publisher=m["publisher"],
                  location=m["loc"])
         return f, "T27"
+    m = _T45.match(s)
+    if m:
+        # newspaper: day-month-year maps as the full when value;
+        # quoted title's in-quote period drops; from-only page
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 journal=m["journal"],
+                 date=(f"{m['year']}-{_MON3_NUM[m['mon3']]:02d}"
+                       f"-{int(m['day']):02d}"),
+                 pages=m["p1"])
+        return f, "T45"
+    m = _T46.match(s)
+    if m:
+        # software: org author -> ONE EMPTY author (T25 convention);
+        # version/[Computer software]/URL all drop
+        f.update(authors=[""], title=m["title"], date=_date_of(m))
+        return f, "T46"
+    m = _T47.match(s)
+    if m:
+        # patent: the number is an <idno>, dropped; T13 fields
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 date=_date_of(m))
+        return f, "T47"
+    m = _T48.match(s)
+    if m:
+        # numbered report: parenthetical drops, city-less imprint
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 date=_date_of(m), publisher=m["publisher"])
+        return f, "T48"
     m = _T13.match(s)
     if m:
         # monograph without imprint: title level m fallback

@@ -2,7 +2,7 @@
 fields (FIXTURES.md: "templated citations … so the field tokenizer has
 deterministic ground truth").
 
-Forty-three template shapes (T1-T43 below), matching the shapes
+Forty-eight template shapes (T1-T48 below), matching the shapes
 ``functions.fields.parse_fields`` recognizes exactly; the generator
 returns both the raw string and the expected BibStructured field dict,
 so field extraction has an analytic oracle that never calls the parser.
@@ -48,6 +48,10 @@ FORENAMES = ["Anne", "Ben", "Chika", "Dana", "Emil", "Farah",
 # exactly like the ASCII pool (\w-class patterns, not [A-Z])
 SURNAMES_INTL = ["Müller", "Señor", "O'Brien", "Çelik", "Dvořák",
                  "François", "Søndergaard", "Ångström"]
+NEWSPAPERS = ["City Herald", "Daily Record", "Morning Post",
+              "Evening Standard", "The Archive Times"]
+MON3 = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug",
+        "Sep", "Oct", "Nov", "Dec"]
 BODY_WORDS = ["the", "proposed", "approach", "combines", "structural",
               "features", "and", "lexical", "cues", "to", "identify",
               "reference", "regions", "within", "noisy", "page", "text",
@@ -214,8 +218,24 @@ def gen_citation(rng: np.random.Generator) -> Citation:
            — the ampersand list COMBINED with the bare doi.org tail
            (no "doi:" prefix, no "Retrieved from"); identifier
            strips, mapped fields are T15's
+      44   T44 APA no-date ("Miller, A. (n.d.). ...") over the
+           T1/T2/T13 shapes — Grobid emits NO <date> for "(n.d.)",
+           so the mapped date is EMPTY
+      45   T45 newspaper ('Miller, Anne. "Title." City Herald,
+           12 Mar. 1999, p. 4.') — single inverted full name stays
+           ONE author, in-quote title period drops, the
+           day-month-year maps as the FULL when value "1999-03-12",
+           from-only page
+      46   T46 software ("Org. (2020). Name (Version 3.8) [Computer
+           software].") — orgName author → ONE EMPTY author string
+           (T25), version/marker/URL tail all drop
+      47   T47 patent ("... Title. U.S. Patent No. 5,123,456.") —
+           the number is an <idno> (never read), mapped fields T13's
+      48   T48 numbered report ("... Title (Report No. 42).
+           Publisher.") — parenthetical drops (TEI <note>),
+           city-less imprint maps publisher only
     """
-    t = int(rng.integers(0, 44))
+    t = int(rng.integers(0, 49))
     year = str(int(rng.integers(1970, 2024)))
     title = _title(rng)
     f = dict(EMPTY_FIELDS)
@@ -625,6 +645,67 @@ def gen_citation(rng: np.random.Generator) -> Citation:
                f"{vol}({iss}), {p1}-{p2}.")
         f.update(authors=authors, journal=journal, volume=vol, issue=iss,
                  pages=f"{p1}-{p2}")
+    elif t == 44:  # T44 APA no-date "(n.d.)" over the T1/T2/T13
+        # shapes — Grobid emits NO <date> for it, so truth date is
+        # EMPTY (functions.fields._date_of)
+        sub = int(rng.integers(0, 3))
+        authors = [_author(rng)]
+        f["date"] = ""
+        if sub == 0:
+            journal, vol, iss, p1 = journal_bits()
+            p2 = p1 + int(rng.integers(2, 40))
+            raw = (f"{authors[0]} (n.d.). {title}. {journal}, "
+                   f"{vol}({iss}), {p1}-{p2}.")
+            f.update(authors=authors, journal=journal, volume=vol,
+                     issue=iss, pages=f"{p1}-{p2}")
+        elif sub == 1:
+            publisher = _pick(rng, PUBLISHERS)
+            city = _pick(rng, CITIES)
+            raw = f"{authors[0]} (n.d.). {title}. {publisher}, {city}."
+            f.update(authors=authors, publisher=publisher,
+                     location=city)
+        else:
+            raw = f"{authors[0]} (n.d.). {title}."
+            f.update(authors=authors)
+    elif t == 45:  # T45 newspaper article — single inverted full
+        # name (stays ONE author, the T26 convention), quoted title
+        # (in-quote period drops), day-month-year maps as the FULL
+        # when value, from-only page
+        author = f"{_pick(rng, SURNAMES)}, {_pick(rng, FORENAMES)}"
+        paper = _pick(rng, NEWSPAPERS)
+        day = int(rng.integers(1, 29))
+        mi = int(rng.integers(0, 12))
+        p1 = int(rng.integers(1, 40))
+        raw = (f"{author}. \"{title}.\" {paper}, {day} {MON3[mi]}. "
+               f"{year}, p. {p1}.")
+        f.update(authors=[author], journal=paper,
+                 date=f"{year}-{mi + 1:02d}-{day:02d}", pages=str(p1))
+    elif t == 46:  # T46 software citation — org author renders as ONE
+        # EMPTY author (the T25 orgName convention); the version
+        # parenthetical and [Computer software] marker drop
+        org = _pick(rng, ORGS)
+        name = _pick(rng, TITLE_WORDS).capitalize()
+        ver = f"{int(rng.integers(1, 9))}.{int(rng.integers(0, 12))}"
+        raw = (f"{org}. ({year}). {name} (Version {ver}) "
+               f"[Computer software].")
+        f.update(authors=[""], title=name)
+    elif t == 47:  # T47 patent — the number is an <idno>, dropped
+        # like a DOI tail; mapped fields are T13's
+        authors = [_author(rng)]
+        num = (f"{int(rng.integers(4, 9))},"
+               f"{int(rng.integers(0, 999)):03d},"
+               f"{int(rng.integers(0, 999)):03d}")
+        raw = f"{authors[0]} ({year}). {title}. U.S. Patent No. {num}."
+        f.update(authors=authors)
+    elif t == 48:  # T48 numbered report — the report-number
+        # parenthetical drops (TEI <note>), city-less imprint maps
+        # publisher only
+        authors = [_author(rng)]
+        publisher = _pick(rng, PUBLISHERS)
+        rn = int(rng.integers(1, 99))
+        raw = (f"{authors[0]} ({year}). {title} (Report No. {rn}). "
+               f"{publisher}.")
+        f.update(authors=authors, publisher=publisher)
     elif t == 43:  # T43 APA 7 — T15's ampersand author list with the
         # bare "https://doi.org/10.N/..." tail (no "doi:" prefix, no
         # "Retrieved from"): the modern APA DOI form; the identifier

@@ -609,3 +609,40 @@ def test_t39_acm_reference_format():
     assert f["publisher"] == "Academic Press"
     assert f["location"] == "Boston"
     assert f["date"] == "1999" and f["pages"] == "45-67"
+
+
+def test_t44_t48_hand_cases():
+    from automatic_reference_extractor_ray.functions.fields import (
+        parse_fields_ex)
+
+    f, sh = parse_fields_ex(
+        "Miller, A. (n.d.). Graph methods. Journal of Tests, "
+        "12(3), 45-67.")
+    assert sh == "T1" and f["date"] == "" and f["journal"] == \
+        "Journal of Tests"
+    f, sh = parse_fields_ex(
+        'Miller, Anne. "Archive floods downtown." City Herald, '
+        "12 Mar. 1999, p. 4.")
+    assert sh == "T45"
+    assert f["authors"] == ["Miller, Anne"]      # ONE author
+    assert f["date"] == "1999-03-12" and f["pages"] == "4"
+    assert f["journal"] == "City Herald"
+    f, sh = parse_fields_ex(
+        "Python Software Foundation. (2020). Python (Version 3.8) "
+        "[Computer software]. https://python.org")
+    assert sh == "T46" and f["authors"] == [""] and f["title"] == \
+        "Python" and f["date"] == "2020"
+    # URL-less form parses identically
+    f2, sh2 = parse_fields_ex(
+        "Python Software Foundation. (2020). Python (Version 3.8) "
+        "[Computer software].")
+    assert sh2 == "T46" and f2 == f
+    f, sh = parse_fields_ex(
+        "Miller, A. (1999). Document scanner assembly. "
+        "U.S. Patent No. 5,123,456.")
+    assert sh == "T47" and f["title"] == "Document scanner assembly"
+    f, sh = parse_fields_ex(
+        "Miller, A. (1999). Survey results (Report No. 42). "
+        "Data Press.")
+    assert sh == "T48" and f["publisher"] == "Data Press"
+    assert f["title"] == "Survey results"
