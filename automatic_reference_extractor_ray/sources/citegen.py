@@ -47,7 +47,8 @@ FORENAMES = ["Anne", "Ben", "Chika", "Dana", "Emil", "Farah",
 # proof: every name regex in functions/fields.py must treat these
 # exactly like the ASCII pool (\w-class patterns, not [A-Z])
 SURNAMES_INTL = ["Müller", "Señor", "O'Brien", "Çelik", "Dvořák",
-                 "François", "Søndergaard", "Ångström"]
+                 "François", "Søndergaard", "Ångström",
+                 "Иванов", "田中"]  # Cyrillic + CJK: full-Unicode pin
 NEWSPAPERS = ["City Herald", "Daily Record", "Morning Post",
               "Evening Standard", "The Archive Times"]
 MON3 = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug",
