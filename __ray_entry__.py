@@ -686,6 +686,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dup_cluster_sizes)
         return dup_cluster_sizes(_docs_table(sf), tau=JACCARD_TAU)
 
+    def dedup_minhash_shingles_q(sf):
+        # character-shingle MinHash (Broder's unit): catches typo'd
+        # near-clones word tokens miss; approximate banding ->
+        # rows-only oracle, brute-force shingle-Jaccard pytest pin
+        from automatic_reference_extractor_ray.ops.dedup import (
+            minhash_lsh_pairs)
+        return minhash_lsh_pairs(_docs_table(sf), tau=JACCARD_TAU,
+                                 tokenizer="shingles")
+
     def scrub_dup_lines_q(sf):
         from automatic_reference_extractor_ray.ops.textstats import (
             scrub_dup_lines)
@@ -1511,6 +1520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trend": events_trend_q,
         "dup_cluster_sizes": dup_cluster_sizes_q,
         "audio_features": audio_features_q,
+        "dedup_minhash_shingles": dedup_minhash_shingles_q,
         "url_normalize": url_normalize_q,
         "domain_counts": domain_counts_q,
         "events_pivot": events_pivot_q,

@@ -48,6 +48,19 @@ def _token_set(s: str) -> list[str]:
     return sorted(set(TOKEN_RE.findall((s or "").lower())))
 
 
+def _shingle_set(s: str, k: int = 5) -> list[str]:
+    """Character k-shingles of the whitespace-normalized lowercase
+    text — the literature-standard MinHash unit (Broder 1997) that
+    catches char-level edits word tokens miss.  Internal spaces
+    become "_" so shingles stay whitespace-free and ride the same
+    space-joined verify payload as word tokens."""
+    t = " ".join((s or "").lower().split())
+    if len(t) < k:
+        return [t.replace(" ", "_")] if t else []
+    return sorted({t[i:i + k].replace(" ", "_")
+                   for i in range(len(t) - k + 1)})
+
+
 # ----------------------------------------------------------- exact dedup
 
 def add_content_hash(batch: pd.DataFrame) -> pd.DataFrame:
@@ -460,12 +473,12 @@ def grouped_pair_join(cands, side, key_dtype: str, payload_cols: list[str],
             .map_groups(verify_bucket, batch_format="pandas"))
 
 
-def _toks_side(docs, coded: bool):
+def _toks_side(docs, coded: bool, tok_fn=_token_set):
     """Per-document payload table for Jaccard verification:
     (key, [doc,] toks) — key is the int64 doc code when ``coded``."""
 
     def fn(b: pd.DataFrame) -> pd.DataFrame:
-        toks = [" ".join(_token_set(t)) for t in b["text"]]
+        toks = [" ".join(tok_fn(t)) for t in b["text"]]
         if coded:
             return pd.DataFrame({
                 "key": np.fromiter((_doc_code(d) for d in b["doc_id"]),
@@ -485,7 +498,8 @@ _VERIFY_VEC_VOCAB_CAP = 4096
 
 def _verify_pairs_join(cands, docs, tau: float, coded: bool,
                        num_buckets: int | None = None,
-                       dedupe_pairs: bool = False):
+                       dedupe_pairs: bool = False,
+                       tok_fn=_token_set):
     """Exact-Jaccard verification of candidate (a, b) pairs via the
     grouped pair join (no driver broadcast, no per-pair payload
     duplication).  Emits (a, b) doc ids, a < b."""
@@ -578,8 +592,9 @@ def _verify_pairs_join(cands, docs, tau: float, coded: bool,
                 kept.append((a, b))
         return emit(np.array(kept).reshape(-1, 2), amap, bmap)
 
-    return grouped_pair_join(cands, _toks_side(docs, coded), kd, payload,
-                             verify, num_buckets, dedupe_pairs=dedupe_pairs)
+    return grouped_pair_join(cands, _toks_side(docs, coded, tok_fn),
+                             kd, payload, verify, num_buckets,
+                             dedupe_pairs=dedupe_pairs)
 
 
 # --------------------------------------------- exact jaccard (prefix filter)
@@ -904,7 +919,8 @@ def _int_pairs_of_groups(pdf: pd.DataFrame, group_keys: list[str],
                          "b": np.concatenate(outs_b)}).drop_duplicates()
 
 
-def minhash_lsh_pairs(docs, tau: float = 0.9, cand_filter=None):
+def minhash_lsh_pairs(docs, tau: float = 0.9, cand_filter=None,
+                      tokenizer: str = "words", shingle_k: int = 5):
     """MinHash+LSH near-dup pairs, verified with exact Jaccard:
 
       signature per doc (map_batches) → (band, band_hash, doc-code)
@@ -932,11 +948,20 @@ def minhash_lsh_pairs(docs, tau: float = 0.9, cand_filter=None):
     callers who only care about a subset of pairs (e.g. cross-corpus
     contamination) use it to keep in-corpus candidate volume off the
     all-to-all entirely.
+
+    ``tokenizer="shingles"`` switches the MinHash unit from word
+    tokens to character ``shingle_k``-grams (Broder's original unit):
+    char-level edits cost ~k shingles out of hundreds instead of a
+    whole token out of tens, so typo'd near-clones that word tokens
+    miss still pair.  Signatures AND the exact-Jaccard verify use the
+    same unit.
     """
     raw_int_ids = _doc_key_dtype(docs) == "int64"
+    tok_fn = (_token_set if tokenizer == "words"
+              else (lambda t: _shingle_set(t, shingle_k)))
 
     def signatures(batch: pd.DataFrame) -> pd.DataFrame:
-        token_lists = [_token_set(t) for t in batch["text"]]
+        token_lists = [tok_fn(t) for t in batch["text"]]
         sigs = batch_minhash_signatures(token_lists)     # (n, 64)
         bh = batch_band_hashes(sigs)                     # (n, B)
         if raw_int_ids:
@@ -972,7 +997,7 @@ def minhash_lsh_pairs(docs, tau: float = 0.9, cand_filter=None):
     # payload only, pairs emitted as-is); else verify + decode via the
     # doc payload riding the coded join
     return _verify_pairs_join(cands, docs, tau, coded=not raw_int_ids,
-                              dedupe_pairs=True)
+                              dedupe_pairs=True, tok_fn=tok_fn)
 
 
 # --------------------------------------------------------------- SimHash

@@ -584,3 +584,49 @@ def test_dup_cluster_sizes_planted(ray_session):
     hist = dup_cluster_sizes(docs, tau=0.9)
     got = dict(zip(hist["cluster_size"], hist["n_clusters"]))
     assert got == {1: 30, 3: 1, 4: 1}
+
+
+def test_minhash_shingle_mode_catches_char_edits(ray_session):
+    """Character-shingle tokenizer: typo'd near-clones whose WORD
+    Jaccard falls below tau still pair under shingles (each typo
+    costs k shingles out of hundreds but a whole token out of few);
+    verified pairs match the brute-force shingle-Jaccard truth."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.dedup import (
+        _shingle_set, minhash_lsh_pairs)
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    vocab = [f"wordtoken{j:04d}" for j in range(300)]   # 13-char words
+    rows = []
+    for i in range(20):
+        words = list(rng.choice(vocab, 30))
+        rows.append({"doc_id": 2 * i, "text": " ".join(words)})
+        # typo every sixth word (5 of 30): word Jaccard 25/35 ≈ 0.71
+        # (< tau) but each typo only costs ~7 of ~390 shingles, so
+        # shingle Jaccard stays ~0.84 (≥ tau)
+        typo = [w[:-1] + "x" if j % 6 == 0 else w
+                for j, w in enumerate(words)]
+        rows.append({"doc_id": 2 * i + 1, "text": " ".join(typo)})
+    docs = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+
+    got = {(r["a"], r["b"]) for r in minhash_lsh_pairs(
+        docs, tau=0.75, tokenizer="shingles", shingle_k=5).take_all()}
+
+    # brute-force shingle-Jaccard truth
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    want = set()
+    ids = sorted(texts)
+    sets = {d: set(_shingle_set(texts[d], 5)) for d in ids}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter / (len(sets[a]) + len(sets[b]) - inter) >= 0.75:
+                want.add((a, b))
+    assert got <= want                       # verification is exact
+    assert len(want) >= 15                   # the planted pairs exist
+    assert len(got) >= 0.9 * len(want)       # banding recall
+    # word mode misses them (each typo kills a whole token)
+    got_words = {(r["a"], r["b"]) for r in minhash_lsh_pairs(
+        docs, tau=0.75).take_all()}
+    assert len(got_words & want) < len(want) / 2
