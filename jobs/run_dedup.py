@@ -6,6 +6,8 @@
         --out /data/deduped --method jaccard --tau 0.9
 
 ``--method`` picks the pair stage: ``jaccard`` (exact, SQL-checkable),
+``shingles`` (MinHash over character k-grams — catches typo'd
+near-clones word tokens miss),
 ``minhash`` (LSH candidates + exact verify — the cheap web-scale
 default), ``simhash`` or ``embedding`` isn't offered here because the
 documents table carries no vectors; wire ``dedup_corpus(pairs=...)``
@@ -46,7 +48,8 @@ def main() -> int:
                     help="documents parquet (doc_id, text) or a testdata "
                          "sf directory")
     ap.add_argument("--out", required=True)
-    ap.add_argument("--method", choices=("jaccard", "minhash"),
+    ap.add_argument("--method",
+                    choices=("jaccard", "minhash", "shingles"),
                     default="minhash")
     ap.add_argument("--tau", type=float, default=0.9)
     ap.add_argument("--shards", type=int, default=64,
@@ -69,7 +72,14 @@ def main() -> int:
     t0 = time.perf_counter()
     docs = docs_factory(args.input)
     n_in = docs.count()
-    pair_fn = jaccard_pairs if args.method == "jaccard" else minhash_lsh_pairs
+    if args.method == "jaccard":
+        pair_fn = jaccard_pairs
+    elif args.method == "shingles":
+        def pair_fn(docs, tau):
+            return minhash_lsh_pairs(docs, tau=tau,
+                                     tokenizer="shingles")
+    else:
+        pair_fn = minhash_lsh_pairs
     kept = dedup_corpus(docs, pairs=pair_fn(docs, tau=args.tau))
 
     shards = args.shards
