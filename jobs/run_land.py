@@ -51,6 +51,10 @@ def main() -> int:
     ap.add_argument("--index-parts", type=int, default=64)
     ap.add_argument("--no-append", action="store_true",
                     help="dry-run: verdicts + output, index untouched")
+    ap.add_argument("--compact", action="store_true",
+                    help="merge the LSH index's small parquet files "
+                         "after the append (repeated landings "
+                         "fragment the band partitions)")
     ap.add_argument("--method", choices=["exact", "lsh"],
                     default="exact",
                     help="exact: content-hash index (state/hash_index);"
@@ -135,8 +139,10 @@ def main() -> int:
     if not args.no_append and args.method == "lsh":
         # fold surviving docs' band rows in AFTER the data publish
         from automatic_reference_extractor_ray.state.lsh_index import (
-            append_to_lsh_index)
+            append_to_lsh_index, compact_lsh_index)
         append_to_lsh_index(survivors, args.index)
+        if args.compact:
+            compact_lsh_index(args.index)
     elif not args.no_append:
         # fold survivors into the index AFTER the data publish
         from automatic_reference_extractor_ray.state.hash_index import (

@@ -1546,3 +1546,47 @@ def test_collocations_pmi_rank(ray_session):
     # 'the data' appears 80 times but its parts are frequent -> lower
     td = out[(out["a"] == "the") & (out["b"] == "data")]
     assert len(td) == 1 and td.iloc[0]["score_e4"] < out.iloc[0]["score_e4"]
+
+
+def test_collocations_property_random_corpora(ray_session):
+    """Property: on random corpora the distributed op equals an
+    independent pure-Python PMI-rank reference (exact integer score,
+    same tie order)."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.analytics import (
+        TOKEN_RE, collocations)
+
+    for seed in (1, 7, 23):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        vocab = [f"t{j}" for j in range(int(rng.integers(5, 40)))]
+        rows = []
+        for i in range(int(rng.integers(5, 60))):
+            n = int(rng.integers(0, 30))
+            rows.append({"doc_id": i,
+                         "text": " ".join(rng.choice(vocab, n))})
+        docs = rd.from_pandas(pd.DataFrame(rows)).repartition(3)
+        k, mc = 15, 2
+        got = collocations(docs, k=k, min_count=mc)
+
+        uni, bi, total = Counter(), Counter(), 0
+        for r in rows:
+            toks = TOKEN_RE.findall(r["text"].lower())
+            total += len(toks)
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+        ref = []
+        for (a, b), c in bi.items():
+            if c < mc:
+                continue
+            ref.append((a, b, c, c * total * 10_000
+                        // (uni[a] * uni[b])))
+        ref.sort(key=lambda r: (-r[3], r[0], r[1]))
+        want = pd.DataFrame(ref[:k], columns=["a", "b", "c_ab",
+                                              "score_e4"])
+        want["c_ab"] = want["c_ab"].astype("int64")
+        want["score_e4"] = want["score_e4"].astype("int64")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True))
