@@ -144,8 +144,32 @@ def decontaminate_fuzzy(train, eval_docs, tau: float = 0.8,
         b_in = np.isin(p["b"].to_numpy(), ev)
         return p[a_in | b_in]
 
+    # band-exchange prune: a (band, hash) group without an eval
+    # member can only yield train–train pairs, which cross_only drops
+    # anyway — so train signature rows outside the EVAL band-hash set
+    # (benchmark-sized: n_eval × 12 int64s, broadcast like the id
+    # set) never leave their block.  At corpus scale this shrinks the
+    # band all-to-all from O(corpus × bands) to the colliding sliver.
+    def eval_bhs(b: pd.DataFrame) -> pd.DataFrame:
+        sigs = batch_minhash_signatures(
+            [_token_set(t) for t in b["text"]])
+        return pd.DataFrame({"bh": batch_band_hashes(sigs).reshape(-1)})
+
+    ebh: set = set()
+    for part in eval_docs.map_batches(
+            eval_bhs, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        ebh.update(part["bh"].tolist())
+    ebh_arr = np.fromiter(ebh, np.int64, len(ebh))
+    ebh_arr.sort()
+    bref = ray.put(ebh_arr)
+
+    def band_keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[np.isin(df["band_hash"].to_numpy(), ray.get(bref))]
+
     pairs = minhash_lsh_pairs(train.union(eval_docs), tau=tau,
-                              cand_filter=cross_only)
+                              cand_filter=cross_only,
+                              band_filter=band_keep)
 
     # classify in workers: ship only contaminated train ids driver-ward
     eref = ray.put(eval_ids)
@@ -920,7 +944,8 @@ def _int_pairs_of_groups(pdf: pd.DataFrame, group_keys: list[str],
 
 
 def minhash_lsh_pairs(docs, tau: float = 0.9, cand_filter=None,
-                      tokenizer: str = "words", shingle_k: int = 5):
+                      tokenizer: str = "words", shingle_k: int = 5,
+                      band_filter=None):
     """MinHash+LSH near-dup pairs, verified with exact Jaccard:
 
       signature per doc (map_batches) → (band, band_hash, doc-code)
@@ -955,6 +980,15 @@ def minhash_lsh_pairs(docs, tau: float = 0.9, cand_filter=None,
     whole token out of tens, so typo'd near-clones that word tokens
     miss still pair.  Signatures AND the exact-Jaccard verify use the
     same unit.
+
+    ``band_filter`` (optional, pandas map over the (band, band_hash,
+    h, bhs) signature rows) prunes rows BEFORE the band exchange —
+    the strongest lever a subset-seeking caller has: a group can only
+    emit pairs among its surviving rows, so e.g. keeping only rows
+    whose band_hash collides with a broadcast benchmark-side hash set
+    shrinks the all-to-all from O(corpus × bands) to the colliding
+    sliver.  Dropping rows can only REMOVE candidate pairs; callers
+    must ensure the pairs they care about keep both members.
     """
     raw_int_ids = _doc_key_dtype(docs) == "int64"
     tok_fn = (_token_set if tokenizer == "words"
@@ -982,6 +1016,8 @@ def minhash_lsh_pairs(docs, tau: float = 0.9, cand_filter=None,
             "bhs": np.repeat(blobs, LSH_BANDS)})
 
     bands = docs.map_batches(signatures, batch_format="pandas")
+    if band_filter is not None:
+        bands = bands.map_batches(band_filter, batch_format="pandas")
     # pairs leave their FIRST matching band only (see
     # _int_pairs_of_groups band_col/allband_col) — the verify exchange
     # moves each candidate once, not once per matching band; the
