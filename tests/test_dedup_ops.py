@@ -630,3 +630,48 @@ def test_minhash_shingle_mode_catches_char_edits(ray_session):
     got_words = {(r["a"], r["b"]) for r in minhash_lsh_pairs(
         docs, tau=0.75).take_all()}
     assert len(got_words & want) < len(want) / 2
+
+
+def test_fuzzy_decontam_band_prune_identity(ray_session):
+    """The eval-collision band prune must be invisible in the output:
+    verdicts with the pruned path equal a reference computed from the
+    UNPRUNED pair set (random corpus with planted leaks)."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.dedup import (
+        decontaminate_fuzzy, minhash_lsh_pairs)
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    vocab = [f"tok{j}" for j in range(400)]
+    train_rows, eval_rows = [], []
+    for i in range(40):
+        words = list(rng.choice(vocab, 50))
+        train_rows.append({"doc_id": i, "text": " ".join(words)})
+        if i % 8 == 0:   # planted leak: eval doc near-clones train doc
+            leaked = words[:-1] + ["extraword"]
+            eval_rows.append({"doc_id": 1000 + i,
+                              "text": " ".join(leaked)})
+    for i in range(10):  # clean eval docs
+        eval_rows.append({"doc_id": 2000 + i,
+                          "text": " ".join(rng.choice(vocab, 50))})
+    train = rd.from_pandas(pd.DataFrame(train_rows)).repartition(4)
+    evald = rd.from_pandas(pd.DataFrame(eval_rows)).repartition(2)
+
+    got = (decontaminate_fuzzy(train, evald, tau=0.8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    # reference: unpruned union pairs -> contaminated train ids
+    pairs = minhash_lsh_pairs(train.union(evald), tau=0.8).to_pandas()
+    eval_ids = {r["doc_id"] for r in eval_rows}
+    bad = set()
+    for a, b in zip(pairs["a"], pairs["b"]):
+        if (a in eval_ids) != (b in eval_ids):
+            bad.add(a if b in eval_ids else b)
+    want = pd.DataFrame({
+        "doc_id": [r["doc_id"] for r in train_rows],
+        "keep": [0 if r["doc_id"] in bad else 1 for r in train_rows],
+    }).sort_values("doc_id").reset_index(drop=True)
+    got["doc_id"] = got["doc_id"].astype("int64")
+    got["keep"] = got["keep"].astype("int64")
+    pd.testing.assert_frame_equal(got, want.astype("int64"))
+    assert (got["keep"] == 0).sum() == 5     # the planted leaks
