@@ -89,7 +89,8 @@ def exact_dedup(docs):
 
 
 def decontaminate_fuzzy(train, eval_docs, tau: float = 0.8,
-                        num_buckets: int | None = None):
+                        num_buckets: int | None = None,
+                        tokenizer: str = "words", shingle_k: int = 5):
     """Fuzzy benchmark decontamination: drop TRAIN documents that are
     NEAR-duplicates of any eval document (``ops/textstats.
     decontaminate`` catches verbatim n-gram overlap; paraphrased or
@@ -113,6 +114,12 @@ def decontaminate_fuzzy(train, eval_docs, tau: float = 0.8,
     problems; a salted anti join is the drop-in escape hatch).
     """
     import ray
+
+    # eval_docs is consumed three times below (id collect, band-hash
+    # collect, and inside train.union(eval_docs)); pin the (benchmark-
+    # sized) pipeline once so an expensive upstream isn't re-executed
+    # per consumer.
+    eval_docs = eval_docs.materialize()
 
     eval_ids = set()
     for row in eval_docs.map_batches(
@@ -150,9 +157,15 @@ def decontaminate_fuzzy(train, eval_docs, tau: float = 0.8,
     # (benchmark-sized: n_eval × 12 int64s, broadcast like the id
     # set) never leave their block.  At corpus scale this shrinks the
     # band all-to-all from O(corpus × bands) to the colliding sliver.
+    # the band-hash pass MUST tokenize exactly like minhash_lsh_pairs
+    # below, or the prune silently drops every cross pair — derive
+    # tok_fn from the same (tokenizer, shingle_k) args we forward.
+    tok_fn = (_token_set if tokenizer == "words"
+              else (lambda t: _shingle_set(t, shingle_k)))
+
     def eval_bhs(b: pd.DataFrame) -> pd.DataFrame:
         sigs = batch_minhash_signatures(
-            [_token_set(t) for t in b["text"]])
+            [tok_fn(t) for t in b["text"]])
         return pd.DataFrame({"bh": batch_band_hashes(sigs).reshape(-1)})
 
     ebh: set = set()
@@ -168,6 +181,7 @@ def decontaminate_fuzzy(train, eval_docs, tau: float = 0.8,
         return df[np.isin(df["band_hash"].to_numpy(), ray.get(bref))]
 
     pairs = minhash_lsh_pairs(train.union(eval_docs), tau=tau,
+                              tokenizer=tokenizer, shingle_k=shingle_k,
                               cand_filter=cross_only,
                               band_filter=band_keep)
 

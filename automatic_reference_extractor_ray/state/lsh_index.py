@@ -109,13 +109,37 @@ def _compact_dir(d: str, target_bytes: int) -> int:
     silently delete its rows — found by review).  Crash
     mid-compaction (only possible on a LIVE index via append-path
     compaction — the build compacts inside its unpublished tmp dir)
-    can leave a merged file alongside not-yet-deleted originals:
-    duplicate index rows, which the landing verify tolerates (a base
-    row can only re-set the same match flag)."""
+    is healed by a per-output INPUT MANIFEST, published before the
+    merged file: the next compaction of the dir replays any manifest
+    whose output exists (deleting listed leftover inputs — the rows
+    live on in the merged file) and discards any whose output never
+    published — so a crash between ``os.replace`` and the input
+    removals costs transient duplicate rows (tolerated by the landing
+    verify: a base row can only re-set the same match flag), never
+    permanent index bloat."""
     import uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    # heal prior crashes: replay / discard leftover manifests
+    for junk in [f for f in os.listdir(d)
+                 if f.endswith(".inputs.json.tmp")]:
+        os.remove(os.path.join(d, junk))
+    for mf in [f for f in sorted(os.listdir(d))
+               if f.endswith(".inputs.json")]:
+        mpath = os.path.join(d, mf)
+        out = os.path.join(d, mf[:-len(".inputs.json")] + ".parquet")
+        if os.path.exists(out):           # merge published → drop inputs
+            with open(mpath) as fh:
+                for name in json.load(fh):
+                    leftover = os.path.join(d, name)
+                    if os.path.exists(leftover):
+                        os.remove(leftover)
+        else:                             # merge never published
+            if os.path.exists(out + ".tmp"):
+                os.remove(out + ".tmp")
+        os.remove(mpath)
 
     files = [os.path.join(d, f) for f in sorted(os.listdir(d))
              if f.endswith(".parquet")]
@@ -138,10 +162,18 @@ def _compact_dir(d: str, target_bytes: int) -> int:
             continue
         tbl = pa.concat_tables([pq.read_table(f) for f in r])
         out = os.path.join(d, f"compact-{uuid.uuid4().hex}.parquet")
+        # manifest first (fsync'd by close), merged file second, input
+        # removals third, manifest removal last — every crash point
+        # replays cleanly (see docstring)
+        manifest = out[:-len(".parquet")] + ".inputs.json"
+        with open(manifest + ".tmp", "w") as fh:
+            json.dump([os.path.basename(f) for f in r], fh)
+        os.replace(manifest + ".tmp", manifest)
         pq.write_table(tbl, out + ".tmp")
         os.replace(out + ".tmp", out)
         for f in r:
             os.remove(f)
+        os.remove(manifest)
         merged += len(r)
     return merged
 

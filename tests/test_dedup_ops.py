@@ -207,6 +207,16 @@ def test_decontaminate_fuzzy_near_dups(ray_session):
         assert v[i] == 1, i
     assert len(v) == 15
 
+    # tokenizer='shingles' must forward into the eval band-hash prune
+    # too — a words-mode prune against shingle-mode bands would drop
+    # every cross pair and report zero contamination (found by review)
+    vs = (decontaminate_fuzzy(rd.from_pandas(train).repartition(3),
+                              rd.from_pandas(evald), tau=0.9,
+                              tokenizer="shingles")
+          .to_pandas().set_index("doc_id")["keep"])
+    assert (vs[list(range(5))] == 0).all()
+    assert (vs[list(range(5, 15))] == 1).all()
+
 
 def test_merge_corpora_priority(ray_session):
     """Priority union: the same content in several corpora survives

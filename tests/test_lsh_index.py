@@ -143,3 +143,59 @@ def test_recompaction_keeps_prior_compact_rows(ray_session, tmp_path):
     assert rows() == n1          # nothing lost
     compact_lsh_index(idx)       # idempotent re-run
     assert rows() == n1
+
+
+def test_compaction_crash_replay(ray_session, tmp_path):
+    """A crash between publishing a compact-* file and deleting its
+    inputs leaves duplicate rows; the NEXT compaction must replay the
+    input manifest and drop the leftovers instead of re-merging them
+    forever (unbounded bloat — found by review)."""
+    import glob
+    import json as _json
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.state.lsh_index import (
+        append_to_lsh_index, compact_lsh_index)
+
+    idx = str(tmp_path / "idx")
+    build_lsh_index(rd.from_pandas(_base()).repartition(4), idx,
+                    num_parts=2)
+
+    def rows() -> int:
+        return sum(pq.read_metadata(f).num_rows for f in
+                   glob.glob(idx + "/band=*/part=*/*.parquet"))
+
+    n0 = rows()
+    # simulate the crash in one partition dir: merge two files into a
+    # compact output + manifest but "crash" before removing the inputs
+    d = sorted(glob.glob(idx + "/band=*/part=*"))[0]
+    append_to_lsh_index(
+        rd.from_pandas(pd.DataFrame({
+            "doc_id": np.arange(600, 610, dtype="int64"),
+            "text": [_text(9500 + i) for i in range(10)]})), idx)
+    n1 = rows()
+    files = sorted(glob.glob(d + "/*.parquet"))
+    assert len(files) >= 2
+    victims = files[:2]
+    import pyarrow as pa
+    merged = pa.concat_tables([pq.read_table(f) for f in victims])
+    out = os.path.join(d, "compact-deadbeef.parquet")
+    with open(out[:-len(".parquet")] + ".inputs.json", "w") as fh:
+        _json.dump([os.path.basename(f) for f in victims], fh)
+    pq.write_table(merged, out)
+    dup_rows = merged.num_rows
+    assert rows() == n1 + dup_rows          # duplicates present
+
+    compact_lsh_index(idx)                  # heal pass
+    assert rows() == n1                     # duplicates gone, none lost
+    assert not glob.glob(idx + "/band=*/part=*/*.inputs.json*")
+
+    # orphan manifest with NO published output: discarded harmlessly
+    with open(os.path.join(d, "compact-0badf00d.inputs.json"),
+              "w") as fh:
+        _json.dump(["never-written.parquet"], fh)
+    compact_lsh_index(idx)
+    assert rows() == n1
+    assert not glob.glob(idx + "/band=*/part=*/*.inputs.json*")
