@@ -1139,6 +1139,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return user_window_functions(
             _read(sf, "events", ["user_id", "ts", "event_id", "value"]))
 
+    def events_window_chunked_q(sf):
+        # the hot-key escape hatch: (user_id, time-chunk) exchange +
+        # carried prefix state; same oracle as events_window
+        from automatic_reference_extractor_ray.ops.relational import (
+            user_window_functions)
+        return user_window_functions(
+            _read(sf, "events", ["user_id", "ts", "event_id", "value"]),
+            chunk_days=7)
+
+    def user_journeys_chunked_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import (
+            user_journeys)
+        return user_journeys(
+            _read(sf, "events",
+                  ["user_id", "ts", "event_id", "event_type"]),
+            chunk_days=7)
+
     def events_high_balance_q(sf):
         # bloom-prefiltered exact semi join: events of users whose
         # customer record has a high balance — the sketch drops ~80%
@@ -1450,6 +1467,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ≤ 1 round stale.
     return {
         # -- NEW this round (never driver-checked) --
+        "events_window_chunked": events_window_chunked_q,
+        "user_journeys_chunked": user_journeys_chunked_q,
         "collapse_lines": collapse_lines_q,
         "contamination_report": contamination_report_q,
         "temperature_sample": temperature_sample_q,
@@ -2119,6 +2138,13 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>'
                               ORDER BY ts, event_id) AS journey
             FROM events GROUP BY user_id""",
+        "user_journeys_chunked": """
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   string_agg(event_type, '>'
+                              ORDER BY ts, event_id) AS journey
+            FROM events GROUP BY user_id""",
+        "events_window_chunked": _events_window_sql(),
         "profile_events": _profile_events_sql(),
         "corpus_diff": _corpus_diff_sql(),
         "url_normalize": _url_norm_sql(),

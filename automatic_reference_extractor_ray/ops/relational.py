@@ -708,21 +708,29 @@ def events_pivot_sql(table: str = "events") -> str:
     return f"SELECT event_type, {cols} FROM {table} GROUP BY event_type"
 
 
-def user_journeys(events, sep: str = ">", max_events: int = 0):
+def user_journeys(events, sep: str = ">", max_events: int = 0,
+                  chunk_days: int | None = None,
+                  num_buckets: int | None = None):
     """Ordered collect (SQL ``string_agg(... ORDER BY ...)`` /
     ``collect_list``): per user, the event-type sequence joined by
     ``sep`` in (ts, event_id) order → (user_id, n_events, journey).
     The sequence-mining prep step (funnel inputs, next-event models).
 
     ``max_events`` > 0 truncates each journey to its first k events
-    (the bounded form for power users); 0 keeps everything — then one
-    user's full journey must fit a bucket row, the same partitioning
-    assumption as the other per-user folds (salt or truncate hot
-    users past that).
+    (the bounded form for power users); 0 keeps everything.
 
     Scale shape: one bounded-bucket shuffle on user_id; per bucket a
     single vectorized lexsort + groupby-join (no Python loop over
-    users)."""
+    users).  ``chunk_days`` is the HOT-KEY escape hatch: with it set,
+    the event exchange is keyed (user_id, time-chunk) so a supernode
+    user's raw events never co-locate; per-chunk journey PARTIALS
+    (already ``sep``-joined, and truncated against the carried
+    prefix COUNT when ``max_events`` caps the journey) are all that
+    reach the final per-user fold — see ``_user_journeys_chunked``.
+    """
+    if chunk_days is not None:
+        return _user_journeys_chunked(events, sep, max_events,
+                                      chunk_days, num_buckets)
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["user_id", "ts", "event_id"],
@@ -739,7 +747,140 @@ def user_journeys(events, sep: str = ">", max_events: int = 0):
     return bucketed_groupby(
         events.select_columns(["user_id", "ts", "event_id",
                                "event_type"]),
-        "user_id", fold)
+        "user_id", fold, num_buckets)
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _chunk_prep(events, span_us: int, value: bool):
+    """(user_id, chunk, ts_us, event_id, …) event rows + the per-
+    (user, chunk) summary partials both chunked window ops need.
+    Returns (event_rows_fn_input_cols, partials) — partials carry
+    n (count), and with ``value`` also s (Σ value_c) and last_ts."""
+    cols = ["user_id", "ts", "event_id"] + (
+        ["value"] if value else ["event_type"])
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        ts_us = (df["ts"].astype("datetime64[us]").astype("int64")
+                 .to_numpy())
+        out = {"user_id": df["user_id"].astype("int64"),
+               "chunk": ts_us // span_us,
+               "ts_us": ts_us,
+               "event_id": df["event_id"].astype("int64")}
+        if value:
+            out["value_c"] = np.round(
+                df["value"].to_numpy() * 100).astype("int64")
+        else:
+            out["event_type"] = df["event_type"].astype(object)
+        return pd.DataFrame(out)
+
+    ev = events.select_columns(cols).map_batches(
+        prep, batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        ts_us = (df["ts"].astype("datetime64[us]").astype("int64")
+                 .to_numpy())
+        t = pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                          "chunk": ts_us // span_us,
+                          "ts_us": ts_us})
+        if value:
+            t["value_c"] = np.round(
+                df["value"].to_numpy() * 100).astype("int64")
+            g = t.groupby(["user_id", "chunk"], sort=False).agg(
+                n=("ts_us", "size"), s=("value_c", "sum"),
+                last_ts=("ts_us", "max")).reset_index()
+        else:
+            g = t.groupby(["user_id", "chunk"], sort=False).agg(
+                n=("ts_us", "size")).reset_index()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    parts = events.select_columns(
+        ["user_id", "ts"] + (["value"] if value else [])).map_batches(
+        partial, batch_format="pyarrow")
+    return ev, parts
+
+
+def _user_journeys_chunked(events, sep, max_events, chunk_days,
+                           num_buckets):
+    """Hot-key form of ``user_journeys``: events exchange keyed
+    (user_id, time-chunk); the carried state per chunk is the COUNT
+    of the user's events in earlier chunks (exclusive prefix over a
+    chunk-summary exchange that moves one row per (user, chunk), not
+    per event), which both truncates against ``max_events`` and lets
+    every chunk emit its journey PARTIAL independently; the final
+    per-user fold concatenates ~n_chunks short strings."""
+    from .shuffle import (bucketed_groupby, pad_frame,
+                          typed_empty_if_blank)
+
+    span_us = int(chunk_days) * _US_PER_DAY
+    ev, parts = _chunk_prep(events, span_us, value=False)
+
+    SCHEMA = {"user_id": "int64", "chunk": "int64", "side": "int8",
+              "ts_us": "int64", "event_id": "int64",
+              "event_type": "object", "n_before": "int64"}
+
+    def prefixes(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = (pdf.groupby(["user_id", "chunk"], sort=False)
+             .agg(n=("n", "sum")).reset_index()
+             .sort_values(["user_id", "chunk"], kind="mergesort"))
+        gu = g.groupby("user_id", sort=False)
+        g["n_before"] = (gu["n"].cumsum() - g["n"]).astype("int64")
+        if max_events > 0:        # fully-truncated chunks: prunable
+            g = g[g["n_before"] < max_events]
+        g = g.assign(side=np.ones(len(g), np.int8))
+        return pad_frame(g[["user_id", "chunk", "side", "n_before"]],
+                         SCHEMA)
+
+    pref = bucketed_groupby(parts, "user_id", prefixes, num_buckets)
+    evt = ev.map_batches(
+        lambda df: pad_frame(df.assign(
+            side=np.zeros(len(df), np.int8)), SCHEMA),
+        batch_format="pandas")
+
+    PART_EMPTY = pd.DataFrame({
+        "user_id": pd.Series([], dtype="int64"),
+        "chunk": pd.Series([], dtype="int64"),
+        "n_local": pd.Series([], dtype="int64"),
+        "part": pd.Series([], dtype=object)})
+
+    def chunk_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        e = pdf[pdf["side"] == 0]
+        if e.empty:
+            return typed_empty_if_blank(PART_EMPTY)
+        p = pdf.loc[pdf["side"] == 1,
+                    ["user_id", "chunk", "n_before"]]
+        e = e.drop(columns=["n_before"]).merge(
+            p, on=["user_id", "chunk"], how="inner")
+        if e.empty:               # chunk pruned by max_events
+            return typed_empty_if_blank(PART_EMPTY)
+        e = e.sort_values(["user_id", "chunk", "ts_us", "event_id"],
+                          kind="mergesort")
+        g = e.groupby(["user_id", "chunk"], sort=False)
+        if max_events > 0:
+            e = e[(g.cumcount() + e["n_before"]) < max_events]
+            g = e.groupby(["user_id", "chunk"], sort=False)
+        out = g.agg(n_local=("event_id", "size")).reset_index()
+        out["part"] = g["event_type"].agg(sep.join).to_numpy()
+        out["n_local"] = out["n_local"].astype("int64")
+        return typed_empty_if_blank(
+            out[["user_id", "chunk", "n_local", "part"]])
+
+    chunked = bucketed_groupby(evt.union(pref), ["user_id", "chunk"],
+                               chunk_fold, num_buckets)
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "chunk"], kind="mergesort")
+        g = pdf.groupby("user_id", sort=False)
+        out = g.agg(n_events=("n_local", "sum")).reset_index()
+        out["journey"] = g["part"].agg(sep.join).to_numpy()
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "n_events", "journey"]]
+
+    return bucketed_groupby(chunked, "user_id", final, num_buckets)
 
 
 def events_asof_orders(events, orders):
@@ -912,7 +1053,8 @@ def bloom_semi_join(left, right, on: str,
     return exact.union(definite)
 
 
-def user_window_functions(events, num_buckets: int | None = None):
+def user_window_functions(events, num_buckets: int | None = None,
+                          chunk_days: int | None = None):
     """Per-user window functions over the event stream — running sum,
     previous-event lag, and row number — i.e. the SQL
 
@@ -921,15 +1063,21 @@ def user_window_functions(events, num_buckets: int | None = None):
         ROW_NUMBER()  OVER (...)
 
     shape Ray Data has no primitive for.  The partition key (user_id)
-    is the distribution key: ONE bounded-bucket shuffle lands each
-    user's events whole in one bucket, where the ordered scan runs as
-    vectorized pandas group ops (cumsum / shift / cumcount) — never a
-    global sort, never per-row Python.  Skew note: a window partitioned
-    by a hot key (one user = half the corpus) cannot be split without
-    changing semantics — the frame is sequential — so the bucket holds
-    that user's whole slice by design; the mitigation at 100 TB is
-    key-range chunking with carried prefix state, which ``global_rank``
-    (ops/analytics.py) demonstrates for the ORDER-BY-value case.
+    is the distribution key: by default ONE bounded-bucket shuffle
+    lands each user's events whole in one bucket, where the ordered
+    scan runs as vectorized pandas group ops (cumsum / shift /
+    cumcount) — never a global sort, never per-row Python.
+
+    ``chunk_days`` is the HOT-KEY escape hatch for supernode users
+    (one user = half the corpus): the exchange is keyed
+    (user_id, time-chunk) so no bucket ever holds a hot user whole,
+    and the sequential frame is stitched back with carried prefix
+    state — per chunk, the count / Σcents / last-ts of the user's
+    earlier chunks, computed from per-(user, chunk) summary rows
+    (one row per chunk, not per event) exchanged separately — the
+    same carried-prefix pattern ``global_rank`` (ops/analytics.py)
+    uses for the ORDER-BY-value case.  Output is bit-identical to
+    the default path (pytest-pinned against the SQL oracle).
 
     → Dataset (event_id, user_id, seq, cum_value_c, delta_us):
     ``seq`` 1-based per user, ``delta_us`` microseconds since the
@@ -937,6 +1085,9 @@ def user_window_functions(events, num_buckets: int | None = None):
     cents running total.
     """
     from .shuffle import bucketed_groupby
+
+    if chunk_days is not None:
+        return _user_windows_chunked(events, chunk_days, num_buckets)
 
     def windows(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["user_id", "ts", "event_id"],
@@ -958,6 +1109,82 @@ def user_window_functions(events, num_buckets: int | None = None):
     return bucketed_groupby(
         events.select_columns(["user_id", "ts", "event_id", "value"]),
         "user_id", windows, num_buckets)
+
+
+def _user_windows_chunked(events, chunk_days, num_buckets):
+    """Hot-key form of ``user_window_functions`` (see its docstring):
+    events exchange keyed (user_id, time-chunk); carried prefix state
+    (n_before, s_before, prev_ts) rides one summary row per
+    (user, chunk) through a separate small exchange and is unioned
+    into the event buckets, where each chunk finishes its slice of
+    the sequential frame independently."""
+    from .shuffle import (bucketed_groupby, pad_frame,
+                          typed_empty_if_blank)
+
+    span_us = int(chunk_days) * _US_PER_DAY
+    ev, parts = _chunk_prep(events, span_us, value=True)
+
+    SCHEMA = {"user_id": "int64", "chunk": "int64", "side": "int8",
+              "ts_us": "int64", "event_id": "int64",
+              "value_c": "int64", "n_before": "int64",
+              "s_before": "int64", "prev_ts": "int64"}
+
+    def prefixes(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = (pdf.groupby(["user_id", "chunk"], sort=False)
+             .agg(n=("n", "sum"), s=("s", "sum"),
+                  last_ts=("last_ts", "max")).reset_index()
+             .sort_values(["user_id", "chunk"], kind="mergesort"))
+        gu = g.groupby("user_id", sort=False)
+        g["n_before"] = (gu["n"].cumsum() - g["n"]).astype("int64")
+        g["s_before"] = (gu["s"].cumsum() - g["s"]).astype("int64")
+        g["prev_ts"] = (gu["last_ts"].shift().fillna(-1)
+                        .astype("int64"))
+        g = g.assign(side=np.ones(len(g), np.int8))
+        return pad_frame(
+            g[["user_id", "chunk", "side", "n_before", "s_before",
+               "prev_ts"]], SCHEMA)
+
+    pref = bucketed_groupby(parts, "user_id", prefixes, num_buckets)
+    evt = ev.map_batches(
+        lambda df: pad_frame(df.assign(
+            side=np.zeros(len(df), np.int8)), SCHEMA),
+        batch_format="pandas")
+
+    EMPTY = pd.DataFrame({
+        "event_id": pd.Series([], dtype="int64"),
+        "user_id": pd.Series([], dtype="int64"),
+        "seq": pd.Series([], dtype="int64"),
+        "cum_value_c": pd.Series([], dtype="int64"),
+        "delta_us": pd.Series([], dtype="int64")})
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        e = pdf[pdf["side"] == 0]
+        if e.empty:
+            return EMPTY
+        p = pdf.loc[pdf["side"] == 1,
+                    ["user_id", "chunk", "n_before", "s_before",
+                     "prev_ts"]]
+        e = (e.drop(columns=["n_before", "s_before", "prev_ts"])
+             .merge(p, on=["user_id", "chunk"], how="inner")
+             .sort_values(["user_id", "chunk", "ts_us", "event_id"],
+                          kind="mergesort"))
+        g = e.groupby(["user_id", "chunk"], sort=False)
+        prev = g["ts_us"].shift()
+        first = prev.isna().to_numpy()
+        prev = prev.fillna(0).astype("int64").to_numpy()
+        prev[first] = e["prev_ts"].to_numpy()[first]
+        delta = e["ts_us"].to_numpy() - prev
+        delta[first & (e["prev_ts"].to_numpy() < 0)] = -1
+        return pd.DataFrame({
+            "event_id": e["event_id"].astype("int64"),
+            "user_id": e["user_id"].astype("int64"),
+            "seq": (g.cumcount() + 1 + e["n_before"]).astype("int64"),
+            "cum_value_c": (g["value_c"].cumsum()
+                            + e["s_before"]).astype("int64"),
+            "delta_us": delta.astype("int64")})
+
+    return bucketed_groupby(evt.union(pref), ["user_id", "chunk"],
+                            fold, num_buckets)
 
 
 USER_WINDOW_SQL = """

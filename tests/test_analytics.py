@@ -1590,3 +1590,101 @@ def test_collocations_property_random_corpora(ray_session):
         want["score_e4"] = want["score_e4"].astype("int64")
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True))
+
+
+def test_user_windows_chunked_supernode(ray_session):
+    """The hot-key escape hatch (chunk_days): a supernode user holding
+    half the corpus is split across time chunks — the exchange never
+    co-locates the user whole — and the carried prefix state stitches
+    the sequential frame back BIT-EXACT vs the SQL oracle and the
+    default path."""
+    import duckdb
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.relational import (
+        USER_WINDOW_SQL, user_window_functions)
+
+    rng = np.random.Generator(np.random.PCG64(42))
+    n = 1200
+    hot = rng.random(n) < 0.5                 # user 7 = half the events
+    user = np.where(hot, 7, rng.integers(100, 160, n)).astype("int64")
+    # 60 days of activity -> chunk_days=7 spreads user 7 over ~9 chunks
+    ts = (pd.Timestamp("2024-01-01").value // 1000
+          + rng.integers(0, 60 * 86_400_000_000, n))
+    # plant exact-ts ties (event_id breaks them) incl. across chunks
+    ts[10] = ts[11]
+    events = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "user_id": user,
+        "ts": pd.to_datetime(ts, unit="us").astype("datetime64[us]"),
+        "value": np.round(rng.random(n) * 50, 2),
+    })
+    chunked = (user_window_functions(
+        rd.from_pandas(events).repartition(5), num_buckets=7,
+        chunk_days=7)
+        .to_pandas().sort_values("event_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", events)
+    oracle = (con.execute(USER_WINDOW_SQL).fetchdf()
+              .sort_values("event_id").reset_index(drop=True))
+    cols = ["event_id", "user_id", "seq", "cum_value_c", "delta_us"]
+    pd.testing.assert_frame_equal(chunked[cols], oracle[cols])
+    default = (user_window_functions(
+        rd.from_pandas(events).repartition(5), num_buckets=7)
+        .to_pandas().sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(chunked[cols], default[cols])
+    # the hatch really splits the hot user: >1 distinct chunk
+    hot_ts = events.loc[events["user_id"] == 7, "ts"]
+    hot_chunks = (hot_ts.astype("datetime64[us]").astype("int64")
+                  // (7 * 86_400_000_000)).nunique()
+    assert hot_chunks > 5
+
+
+def test_user_journeys_chunked_supernode(ray_session):
+    """Chunked user_journeys: per-chunk journey partials + carried
+    prefix counts reproduce the default path and the SQL string_agg,
+    including max_events truncation (later chunks prune entirely)."""
+    import duckdb
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.relational import (
+        user_journeys)
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    n = 800
+    hot = rng.random(n) < 0.5
+    user = np.where(hot, 3, rng.integers(50, 90, n)).astype("int64")
+    ts = (pd.Timestamp("2024-03-01").value // 1000
+          + rng.integers(0, 40 * 86_400_000_000, n))
+    events = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "user_id": user,
+        "ts": pd.to_datetime(ts, unit="us").astype("datetime64[us]"),
+        "event_type": rng.choice(["a", "b", "c", "d"], n),
+    })
+    con = duckdb.connect()
+    con.register("events", events)
+    oracle = (con.execute("""
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               string_agg(event_type, '>' ORDER BY ts, event_id)
+                 AS journey
+        FROM events GROUP BY user_id""").fetchdf()
+        .sort_values("user_id").reset_index(drop=True))
+    got = (user_journeys(rd.from_pandas(events).repartition(4),
+                         chunk_days=5, num_buckets=7)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["user_id", "n_events", "journey"]],
+        oracle[["user_id", "n_events", "journey"]])
+    # truncated form matches the default path exactly
+    for k in (1, 7):
+        d = (user_journeys(rd.from_pandas(events), max_events=k)
+             .to_pandas().sort_values("user_id")
+             .reset_index(drop=True))
+        c = (user_journeys(rd.from_pandas(events), max_events=k,
+                           chunk_days=5, num_buckets=6)
+             .to_pandas().sort_values("user_id")
+             .reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            c[["user_id", "n_events", "journey"]],
+            d[["user_id", "n_events", "journey"]])
