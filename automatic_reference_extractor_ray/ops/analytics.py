@@ -1646,13 +1646,17 @@ def collocations(docs, k: int = 50, min_count: int = 5,
     switch the score to HUGEINT/object (documented tradeoff).
 
     Scale shape: per-batch unigram + bigram Counter partials (a doc's
-    adjacency never crosses batches, so partials sum exactly), two
-    bounded-bucket aggregates, bigrams below ``min_count`` drop
-    BEFORE the two count-attach joins (token-keyed bucketed joins —
-    unigram counts are corpus-vocabulary-sized, never broadcast), and
-    the final top-k is the per-block k-candidate cut.  N folds from
-    per-batch scalars on the driver (one row per block)."""
-    from .shuffle import bucketed_groupby, bucketed_join
+    adjacency never crosses batches, so partials sum exactly), then
+    exactly TWO bounded-bucket exchanges — the aggregates and the
+    count-attach joins are FUSED: exchange A is keyed by the FIRST
+    token, so each bucket finalizes its unigram counts AND its bigram
+    counts (cut at ``min_count``) and attaches ``c_a`` in place;
+    exchange B re-keys the surviving bigrams by the SECOND token
+    alongside the unigram count rows, attaching ``c_b`` and cutting
+    per-bucket top-k candidates.  Unigram counts are corpus-
+    vocabulary-sized and never broadcast; N folds from per-batch
+    scalars on the driver (one row per block)."""
+    from .shuffle import bucketed_groupby, pad_frame, typed_empty_if_blank
 
     def partials(b: pd.DataFrame) -> pd.DataFrame:
         # vectorized: one C findall per doc, then factorize + bincount
@@ -1716,51 +1720,60 @@ def collocations(docs, k: int = 50, min_count: int = 5,
                              "c_ab": pd.Series([], dtype="int64"),
                              "score_e4": pd.Series([], dtype="int64")})
 
-    def side(kind: int, rename: dict):
-        return parts.map_batches(
-            lambda d, _k=kind, _r=rename: d[d["kind"] == _k]
-            .groupby(["a", "b"], sort=False)["n"].sum().reset_index()
-            .rename(columns=_r),
-            batch_format="pandas")
+    # exchange A: key = FIRST token.  Unigram partials key on their
+    # token, bigram partials on `a` — one bucket therefore holds the
+    # complete counts for every token it owns AND every bigram
+    # starting with one of them, so the c_a attach is a bucket-local
+    # merge, not a third exchange.
+    A_SCHEMA = {"key": "object", "kind": "int64", "a": "object",
+                "b": "object", "n": "int64"}
 
-    uni_counts = bucketed_groupby(
-        side(0, {"a": "tok"}), "tok",
-        lambda p: p.groupby("tok", sort=False)["n"].sum()
-        .reset_index().rename(columns={"n": "c"})[["tok", "c"]],
-        num_buckets)
+    def keyed_partials(d: pd.DataFrame) -> pd.DataFrame:
+        d = d[d["kind"] != 2]
+        g = (d.groupby(["kind", "a", "b"], sort=False)["n"].sum()
+             .reset_index())
+        g["key"] = g["a"]
+        return pad_frame(g[["key", "kind", "a", "b", "n"]], A_SCHEMA)
 
-    def bi_cut(p: pd.DataFrame) -> pd.DataFrame:
-        g = (p.groupby(["a", "b"], sort=False)["n"].sum()
-             .reset_index().rename(columns={"n": "c_ab"}))
-        return g[g["c_ab"] >= min_count]
+    B_SCHEMA = {"key": "object", "kind": "int64", "a": "object",
+                "b": "object", "c_ab": "int64", "c_a": "int64",
+                "c": "int64"}
 
-    bi_counts = bucketed_groupby(side(1, {}), ["a", "b"], bi_cut,
-                                 num_buckets)
+    def fold_a(p: pd.DataFrame) -> pd.DataFrame:
+        uni = (p[p["kind"] == 0].groupby("a", sort=False)["n"].sum()
+               .reset_index().rename(columns={"a": "tok", "n": "c"}))
+        bi = (p[p["kind"] == 1].groupby(["a", "b"], sort=False)["n"]
+              .sum().reset_index().rename(columns={"n": "c_ab"}))
+        bi = bi[bi["c_ab"] >= min_count]
+        bi = bi.merge(uni.rename(columns={"tok": "a", "c": "c_a"}),
+                      on="a", how="inner")
+        # re-key bigrams by SECOND token for the c_b attach; forward
+        # the bucket's finalized unigram rows keyed by their token
+        out = pd.concat([
+            pad_frame(bi.assign(key=bi["b"],
+                                kind=np.int64(1)), B_SCHEMA),
+            pad_frame(uni.assign(key=uni["tok"],
+                                 kind=np.int64(0)), B_SCHEMA)],
+            ignore_index=True)
+        return typed_empty_if_blank(out)
 
-    ua = uni_counts.map_batches(
-        lambda d: d.rename(columns={"tok": "a", "c": "c_a"}),
-        batch_format="pandas")
-    with_a = bucketed_join(
-        bi_counts, ua, on="a",
-        left_schema={"a": "object", "b": "object", "c_ab": "int64"},
-        right_schema={"a": "object", "c_a": "int64"},
-        num_buckets=num_buckets, how="inner")
-    ub = uni_counts.map_batches(
-        lambda d: d.rename(columns={"tok": "b", "c": "c_b"}),
-        batch_format="pandas")
-    scored = bucketed_join(
-        with_a, ub, on="b",
-        left_schema={"a": "object", "b": "object", "c_ab": "int64",
-                     "c_a": "int64"},
-        right_schema={"b": "object", "c_b": "int64"},
-        num_buckets=num_buckets, how="inner")
+    stage_a = bucketed_groupby(
+        parts.map_batches(keyed_partials, batch_format="pandas"),
+        "key", fold_a, num_buckets)
 
-    def block_topk(d: pd.DataFrame) -> pd.DataFrame:
-        if not len(d):
-            return pd.DataFrame({"a": pd.Series([], dtype=object),
-                                 "b": pd.Series([], dtype=object),
-                                 "c_ab": pd.Series([], dtype="int64"),
-                                 "score_e4": pd.Series([], dtype="int64")})
+    # exchange B: key = SECOND token (unigram rows: their token).
+    # Attach c_b and cut per-bucket top-k candidates.
+    CAND = {"a": object, "b": object, "c_ab": "int64",
+            "score_e4": "int64"}
+
+    def fold_b(p: pd.DataFrame) -> pd.DataFrame:
+        bi = p[p["kind"] == 1]
+        if bi.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in CAND.items()})
+        uni = (p.loc[p["kind"] == 0, ["key", "c"]]
+               .rename(columns={"c": "c_b"}))
+        d = bi.merge(uni, on="key", how="inner")
         score = (d["c_ab"].to_numpy(np.int64) * np.int64(n_total)
                  * np.int64(10_000)
                  // (d["c_a"].to_numpy(np.int64)
@@ -1773,8 +1786,8 @@ def collocations(docs, k: int = 50, min_count: int = 5,
                                 ascending=[False, True, True],
                                 kind="mergesort").head(k))
 
-    cand = scored.map_batches(block_topk,
-                              batch_format="pandas").to_pandas()
+    cand = bucketed_groupby(stage_a, "key", fold_b,
+                            num_buckets).to_pandas()
     return (cand.sort_values(["score_e4", "a", "b"],
                              ascending=[False, True, True],
                              kind="mergesort")
