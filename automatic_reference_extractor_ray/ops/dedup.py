@@ -177,8 +177,18 @@ def decontaminate_fuzzy(train, eval_docs, tau: float = 0.8,
     ebh_arr.sort()
     bref = ray.put(ebh_arr)
 
-    def band_keep(df: pd.DataFrame) -> pd.DataFrame:
-        return df[np.isin(df["band_hash"].to_numpy(), ray.get(bref))]
+    def band_keep(df: pd.DataFrame):
+        out = df[np.isin(df["band_hash"].to_numpy(), ray.get(bref))]
+        if len(out):
+            return out
+        # typed empty: a 0-row pandas block with the bytes `bhs`
+        # object column trips Ray's size estimator (the
+        # typed_empty_if_blank rule, but with binary not string)
+        import pyarrow as pa
+        return pa.table({"band": pa.array([], pa.int64()),
+                         "band_hash": pa.array([], pa.int64()),
+                         "h": pa.array([], pa.int64()),
+                         "bhs": pa.array([], pa.binary())})
 
     pairs = minhash_lsh_pairs(train.union(eval_docs), tau=tau,
                               tokenizer=tokenizer, shingle_k=shingle_k,

@@ -77,7 +77,94 @@ def replicated_embeddings(repeat: int):
     return base.map_batches(expand, batch_format="pandas").materialize()
 
 
+def _decontam_corpus(n_train: int, n_eval: int, planted: int):
+    """Low-self-similarity corpus + planted leakage: every doc is 80
+    unique-seeded random tokens from a 50k vocabulary (no accidental
+    near-dups at tau=0.8); the first ``planted`` train docs are
+    one-token-dropped near-clones of eval docs (J ~ 0.99)."""
+    import numpy as np
+    import pandas as pd
+
+    def words(seed: int, n: int = 80) -> list[str]:
+        rng = np.random.Generator(np.random.PCG64(seed))
+        return [f"w{int(x)}" for x in rng.integers(0, 50_000, n)]
+
+    ev = pd.DataFrame({
+        "doc_id": np.arange(10_000_000, 10_000_000 + n_eval,
+                            dtype="int64"),
+        "text": [" ".join(words(7_000_000 + i)) for i in range(n_eval)]})
+    rows = []
+    for i in range(planted):                     # leaks: eval minus 1 token
+        rows.append(" ".join(words(7_000_000 + i)[:-1]))
+    for i in range(planted, n_train):            # clean: unique seeds
+        rows.append(" ".join(words(1_000_000 + i)))
+    tr = pd.DataFrame({"doc_id": np.arange(n_train, dtype="int64"),
+                       "text": rows})
+    return tr, ev
+
+
+def decontam_prune_case() -> None:
+    """VERDICT r4 task 3: show the fuzzy-decontam band-exchange row
+    count scales with PLANTED LEAKAGE, not corpus size.  Runs the
+    eval band-hash prune at two train sizes with identical planted
+    leakage and reports rows entering the band exchange with vs
+    without ``band_filter``, plus the verdict identity."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.dedup import (
+        LSH_BANDS, _token_set, batch_band_hashes,
+        batch_minhash_signatures, decontaminate_fuzzy)
+
+    cases = []
+    n_eval, planted = 200, 50
+    for n_train in (5_000, 20_000):
+        tr, ev = _decontam_corpus(n_train, n_eval, planted)
+
+        # the prune measurement, replayed from decontaminate_fuzzy's
+        # internals: eval band-hash set vs every union row's band rows
+        esigs = batch_minhash_signatures([_token_set(t)
+                                          for t in ev["text"]])
+        ebh = np.unique(batch_band_hashes(esigs).reshape(-1))
+        union = pd.concat([tr, ev], ignore_index=True)
+        usigs = batch_minhash_signatures([_token_set(t)
+                                          for t in union["text"]])
+        ubh = batch_band_hashes(usigs).reshape(-1)
+        total = int(len(ubh))
+        survive = int(np.isin(ubh, ebh).sum())
+
+        t0 = time.perf_counter()
+        v = (decontaminate_fuzzy(rd.from_pandas(tr).repartition(8),
+                                 rd.from_pandas(ev), tau=0.8)
+             .to_pandas().set_index("doc_id")["keep"])
+        sec = round(time.perf_counter() - t0, 3)
+        dropped = int((v == 0).sum())
+        planted_dropped = int((v[np.arange(planted)] == 0).sum())
+        cases.append({
+            "n_train": n_train, "n_eval": n_eval, "planted": planted,
+            "band_rows_total": total,
+            "band_rows_after_prune": survive,
+            "prune_keep_fraction": round(survive / total, 5),
+            "sec": sec, "dropped": dropped,
+            "planted_dropped": planted_dropped,
+            "clean_dropped": dropped - planted_dropped})
+    print(json.dumps({"metric": "fuzzy_decontam_band_prune",
+                      "bands": int(LSH_BANDS), "num_cpus": NUM_CPUS,
+                      "cases": cases}))
+    ray.shutdown()
+
+
 def main() -> None:
+    if "--decontam" in sys.argv:
+        decontam_prune_case()
+        return
     repeat = 4
     if "--repeat" in sys.argv:
         repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
