@@ -1400,7 +1400,11 @@ def tfidf_top_terms(docs, k: int = 5, text_col: str = "text",
                              "token": toks,
                              "tf": np.array(tfs, dtype=np.int64)})
 
-    tf = docs.map_batches(tf_rows, batch_format="pandas")
+    # tf feeds TWO consumers (the df partials and the salted join);
+    # pin it once so the tokenize pass doesn't re-execute per consumer
+    # (the decontaminate_fuzzy re-execution class; compact int/token
+    # rows, spillable at scale)
+    tf = docs.map_batches(tf_rows, batch_format="pandas").materialize()
     # per-batch df partials: a doc's tf rows never straddle batches, so
     # local per-token row counts sum to the exact document frequency
     df_partial = tf.map_batches(
