@@ -279,8 +279,11 @@ def exact_sample(ds, id_col: str, n: int, salt: str = "exact"):
     def _digest(v) -> str:
         return hashlib.md5(f"{salt}|{v}".encode("utf-8")).hexdigest()
 
-    def cand(b: pd.DataFrame) -> pd.DataFrame:
+    def cand(b: pd.DataFrame):
         hs = sorted(_digest(v) for v in b[id_col].tolist())[:n]
+        if not hs:       # typed empty: 0-row object column trips the
+            import pyarrow as pa      # pandas size estimator
+            return pa.table({"__h": pa.array([], pa.string())})
         return pd.DataFrame({"__h": pd.Series(hs, dtype="object")})
 
     # candidate pass sees ONLY the id column — the digest fold would

@@ -100,8 +100,11 @@ def digest_sample(ds, fit_sample: int, salt: str, key_of, cols,
     pass 2 filters the ≤ fit_sample winners and pulls just those.
     ``key_of(batch) -> sequence`` yields one digest key per row."""
 
-    def cand(b: pd.DataFrame) -> pd.DataFrame:
+    def cand(b: pd.DataFrame):
         hs = sorted(_digest(salt, k) for k in key_of(b))[:fit_sample]
+        if not hs:       # typed empty: 0-row object column trips the
+            import pyarrow as pa      # pandas size estimator
+            return pa.table({"__h": pa.array([], pa.string())})
         return pd.DataFrame({"__h": pd.Series(hs, dtype="object")})
 
     acc: list[str] = []
