@@ -1139,6 +1139,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return user_window_functions(
             _read(sf, "events", ["user_id", "ts", "event_id", "value"]))
 
+    def q7_trade_volume_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import (
+            trade_volume)
+        return trade_volume(
+            _read(sf, "supplier", ["s_suppkey", "s_nationkey"]),
+            _read(sf, "lineitem", ["l_orderkey", "l_suppkey",
+                                   "l_extendedprice", "l_discount",
+                                   "l_shipdate"]),
+            _read(sf, "orders", ["o_orderkey", "o_custkey"]),
+            _read(sf, "customer", ["c_custkey", "c_nationkey"]),
+            _read(sf, "nation", ["n_nationkey", "n_name"]))
+
+    def q8_market_share_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import (
+            market_share)
+        return market_share(
+            _read(sf, "part", ["p_partkey", "p_type"]),
+            _read(sf, "supplier", ["s_suppkey", "s_nationkey"]),
+            _read(sf, "lineitem", ["l_partkey", "l_orderkey",
+                                   "l_suppkey", "l_extendedprice",
+                                   "l_discount"]),
+            _read(sf, "orders", ["o_orderkey", "o_custkey",
+                                 "o_orderdate"]),
+            _read(sf, "customer", ["c_custkey", "c_nationkey"]),
+            _read(sf, "nation", ["n_nationkey", "n_name",
+                                 "n_regionkey"]),
+            _read(sf, "region", ["r_regionkey", "r_name"]))
+
+    def q19_discounted_q(sf):
+        from automatic_reference_extractor_ray.ops.relational import (
+            discounted_revenue)
+        return discounted_revenue(
+            _read(sf, "lineitem", ["l_partkey", "l_quantity",
+                                   "l_extendedprice", "l_discount"]),
+            _read(sf, "part", ["p_partkey", "p_brand", "p_size"]))
+
     def events_window_chunked_q(sf):
         # the hot-key escape hatch: (user_id, time-chunk) exchange +
         # carried prefix state; same oracle as events_window
@@ -1470,6 +1506,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # window, union r3+r4+r5 covers every SQL-oracled query.
     return {
         # -- (a) NEW this round --
+        "q7_trade_volume": q7_trade_volume_q,
+        "q8_market_share": q8_market_share_q,
+        "q19_discounted": q19_discounted_q,
         "events_window_chunked": events_window_chunked_q,
         "user_journeys_chunked": user_journeys_chunked_q,
         # -- (b) never driver-checked (r1-r4) --
@@ -1520,13 +1559,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": events_range_join_q,
         "decontaminate": decontaminate_q,
         "top_per_lang": top_per_lang_q,
-        "mixture_sample": mixture_sample_q,
-        "curate_corpus": curate_corpus_q,
         "tfidf_terms": tfidf_q,
-        "customers_without_events": customers_without_events_q,
         # ---- driver cap (~50) lands here ----
         # SQL-oracled, round-3-checked, unchanged; gate-verified every
         # round; next-round rotation candidates
+        "mixture_sample": mixture_sample_q,
+        "curate_corpus": curate_corpus_q,
+        "customers_without_events": customers_without_events_q,
         "collapse_lines": collapse_lines_q,
         "contamination_report": contamination_report_q,
         "temperature_sample": temperature_sample_q,
@@ -2130,6 +2169,64 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>'
                               ORDER BY ts, event_id) AS journey
             FROM events GROUP BY user_id""",
+        "q7_trade_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_c
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+            JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+            WHERE year(l.l_shipdate) BETWEEN 1995 AND 1996
+              AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+                OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        "q8_market_share": """
+            WITH rev AS (
+              SELECT year(o.o_orderdate) AS o_year,
+                     CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                       AS rev_c,
+                     CASE WHEN sn.n_name = 'NATION_3' THEN 1 ELSE 0 END
+                       AS is_t
+              FROM lineitem l
+              JOIN part p     ON p.p_partkey = l.l_partkey
+                             AND p.p_type = 'STANDARD'
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+              JOIN orders o   ON o.o_orderkey = l.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+              JOIN region r   ON r.r_regionkey = cn.n_regionkey
+                             AND r.r_name = 'ASIA'
+              WHERE year(o.o_orderdate) BETWEEN 1995 AND 1996)
+            SELECT CAST(o_year AS BIGINT) AS o_year,
+                   CAST(SUM(CASE WHEN is_t = 1 THEN rev_c ELSE 0 END)
+                        AS BIGINT) AS nation_rev_c,
+                   CAST(SUM(rev_c) AS BIGINT) AS total_rev_c,
+                   CAST(1000000 * SUM(CASE WHEN is_t = 1 THEN rev_c
+                                           ELSE 0 END)
+                        // SUM(rev_c) AS BIGINT) AS share_e6
+            FROM rev GROUP BY o_year ORDER BY o_year""",
+        "q19_discounted": """
+            SELECT CAST(COALESCE(SUM(
+                     CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))),
+                     0) AS BIGINT) AS revenue_c
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#2'
+                   AND l.l_quantity BETWEEN 1 AND 11
+                   AND p.p_size BETWEEN 1 AND 5)
+               OR (p.p_brand = 'Brand#4'
+                   AND l.l_quantity BETWEEN 10 AND 20
+                   AND p.p_size BETWEEN 1 AND 10)
+               OR (p.p_brand = 'Brand#19'
+                   AND l.l_quantity BETWEEN 20 AND 30
+                   AND p.p_size BETWEEN 1 AND 15)""",
         "user_journeys_chunked": """
             SELECT user_id,
                    CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -1820,3 +1820,321 @@ def retention_cohorts(events, signup_type: str = "signup",
         "user_id", per_user, num_buckets)
     return bucketed_agg(pairs, ["cohort_week", "week_offset"],
                         {"n_users": ("week_offset", "size")}, num_buckets)
+
+
+def trade_volume(supplier, lineitem, orders, customer, nation,
+                 nation_a: str = "NATION_1", nation_b: str = "NATION_2",
+                 year_from: int = 1995, year_to: int = 1996,
+                 num_buckets: int | None = None) -> pd.DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    nations — supplier in one, customer in the other, both directions
+    — per lineitem SHIP year → pandas (supp_nation, cust_nation,
+    l_year, revenue_c), exact centi-cent integers (the q1/q5
+    convention), sorted by (supp_nation, cust_nation, l_year).
+
+    Scale shape: nation is a tiny broadcast map; lineitem date-filters
+    and collapses to (orderkey, suppkey, rev_c, year) in-batch; ONE
+    bucketed exchange attaches the supplier nation (rows for the two
+    nations only survive), orders+customer attach the customer nation
+    through a custkey exchange, the final orderkey exchange post-
+    filters the cross-nation pairs and pre-aggregates per bucket; the
+    driver folds ≤ 2 × 2 × n_years keys.
+    """
+    import ray
+
+    from .shuffle import bucketed_join
+
+    nd = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    keep = nd[nd["n_name"].isin([nation_a, nation_b])]
+    name_of = dict(zip(keep["n_nationkey"].astype("int64"),
+                       keep["n_name"]))
+    nref = ray.put(name_of)
+
+    def li_f(b: pd.DataFrame) -> pd.DataFrame:
+        yr = b["l_shipdate"].dt.year
+        b = b[(yr >= year_from) & (yr <= year_to)]
+        price_c = np.round(b["l_extendedprice"] * 100).astype("int64")
+        disc_pct = np.round(b["l_discount"] * 100).astype("int64")
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].astype("int64"),
+            "l_suppkey": b["l_suppkey"].astype("int64"),
+            "rev_c": price_c * (100 - disc_pct),
+            "l_year": b["l_shipdate"].dt.year.astype("int64")})
+
+    def supp_f(b: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(nref)
+        nk = b["s_nationkey"].astype("int64")
+        b = b[nk.isin(lookup.keys())]
+        return pd.DataFrame({
+            "l_suppkey": b["s_suppkey"].astype("int64"),
+            "s_nationkey": b["s_nationkey"].astype("int64")})
+
+    li_supp = bucketed_join(
+        lineitem.map_batches(li_f, batch_format="pandas"),
+        supplier.map_batches(supp_f, batch_format="pandas"),
+        on="l_suppkey",
+        left_schema={"l_orderkey": "int64", "l_suppkey": "int64",
+                     "rev_c": "int64", "l_year": "int64"},
+        right_schema={"l_suppkey": "int64", "s_nationkey": "int64"},
+        num_buckets=num_buckets, how="inner").map_batches(
+        lambda b: b[["l_orderkey", "s_nationkey", "rev_c", "l_year"]],
+        batch_format="pandas")
+
+    def cust_f(b: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(nref)
+        nk = b["c_nationkey"].astype("int64")
+        b = b[nk.isin(lookup.keys())]
+        return pd.DataFrame({
+            "o_custkey": b["c_custkey"].astype("int64"),
+            "c_nationkey": b["c_nationkey"].astype("int64")})
+
+    cust_orders = bucketed_join(
+        orders.map_batches(
+            lambda b: pd.DataFrame({
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "o_custkey": b["o_custkey"].astype("int64")}),
+            batch_format="pandas"),
+        customer.map_batches(cust_f, batch_format="pandas"),
+        on="o_custkey",
+        left_schema={"o_orderkey": "int64", "o_custkey": "int64"},
+        right_schema={"o_custkey": "int64", "c_nationkey": "int64"},
+        num_buckets=num_buckets, how="inner").map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"})
+        [["l_orderkey", "c_nationkey"]],
+        batch_format="pandas")
+
+    def cross_pairs(m: pd.DataFrame) -> pd.DataFrame:
+        m = m[m["s_nationkey"] != m["c_nationkey"]]
+        return (m.groupby(["s_nationkey", "c_nationkey", "l_year"],
+                          sort=False)["rev_c"].sum().reset_index())
+
+    joined = bucketed_join(
+        li_supp, cust_orders, on="l_orderkey",
+        left_schema={"l_orderkey": "int64", "s_nationkey": "int64",
+                     "rev_c": "int64", "l_year": "int64"},
+        right_schema={"l_orderkey": "int64", "c_nationkey": "int64"},
+        num_buckets=num_buckets, post=cross_pairs, how="inner")
+
+    acc: dict[tuple, int] = {}
+    for p in joined.iter_batches(batch_format="pandas"):
+        for sk, ck, yr, rc in zip(p["s_nationkey"], p["c_nationkey"],
+                                  p["l_year"], p["rev_c"]):
+            k = (int(sk), int(ck), int(yr))
+            acc[k] = acc.get(k, 0) + int(rc)
+    out = pd.DataFrame(
+        [(name_of[sk], name_of[ck], yr, rc)
+         for (sk, ck, yr), rc in acc.items()],
+        columns=["supp_nation", "cust_nation", "l_year", "revenue_c"])
+    if not len(out):
+        return pd.DataFrame({"supp_nation": pd.Series([], dtype=object),
+                             "cust_nation": pd.Series([], dtype=object),
+                             "l_year": pd.Series([], dtype="int64"),
+                             "revenue_c": pd.Series([], dtype="int64")})
+    out["l_year"] = out["l_year"].astype("int64")
+    out["revenue_c"] = out["revenue_c"].astype("int64")
+    return (out.sort_values(["supp_nation", "cust_nation", "l_year"],
+                            kind="mergesort").reset_index(drop=True))
+
+
+def market_share(part, supplier, lineitem, orders, customer, nation,
+                 region, region_name: str = "ASIA",
+                 nation_name: str = "NATION_3",
+                 part_type: str = "STANDARD",
+                 year_from: int = 1995, year_to: int = 1996,
+                 num_buckets: int | None = None) -> pd.DataFrame:
+    """TPC-H Q8 shape (national market share): among revenue from
+    ``part_type`` parts ordered (in ``year_from..year_to``) by
+    customers in ``region_name``, the share supplied by
+    ``nation_name``, per ORDER year → pandas (o_year, nation_rev_c,
+    total_rev_c, share_e6) with ``share_e6 = 10⁶·nation // total``
+    exact integer — no float share on either side of the oracle.
+
+    Scale shape: part filters to a keyset via an in-batch projection
+    and joins lineitem through a partkey exchange (never broadcast —
+    a type-filtered part set scales with the catalog); supplier
+    attaches is-target-nation through a suppkey exchange; orders
+    year-filter + customer region-filter meet through a custkey
+    exchange; the final orderkey exchange pre-aggregates
+    (o_year, is_target) partials; the driver folds ≤ 2·n_years keys.
+    """
+    import ray
+
+    from .shuffle import bucketed_join
+
+    nd = nation.select_columns(
+        ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    rd_ = region.select_columns(["r_regionkey", "r_name"]).to_pandas()
+    region_keys = set(
+        rd_.loc[rd_["r_name"] == region_name, "r_regionkey"]
+        .astype("int64"))
+    cust_nations = set(
+        nd.loc[nd["n_regionkey"].astype("int64").isin(region_keys),
+               "n_nationkey"].astype("int64"))
+    target = set(nd.loc[nd["n_name"] == nation_name, "n_nationkey"]
+                 .astype("int64"))
+    cref = ray.put(cust_nations)
+    tref = ray.put(target)
+
+    li_part = bucketed_join(
+        lineitem.map_batches(
+            lambda b: pd.DataFrame({
+                "l_partkey": b["l_partkey"].astype("int64"),
+                "l_orderkey": b["l_orderkey"].astype("int64"),
+                "l_suppkey": b["l_suppkey"].astype("int64"),
+                "rev_c": (np.round(b["l_extendedprice"] * 100)
+                          .astype("int64")
+                          * (100 - np.round(b["l_discount"] * 100)
+                             .astype("int64")))}),
+            batch_format="pandas"),
+        part.map_batches(
+            lambda b: b.loc[b["p_type"] == part_type,
+                            ["p_partkey"]].rename(
+                columns={"p_partkey": "l_partkey"})
+            .astype("int64"),
+            batch_format="pandas"),
+        on="l_partkey",
+        left_schema={"l_partkey": "int64", "l_orderkey": "int64",
+                     "l_suppkey": "int64", "rev_c": "int64"},
+        right_schema={"l_partkey": "int64"},
+        num_buckets=num_buckets, how="semi").map_batches(
+        lambda b: b[["l_orderkey", "l_suppkey", "rev_c"]],
+        batch_format="pandas")
+
+    def supp_f(b: pd.DataFrame) -> pd.DataFrame:
+        tg = ray.get(tref)
+        return pd.DataFrame({
+            "l_suppkey": b["s_suppkey"].astype("int64"),
+            "is_target": b["s_nationkey"].astype("int64")
+            .isin(tg).astype("int64")})
+
+    li_supp = bucketed_join(
+        li_part, supplier.map_batches(supp_f, batch_format="pandas"),
+        on="l_suppkey",
+        left_schema={"l_orderkey": "int64", "l_suppkey": "int64",
+                     "rev_c": "int64"},
+        right_schema={"l_suppkey": "int64", "is_target": "int64"},
+        num_buckets=num_buckets, how="inner").map_batches(
+        lambda b: b[["l_orderkey", "rev_c", "is_target"]],
+        batch_format="pandas")
+
+    def ord_f(b: pd.DataFrame) -> pd.DataFrame:
+        yr = b["o_orderdate"].dt.year
+        b = b[(yr >= year_from) & (yr <= year_to)]
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].astype("int64"),
+            "o_custkey": b["o_custkey"].astype("int64"),
+            "o_year": b["o_orderdate"].dt.year.astype("int64")})
+
+    def cust_f(b: pd.DataFrame) -> pd.DataFrame:
+        cn = ray.get(cref)
+        b = b[b["c_nationkey"].astype("int64").isin(cn)]
+        return pd.DataFrame({
+            "o_custkey": b["c_custkey"].astype("int64")})
+
+    region_orders = bucketed_join(
+        orders.map_batches(ord_f, batch_format="pandas"),
+        customer.map_batches(cust_f, batch_format="pandas"),
+        on="o_custkey",
+        left_schema={"o_orderkey": "int64", "o_custkey": "int64",
+                     "o_year": "int64"},
+        right_schema={"o_custkey": "int64"},
+        num_buckets=num_buckets, how="semi").map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"})
+        [["l_orderkey", "o_year"]],
+        batch_format="pandas")
+
+    def partials(m: pd.DataFrame) -> pd.DataFrame:
+        return (m.groupby(["o_year", "is_target"], sort=False)["rev_c"]
+                .sum().reset_index())
+
+    joined = bucketed_join(
+        li_supp, region_orders, on="l_orderkey",
+        left_schema={"l_orderkey": "int64", "rev_c": "int64",
+                     "is_target": "int64"},
+        right_schema={"l_orderkey": "int64", "o_year": "int64"},
+        num_buckets=num_buckets, post=partials, how="inner")
+
+    acc: dict[tuple, int] = {}
+    for p in joined.iter_batches(batch_format="pandas"):
+        for yr, it, rc in zip(p["o_year"], p["is_target"], p["rev_c"]):
+            k = (int(yr), int(it))
+            acc[k] = acc.get(k, 0) + int(rc)
+    years = sorted({yr for yr, _ in acc})
+    rows = []
+    for yr in years:
+        nat = acc.get((yr, 1), 0)
+        tot = nat + acc.get((yr, 0), 0)
+        rows.append((yr, nat, tot, 1_000_000 * nat // tot if tot else 0))
+    return pd.DataFrame(
+        rows, columns=["o_year", "nation_rev_c", "total_rev_c",
+                       "share_e6"]).astype(
+        {"o_year": "int64", "nation_rev_c": "int64",
+         "total_rev_c": "int64", "share_e6": "int64"})
+
+
+_Q19_BRANCHES = (("Brand#2", 1, 11, 1, 5),
+                 ("Brand#4", 10, 20, 1, 10),
+                 ("Brand#19", 20, 30, 1, 15))
+
+
+def discounted_revenue(lineitem, part,
+                       branches=_Q19_BRANCHES,
+                       num_buckets: int | None = None) -> pd.DataFrame:
+    """TPC-H Q19 shape (discounted revenue): one revenue scalar over
+    lineitem ⋈ part rows matching ANY (brand, quantity-window,
+    size-window) branch → pandas one row (revenue_c), exact
+    centi-cents.  The disjunctive-predicate join pattern: the branch
+    test needs columns from BOTH sides, so it post-filters INSIDE the
+    partkey exchange (vectorized per branch), after part pre-shrinks
+    to the union of branch brands in-batch.
+
+    ``branches``: iterable of (p_brand, qty_lo, qty_hi, size_lo,
+    size_hi), all bounds inclusive.
+    """
+    from .shuffle import bucketed_join
+
+    brands = sorted({b[0] for b in branches})
+
+    def li_f(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_partkey": b["l_partkey"].astype("int64"),
+            "qty": b["l_quantity"].astype("int64"),
+            "rev_c": (np.round(b["l_extendedprice"] * 100)
+                      .astype("int64")
+                      * (100 - np.round(b["l_discount"] * 100)
+                         .astype("int64")))})
+
+    def part_f(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["p_brand"].isin(brands)]
+        return pd.DataFrame({
+            "l_partkey": b["p_partkey"].astype("int64"),
+            "p_brand": b["p_brand"].astype(object),
+            "p_size": b["p_size"].astype("int64")})
+
+    def branch_sum(m: pd.DataFrame) -> pd.DataFrame:
+        if not len(m):
+            return pd.DataFrame({"rev_c": pd.Series([], dtype="int64")})
+        hit = np.zeros(len(m), dtype=bool)
+        qty = m["qty"].to_numpy()
+        size = m["p_size"].to_numpy()
+        brand = m["p_brand"].to_numpy()
+        for pb, qlo, qhi, slo, shi in branches:
+            hit |= ((brand == pb) & (qty >= qlo) & (qty <= qhi)
+                    & (size >= slo) & (size <= shi))
+        s = int(m.loc[hit, "rev_c"].sum())
+        return pd.DataFrame({"rev_c": pd.Series([s], dtype="int64")})
+
+    joined = bucketed_join(
+        lineitem.map_batches(li_f, batch_format="pandas"),
+        part.map_batches(part_f, batch_format="pandas"),
+        on="l_partkey",
+        left_schema={"l_partkey": "int64", "qty": "int64",
+                     "rev_c": "int64"},
+        right_schema={"l_partkey": "int64", "p_brand": "object",
+                      "p_size": "int64"},
+        num_buckets=num_buckets, post=branch_sum, how="inner")
+
+    total = 0
+    for p in joined.iter_batches(batch_format="pandas"):
+        total += int(p["rev_c"].sum())
+    return pd.DataFrame({"revenue_c": pd.Series([total], dtype="int64")})

@@ -1688,3 +1688,122 @@ def test_user_journeys_chunked_supernode(ray_session):
         pd.testing.assert_frame_equal(
             c[["user_id", "n_events", "journey"]],
             d[["user_id", "n_events", "journey"]])
+
+
+def test_trade_volume_q7(ray_session):
+    """Q7 shape: two-nation cross pairs both directions, ship-year
+    window, cross-nation inequality, centi-cent revenue."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.relational import (
+        trade_volume)
+
+    nation = pd.DataFrame({
+        "n_nationkey": np.array([0, 1, 2], dtype="int32"),
+        "n_name": ["JAPAN", "CHINA", "FRANCE"]})
+    supplier = pd.DataFrame({
+        "s_suppkey": np.array([7, 8, 9], dtype="int64"),
+        "s_nationkey": np.array([0, 1, 2], dtype="int32")})
+    customer = pd.DataFrame({
+        "c_custkey": np.array([1, 2, 3], dtype="int64"),
+        "c_nationkey": np.array([0, 1, 2], dtype="int32")})
+    orders = pd.DataFrame({
+        "o_orderkey": np.array([10, 11, 12], dtype="int64"),
+        "o_custkey": np.array([1, 2, 3], dtype="int64")})
+    lineitem = pd.DataFrame({
+        # (10,8): JP cust <- CN supp 1995 ok; (10,7): JP<-JP same drop;
+        # (11,7): CN cust <- JP supp 1996 ok; (11,9): FR supp drop;
+        # (10,8)@1997: outside window
+        "l_orderkey": np.array([10, 10, 11, 11, 10], dtype="int64"),
+        "l_suppkey": np.array([8, 7, 7, 9, 8], dtype="int64"),
+        "l_extendedprice": [10.0, 20.0, 30.0, 40.0, 50.0],
+        "l_discount": [0.05, 0.0, 0.10, 0.0, 0.0],
+        "l_shipdate": pd.to_datetime(
+            ["1995-03-01", "1995-04-01", "1996-05-01", "1996-06-01",
+             "1997-07-01"])})
+    out = trade_volume(
+        rd.from_pandas(supplier),
+        rd.from_pandas(lineitem).repartition(2),
+        rd.from_pandas(orders), rd.from_pandas(customer),
+        rd.from_pandas(nation),
+        nation_a="JAPAN", nation_b="CHINA",
+        year_from=1995, year_to=1996)
+    rows = list(out.itertuples(index=False, name=None))
+    assert rows == [("CHINA", "JAPAN", 1995, 1000 * 95),
+                    ("JAPAN", "CHINA", 1996, 3000 * 90)]
+
+
+def test_market_share_q8(ray_session):
+    """Q8 shape: part-type gate, customer-region gate, order-year
+    window, exact integer share (num/den + floor-div e6)."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.relational import (
+        market_share)
+
+    region = pd.DataFrame({"r_regionkey": np.array([0, 1], dtype="int32"),
+                           "r_name": ["ASIA", "EUROPE"]})
+    nation = pd.DataFrame({
+        "n_nationkey": np.array([0, 1, 2], dtype="int32"),
+        "n_name": ["JAPAN", "CHINA", "FRANCE"],
+        "n_regionkey": np.array([0, 0, 1], dtype="int32")})
+    part = pd.DataFrame({
+        "p_partkey": np.array([100, 101], dtype="int64"),
+        "p_type": ["STANDARD", "PROMO"]})
+    supplier = pd.DataFrame({
+        "s_suppkey": np.array([7, 8], dtype="int64"),
+        "s_nationkey": np.array([0, 1], dtype="int32")})   # 7=JP target
+    customer = pd.DataFrame({
+        "c_custkey": np.array([1, 3], dtype="int64"),
+        "c_nationkey": np.array([1, 2], dtype="int32")})   # 1 ASIA, 3 EU
+    orders = pd.DataFrame({
+        "o_orderkey": np.array([10, 11, 12], dtype="int64"),
+        "o_custkey": np.array([1, 1, 3], dtype="int64"),
+        "o_orderdate": pd.to_datetime(
+            ["1995-02-01", "1996-02-01", "1995-03-01"])})
+    lineitem = pd.DataFrame({
+        # 10: JP supp STANDARD ok (target); 10: CN supp STANDARD ok
+        # (non-target); 11: JP supp PROMO drop; 12: EU customer drop
+        "l_orderkey": np.array([10, 10, 11, 12], dtype="int64"),
+        "l_partkey": np.array([100, 100, 101, 100], dtype="int64"),
+        "l_suppkey": np.array([7, 8, 7, 7], dtype="int64"),
+        "l_extendedprice": [10.0, 30.0, 50.0, 70.0],
+        "l_discount": [0.0, 0.0, 0.0, 0.0]})
+    out = market_share(
+        rd.from_pandas(part), rd.from_pandas(supplier),
+        rd.from_pandas(lineitem).repartition(2),
+        rd.from_pandas(orders), rd.from_pandas(customer),
+        rd.from_pandas(nation), rd.from_pandas(region),
+        region_name="ASIA", nation_name="JAPAN",
+        part_type="STANDARD", year_from=1995, year_to=1996)
+    assert out.columns.tolist() == ["o_year", "nation_rev_c",
+                                    "total_rev_c", "share_e6"]
+    rows = list(out.itertuples(index=False, name=None))
+    nat = 1000 * 100
+    tot = nat + 3000 * 100
+    assert rows == [(1995, nat, tot, 1_000_000 * nat // tot)]
+
+
+def test_discounted_revenue_q19(ray_session):
+    """Q19 shape: disjunctive brand/qty/size branches post-filter
+    inside the partkey exchange; scalar centi-cent revenue."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.relational import (
+        discounted_revenue)
+
+    part = pd.DataFrame({
+        "p_partkey": np.array([1, 2, 3], dtype="int64"),
+        "p_brand": ["Brand#2", "Brand#4", "Brand#9"],
+        "p_size": np.array([3, 8, 1], dtype="int64")})
+    lineitem = pd.DataFrame({
+        # (1): qty 5 in [1,11], size 3 in [1,5] -> hit
+        # (1): qty 20 out -> miss; (2): qty 15 size 8 -> hit
+        # (3): brand not in any branch -> miss
+        "l_partkey": np.array([1, 1, 2, 3], dtype="int64"),
+        "l_quantity": [5.0, 20.0, 15.0, 25.0],
+        "l_extendedprice": [10.0, 20.0, 30.0, 40.0],
+        "l_discount": [0.05, 0.0, 0.10, 0.0]})
+    out = discounted_revenue(
+        rd.from_pandas(lineitem).repartition(2), rd.from_pandas(part))
+    assert out["revenue_c"].tolist() == [1000 * 95 + 3000 * 90]
