@@ -1807,3 +1807,44 @@ def test_discounted_revenue_q19(ray_session):
     out = discounted_revenue(
         rd.from_pandas(lineitem).repartition(2), rd.from_pandas(part))
     assert out["revenue_c"].tolist() == [1000 * 95 + 3000 * 90]
+
+
+def test_chunked_windows_chunk_size_invariant(ray_session):
+    """The chunk_days dial is purely a memory/skew knob: any chunking
+    (including one finer than the data's time span and one coarser
+    than it) must give identical output."""
+    import ray.data as rd
+
+    from automatic_reference_extractor_ray.ops.relational import (
+        user_journeys, user_window_functions)
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    n = 400
+    events = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "user_id": rng.integers(0, 12, n).astype("int64"),
+        "ts": pd.to_datetime(
+            pd.Timestamp("2024-05-01").value // 1000
+            + rng.integers(0, 30 * 86_400_000_000, n), unit="us")
+        .astype("datetime64[us]"),
+        "value": np.round(rng.random(n) * 9, 2),
+        "event_type": rng.choice(["x", "y", "z"], n),
+    })
+    outs = []
+    for cd in (1, 9, 365):
+        o = (user_window_functions(rd.from_pandas(events),
+                                   num_buckets=5, chunk_days=cd)
+             .to_pandas().sort_values("event_id")
+             .reset_index(drop=True))
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+    js = []
+    for cd in (1, 9, 365):
+        j = (user_journeys(rd.from_pandas(events), max_events=5,
+                           num_buckets=5, chunk_days=cd)
+             .to_pandas().sort_values("user_id")
+             .reset_index(drop=True))
+        js.append(j)
+    pd.testing.assert_frame_equal(js[0], js[1])
+    pd.testing.assert_frame_equal(js[0], js[2])
