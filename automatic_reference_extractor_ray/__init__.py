@@ -185,6 +185,17 @@ _EXPORTS = {
 
 __all__ = sorted(_EXPORTS) + ["__version__"]
 
+# Install the two-message benign Ray Data log filter at package import
+# so it reaches WORKER processes too (a worker that unpickles any of
+# this package's map functions imports the package first — the only
+# hook available here, since worker_process_setup_hook needs the
+# absent ray[default] runtime-env agent).  The filter drops exactly
+# the two investigated-benign empty-block messages and nothing else
+# (see logquiet.py); stdlib-only, no Ray import at package import.
+from .logquiet import install_benign_log_filters as _arx_lq  # noqa: E402
+
+_arx_lq()
+
 
 def __getattr__(name: str):
     mod = _EXPORTS.get(name)

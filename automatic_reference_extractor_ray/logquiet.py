@@ -19,9 +19,15 @@ this package's code, and were investigated to the source (round 4):
 
 The filters below drop EXACTLY those two shapes and nothing else — a
 real schema divergence (two different non-empty schemas) or a real
-size-estimation failure still surfaces.  CLI entry points (bench.py,
-jobs/*, tools/check_correctness.py) install them; library imports do
-NOT, so embedding applications keep Ray's full log stream.
+size-estimation failure still surfaces.  Since round 5 the package
+__init__ installs them at import time: the size-0 estimator message
+is logged by WHICHEVER process sizes the block, and worker processes
+(which import this package when unpickling its map functions) are
+reachable no other way in this environment (worker_process_setup_hook
+needs the absent ray[default] runtime-env agent).  Embedding
+applications still see every other Ray log line; the CLI entry points
+keep their explicit install calls for scripts that bypass the package
+import.
 """
 
 from __future__ import annotations
